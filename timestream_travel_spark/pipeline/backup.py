@@ -1,0 +1,144 @@
+"""The backup/export pipeline — the reference's single command
+(`timestream-travel backup`, main.go:30-32, cmd/backup.go), rebuilt
+as one lazy Spark plan instead of a driver-side page loop.
+
+Reference behaviors covered (SURVEY.md §2 Part A):
+- A2/A3  absolute/relative time window + validation (backup.go:128-168)
+- A6     time-range filter (backup.go:171, 241)
+- A7/A8  partition discovery, NULL-skipped (backup.go:170-209)
+- A10    rows-per-chunk clamp to 1000 (backup.go:213-217)
+- A11    per-partition parallelism — Spark tasks, not goroutines
+- A14    per-partition ORDER BY time DESC (backup.go:241)
+- A15    chunking ≤ rows per output object (backup.go:253-257)
+- A17    chunk min/max time bounds (backup.go:266-281)
+- A21/A22 faithful NULL→"NULL" stringly JSON rows (helpers.go:5-10)
+- A23    gzip NDJSON objects (backup.go:263-297)
+- A24    CRC32 checksums, manifest-side (backup.go:308-313)
+- A25    hierarchical layout <partition>/<yyyyMMdd>/ (backup.go:311-313)
+- A27    per-partition row counts (backup.go:299-301, 352)
+- A28    dry-run mode (backup.go:102-105, 303-306)
+
+Scale: the write is a single shuffle (repartition on the layout keys)
+followed by a partitioned, chunked write — file count = O(partitions
+× dates × chunks), each file ≤ rows_per_chunk rows. No driver-side
+iteration; 1000 executors write 1000 files at a time.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from datetime import datetime, timedelta
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from timestream_travel_spark.functions.faithful import faithful_projection
+from timestream_travel_spark.operators.timeseries import chunk_manifest
+
+MAX_ROWS_PER_CHUNK = 1000  # hard clamp, cmd/backup.go:213-217
+_REL_RE = re.compile(r"^(\d+)([mhdw])$")
+_UNITS = {"m": "minutes", "h": "hours", "d": "days", "w": "weeks"}
+TIME_FMT = "%Y-%m-%d %H:%M:%S"  # Go layout 2006-01-02 15:04:05, backup.go:25
+
+
+def resolve_window(
+    from_spec: str | None,
+    to_spec: str | None,
+    now: datetime | None = None,
+) -> tuple[datetime, datetime]:
+    """Absolute/relative time-window resolution (backup.go:128-156):
+    each bound parses as 'yyyy-MM-dd HH:mm:ss', else as a relative
+    duration '<n>[m|h|d|w]'; `to` is relative to now, `from` relative
+    to `to`. Defaults: to=now, from=to−1h (backup.go:139-153)."""
+    now = now or datetime.utcnow()
+
+    def parse(spec: str | None, anchor: datetime, default_delta: timedelta | None) -> datetime:
+        if spec is None:
+            return anchor - default_delta if default_delta else anchor
+        try:
+            return datetime.strptime(spec, TIME_FMT)
+        except ValueError:
+            m = _REL_RE.match(spec)
+            if not m:
+                raise ValueError(f"unparseable time spec: {spec!r}")
+            return anchor - timedelta(**{_UNITS[m.group(2)]: int(m.group(1))})
+
+    t_to = parse(to_spec, now, None)
+    t_from = parse(from_spec, t_to, timedelta(hours=1))
+    # interval validation, backup.go:160-168
+    if t_from > t_to:
+        raise ValueError(f"from ({t_from}) is after to ({t_to})")
+    if t_from == t_to:
+        raise ValueError(f"from equals to ({t_from})")
+    return t_from, t_to
+
+
+@dataclass
+class BackupConfig:
+    """The reference's flag surface (cmd/backup.go:34-93) minus AWS
+    plumbing: dest path instead of an S3 bucket (s3a:// URIs work
+    unchanged through Hadoop S3A)."""
+
+    dest: str
+    partition_col: str = "event_type"  # default measure_name, backup.go:59-64
+    ts_col: str = "ts"
+    time_from: str | None = None
+    time_to: str | None = None
+    rows_per_chunk: int = 1000
+    faithful: bool = True
+    dry_run: bool = False
+    tiebreak_col: str | None = None
+
+
+def backup(spark: SparkSession, source: DataFrame, cfg: BackupConfig) -> DataFrame:
+    """Run the export; returns the manifest DataFrame
+    (partition, date, chunk, min_ts, max_ts, row_count, crc32).
+
+    In dry-run mode (backup.go:102-105) the plan runs — discovery,
+    decode, counting — but nothing is written."""
+    rows = min(cfg.rows_per_chunk, MAX_ROWS_PER_CHUNK)
+    t_from, t_to = resolve_window(cfg.time_from, cfg.time_to)
+
+    windowed = source.filter(
+        F.col(cfg.ts_col).between(F.lit(t_from.strftime(TIME_FMT)).cast("timestamp"),
+                                  F.lit(t_to.strftime(TIME_FMT)).cast("timestamp"))
+    ).filter(F.col(cfg.partition_col).isNotNull())
+
+    tiebreak = cfg.tiebreak_col or source.columns[0]
+
+    # Manifest (it also drives the dry-run row counts). CRC32 is
+    # computed over the chunk's newline-joined JSON rendering — the
+    # moral equivalent of the reference's gzip-buffer CRC
+    # (backup.go:308-309), stable across file-layout details.
+    manifest = (
+        chunk_manifest(windowed, cfg.partition_col, cfg.ts_col, rows, tiebreak, with_crc=True)
+        .withColumnRenamed(cfg.partition_col, "partition")
+        .select(
+            "partition",
+            F.date_format("max_ts", "yyyyMMdd").alias("date"),
+            "chunk",
+            F.date_format("min_ts", "yyyy-MM-dd HH:mm:ss").alias("min_ts"),
+            F.date_format("max_ts", "yyyy-MM-dd HH:mm:ss").alias("max_ts"),
+            "row_count",
+            "crc32",
+        )
+    )
+
+    if not cfg.dry_run:
+        out = faithful_projection(windowed) if cfg.faithful else windowed
+        # to_timestamp is a no-op on typed ts and re-parses faithful's
+        # string rendering, so one expression covers both modes.
+        out = out.withColumn("__part", F.col(cfg.partition_col)).withColumn(
+            "__date", F.date_format(F.to_timestamp(F.col(cfg.ts_col)), "yyyyMMdd")
+        )
+        (
+            out.repartition(F.col("__part"), F.col("__date"))
+            .sortWithinPartitions(F.desc(cfg.ts_col))
+            .write.mode("overwrite")
+            .partitionBy("__part", "__date")
+            .option("compression", "gzip")
+            .option("maxRecordsPerFile", rows)
+            .json(cfg.dest)
+        )
+    return manifest

@@ -1,0 +1,59 @@
+"""Named-query registry — the engine's public query surface.
+
+Every operator from SURVEY.md §2 Part B is declared here as a named
+query: a PySpark builder ``fn(spark, sf_dir) -> DataFrame`` plus (when
+SQL-expressible) an equivalent ANSI-SQL oracle string for DuckDB.
+``__spark_entry__.py`` exposes this registry to the driver.
+
+Hash-stability rules (SURVEY.md §5.1, FIXTURES.md):
+- alias every computed column identically in Spark and SQL;
+- double aggregates go through exact DECIMAL accumulation and a final
+  cast to double (see ``ops.dsum``) or are rounded;
+- timestamps are formatted to 'yyyy-MM-dd HH:mm:ss' strings at the
+  output boundary;
+- every LIMIT/top-k carries a deterministic tiebreaker.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a named query, optionally with its DuckDB oracle SQL.
+
+    Queries without an oracle get the driver's weaker rows-only check
+    (non-SQL-expressible ops: hash-seeded sketches, streaming, ...).
+    """
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every operator module so its @query decorators run."""
+    from timestream_travel_spark.operators import (  # noqa: F401
+        dedup,
+        joins,
+        llm_text,
+        relational,
+        scalar_funcs,
+        similarity,
+        timeseries,
+        windows,
+    )
+    from timestream_travel_spark.pipeline import backup_queries  # noqa: F401

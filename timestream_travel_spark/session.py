@@ -1,0 +1,51 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs on local[$SPARK_GRAFT_CPUS]; the same settings
+(AQE, partition coalescing, skew-join handling, Arrow) are the ones
+you want on a 1000-executor cluster — only shuffle partition counts
+and memory sizing change with the deployment.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "timestream-travel-spark",
+    cpus: str | int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    - UTC session timezone: deterministic date_format/date_trunc
+      output regardless of host TZ (also matches the DuckDB oracle,
+      which operates on naive timestamps).
+    - AQE on: runtime coalescing, skew-join splitting, and
+      sort-merge→broadcast demotion — the knobs that matter at 100 TB.
+    - Arrow on: vectorized pandas_udf / toPandas transfer.
+    """
+    cpus = cpus if cpus is not None else os.environ.get("SPARK_GRAFT_CPUS", "*")
+    nshuffle = shuffle_partitions or int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(nshuffle))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # events.parquet carries TIMESTAMP(NANOS) which Spark has no
+        # native type for; read as long and convert in tables.py.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,99 @@
+"""Structured Streaming jobs (SURVEY.md §2 B.10).
+
+The reference is batch-only, but its domain is continuous time-series
+ingest (its default window is "1 hour ago → now", cmd/backup.go:
+139-153). These jobs are the streaming form of the batch operators:
+same F.window expressions, plus watermarks for late data and
+foreachBatch reuse of the gzip NDJSON sink (A23-A26).
+
+Tests replay the events fixture as a file stream and check
+batch-equivalence (SURVEY.md §5.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+)
+
+
+def read_events_stream(spark: SparkSession, src_dir: str, max_files_per_trigger: int = 4) -> DataFrame:
+    """File-source stream over parquet drops of events rows (streams
+    need a declared schema — file sources can't infer safely)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+
+
+def tumbling_counts(stream: DataFrame, window: str = "1 hour", watermark: str = "10 minutes") -> DataFrame:
+    """Event-time tumbling window counts with late-data drop: rows
+    later than the watermark never resurrect a closed window."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(20,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_avg(stream: DataFrame, window: str = "30 minutes", slide: str = "10 minutes") -> DataFrame:
+    return (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", window, slide).alias("w"), F.col("event_type"))
+        .agg(F.avg("value").alias("avg_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "avg_value")
+    )
+
+
+def session_windows(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows with a dynamic gap — the streaming counterpart
+    of the batch q_sessionize operator."""
+    return (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def streaming_dedup(stream: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Stateful exact dedup on event_id within the watermark horizon —
+    state is bounded by the watermark, so it survives unbounded input."""
+    return stream.withWatermark("ts", watermark).dropDuplicates(["event_id", "ts"])
+
+
+def write_gzip_json_stream(result: DataFrame, dest: str, checkpoint: str):
+    """foreachBatch sink reusing the batch gzip NDJSON writer
+    (A23-A26): each micro-batch appends partitioned compressed JSON."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("__batch", F.lit(batch_id))
+            .write.mode("append")
+            .option("compression", "gzip")
+            .json(dest)
+        )
+
+    return (
+        result.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+    )

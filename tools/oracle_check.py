@@ -1,0 +1,102 @@
+"""Local mirror of the driver's t2 correctness gate: run every
+queries() entry on Spark and its oracle_sql() on DuckDB at a given
+SF, compare row-count + column names + order-insensitive values.
+
+Usage: python tools/oracle_check.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from timestream_travel_spark import get_spark
+from timestream_travel_spark.tables import TABLES
+
+
+def normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
+    """Sort columns by name, round floats, stringify, sort rows."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def norm_val(v):
+        if v is None:
+            return "∅"
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "nan"
+            return f"{v:.12g}"
+        return str(v)
+
+    out = [tuple(norm_val(r[i]) for i in order) for r in rows]
+    return sorted(out)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    n_pass = n_fail = n_rowsonly = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.perf_counter()
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"rows {name}: {len(s_rows)} rows (no oracle) [{time.perf_counter()-t0:.1f}s]")
+            n_rowsonly += 1
+            continue
+        try:
+            res = con.execute(oracles[name])
+            d_cols = [d[0] for d in res.description]
+            d_rows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        ok = True
+        if sorted(s_cols) != sorted(d_cols):
+            print(f"FAIL {name}: columns differ spark={sorted(s_cols)} duck={sorted(d_cols)}")
+            ok = False
+        elif len(s_rows) != len(d_rows):
+            print(f"FAIL {name}: rowcount spark={len(s_rows)} duck={len(d_rows)}")
+            ok = False
+        else:
+            ns, nd = normalize(s_rows, s_cols), normalize(d_rows, d_cols)
+            if ns != nd:
+                diffs = [(a, b) for a, b in zip(ns, nd) if a != b][:3]
+                print(f"FAIL {name}: values differ, first diffs: {diffs}")
+                ok = False
+        if ok:
+            print(f"PASS {name}: {len(s_rows)} rows [{time.perf_counter()-t0:.1f}s]")
+            n_pass += 1
+        else:
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
