@@ -1,0 +1,72 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line with per-query wall seconds.
+
+Each query executes through the noop sink so the full physical plan
+runs (scan→shuffle→agg) without collect() serialization noise.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from timestream_travel_spark import get_spark
+
+HEADLINE = [
+    "q_backup_manifest",     # flagship reference-shaped export manifest
+    "q_groupby_agg",         # TPC-H Q1-shaped aggregate over lineitem
+    "q_join_fact",           # orders ⋈ lineitem shuffle join
+    "q_join_broadcast_dims", # broadcast dim chain
+    "q_join_asof",           # as-of composition over events
+    "q_window_topk_per_group",
+    "q_sessionize",
+    "q_resample_hourly",
+    "q_token_frequency",     # explode-heavy text pipeline
+    "q_dedup_exact",
+    "q_minhash_lsh_candidates",
+    "q_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers with one cheap action
+    qs["q_partition_counts"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,115 @@
+"""End-to-end backup pipeline tests (SURVEY.md §5.3): file layout,
+gzip NDJSON content, faithful NULL rendering, chunk sizes, manifest
+consistency, dry-run, window resolution."""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import json
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from timestream_travel_spark.pipeline.backup import BackupConfig, backup, resolve_window
+from timestream_travel_spark.tables import load_table
+
+
+def test_resolve_window_absolute_and_relative():
+    f, t = resolve_window("2024-01-01 00:00:00", "2024-01-02 00:00:00")
+    assert (t - f).days == 1
+    now = datetime(2024, 6, 1, 12, 0, 0)
+    f, t = resolve_window("2h", None, now=now)
+    assert t == now and (t - f).total_seconds() == 7200
+    f, t = resolve_window("1w", "1d", now=now)
+    assert (now - t).days == 1 and (t - f).days == 7
+    # defaults: to=now, from=to-1h (cmd/backup.go:139-153)
+    f, t = resolve_window(None, None, now=now)
+    assert t == now and (t - f).total_seconds() == 3600
+
+
+def test_resolve_window_validation():
+    with pytest.raises(ValueError):
+        resolve_window("2024-01-02 00:00:00", "2024-01-01 00:00:00")
+    with pytest.raises(ValueError):
+        resolve_window("2024-01-01 00:00:00", "2024-01-01 00:00:00")
+    with pytest.raises(ValueError):
+        resolve_window("nonsense", None)
+
+
+def test_backup_end_to_end(spark, sf_dir, tmp_path):
+    dest = str(tmp_path / "out")
+    ev = load_table(spark, sf_dir, "events")
+    cfg = BackupConfig(
+        dest=dest,
+        time_from="2024-01-01 00:00:00",
+        time_to="2024-01-31 00:00:00",
+        rows_per_chunk=200,
+        tiebreak_col="event_id",
+    )
+    manifest = backup(spark, ev, cfg).collect()
+
+    # layout: <dest>/__part=<v>/__date=<yyyyMMdd>/part-*.json.gz (A25)
+    files = glob.glob(f"{dest}/__part=*/__date=*/part-*.json.gz")
+    assert files, "no partitioned gzip output written"
+
+    # decode NDJSON; faithful mode: all values strings, nulls -> "NULL"
+    n_rows = 0
+    parts = set()
+    for fp in files:
+        with gzip.open(fp, "rt") as fh:
+            lines = [json.loads(line) for line in fh if line.strip()]
+        assert len(lines) <= 200, "chunk exceeds rows_per_chunk"
+        n_rows += len(lines)
+        parts.add(fp.split("__part=")[1].split("/")[0])
+        for obj in lines:
+            for v in obj.values():
+                assert isinstance(v, str), f"faithful mode must render strings, got {type(v)}"
+
+    expected = ev.filter(F.col("ts").between("2024-01-01", "2024-01-31")).count()
+    assert n_rows == expected
+    assert parts == {r["event_type"] for r in ev.select("event_type").distinct().collect()}
+
+    # manifest totals agree with data (A17, A27)
+    assert sum(r["row_count"] for r in manifest) == expected
+    for r in manifest:
+        assert r["min_ts"] <= r["max_ts"]
+        assert r["row_count"] <= 200
+        assert r["crc32"] is not None
+
+
+def test_backup_dry_run_writes_nothing(spark, sf_dir, tmp_path):
+    dest = str(tmp_path / "dry")
+    ev = load_table(spark, sf_dir, "events")
+    cfg = BackupConfig(
+        dest=dest, time_from="2024-01-01 00:00:00", time_to="2024-01-31 00:00:00", dry_run=True
+    )
+    manifest = backup(spark, ev, cfg).collect()
+    assert len(manifest) > 0  # counting ran (cmd/backup.go:303-306)
+    assert not glob.glob(f"{dest}/**", recursive=False)
+
+
+def test_backup_clamps_rows_per_chunk(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events")
+    cfg = BackupConfig(
+        dest=str(tmp_path / "clamp"),
+        time_from="2024-01-01 00:00:00",
+        time_to="2024-01-31 00:00:00",
+        rows_per_chunk=99999,  # clamped to 1000, cmd/backup.go:213-217
+        dry_run=True,
+    )
+    manifest = backup(spark, ev, cfg).collect()
+    assert max(r["row_count"] for r in manifest) <= 1000
+
+
+def test_faithful_null_rendering(spark):
+    from timestream_travel_spark.functions.faithful import faithful_projection
+
+    df = spark.createDataFrame(
+        [(1, None, 2.5), (None, "x", None)], "a bigint, b string, c double"
+    )
+    rows = faithful_projection(df).collect()
+    assert rows[0]["b"] == "NULL"
+    assert rows[1]["a"] == "NULL" and rows[1]["c"] == "NULL"
+    assert rows[0]["a"] == "1" and rows[0]["c"] == "2.5"

@@ -1,0 +1,101 @@
+"""Dedup + similarity behavior tests: MinHash recall against exact
+Jaccard, SimHash locality, ANN recall vs brute force, dedup
+idempotence (SURVEY.md §5.5 property checks)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from timestream_travel_spark.operators.dedup import (
+    minhash_candidates,
+    normalized_text,
+    simhash64,
+    word_shingles,
+)
+from timestream_travel_spark.operators.similarity import TOP_K, cosine_topk, _query_vec
+from timestream_travel_spark.tables import load_table
+
+
+def _with_near_dups(spark, sf_dir):
+    """documents ∪ perturbed copies of 20 docs (ids +10000): drop the
+    last word — Jaccard vs the original stays ≳0.9."""
+    d = load_table(spark, sf_dir, "documents")
+    dups = (
+        d.filter(F.col("doc_id") < 20)
+        .select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.expr("array_join(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), ' ')").alias(
+                "text"
+            ),
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+    return d.unionByName(dups)
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark, sf_dir):
+    docs = _with_near_dups(spark, sf_dir)
+    cands = minhash_candidates(docs).collect()
+    found = {(r["doc_a"], r["doc_b"]) for r in cands}
+    planted = {(i, i + 10000) for i in range(20)}
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.9, f"LSH recall too low: {recall} (found {len(found & planted)}/20)"
+    # estimated jaccard for planted pairs should be high
+    est = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in cands}
+    planted_found = [est[p] for p in planted if p in est]
+    assert min(planted_found) > 0.5
+
+
+def test_exact_dedup_idempotent(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    doubled = d.unionByName(d)
+    deduped = doubled.dropDuplicates(["text"])
+    assert deduped.count() == d.select("text").distinct().count()
+    # idempotence: dedup(dedup(x)) == dedup(x)
+    assert deduped.dropDuplicates(["text"]).count() == deduped.count()
+
+
+def test_simhash_locality(spark, sf_dir):
+    docs = _with_near_dups(spark, sf_dir)
+    sh = docs.select("doc_id", simhash64("text").alias("h"))
+    pairs = (
+        sh.filter(F.col("doc_id") >= 10000)
+        .select((F.col("doc_id") - 10000).alias("doc_id"), F.col("h").alias("h_dup"))
+        .join(sh, "doc_id")
+        .select(F.bit_count(F.col("h").bitwiseXOR(F.col("h_dup"))).alias("hamming"))
+        .collect()
+    )
+    assert pairs, "no planted pairs joined"
+    avg_ham = sum(r["hamming"] for r in pairs) / len(pairs)
+    # near-dup docs should agree on most of 32 bits; random pairs average ~16
+    assert avg_ham < 8, f"simhash not locality-sensitive: avg hamming {avg_ham}"
+
+
+def test_word_shingles_shape(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], "text string")
+    rows = df.select(word_shingles("text").alias("s")).collect()
+    assert rows[0]["s"] == ["a b c", "b c d"]
+    assert rows[1]["s"] == ["a b"]  # shorter than k -> whole text
+
+
+def test_ann_lsh_recall_vs_brute_force(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    exact = [r["vec_id"] for r in qs["q_cosine_topk"](spark, sf_dir).collect()]
+    approx = [r["vec_id"] for r in qs["q_ann_lsh_topk"](spark, sf_dir).collect()]
+    assert len(approx) == TOP_K
+    recall = len(set(exact) & set(approx)) / len(exact)
+    assert recall >= 0.3, f"ANN recall vs brute force too low: {recall}"
+    # every approx hit must carry a cosine <= the exact best
+    e = load_table(spark, sf_dir, "embeddings")
+    best = cosine_topk(e, _query_vec(spark, sf_dir), 1).collect()[0]["cos_sim"]
+    adf = qs["q_ann_lsh_topk"](spark, sf_dir).collect()
+    assert all(r["cos_sim"] <= best for r in adf)
+
+
+def test_normalized_text(spark):
+    df = spark.createDataFrame([("  Hello   WORLD  ",)], "text string")
+    assert df.select(normalized_text("text").alias("t")).collect()[0]["t"] == "hello world"

@@ -1,0 +1,136 @@
+"""Structured Streaming tests (SURVEY.md §5.4): batch-replay
+equivalence for windowed aggregation, stateful dedup, session
+windows, and the foreachBatch gzip sink."""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import json
+
+from pyspark.sql import functions as F
+
+from timestream_travel_spark.streaming.jobs import (
+    read_events_stream,
+    session_windows,
+    streaming_dedup,
+    tumbling_counts,
+    write_gzip_json_stream,
+)
+from timestream_travel_spark.tables import load_table
+
+
+def _stage_events(spark, sf_dir, tmp_path, n_files: int = 5) -> str:
+    """Replay fixture: events re-written as n_files parquet drops in
+    ts order (FIXTURES.md streaming replay)."""
+    src = str(tmp_path / "stream_src")
+    ev = load_table(spark, sf_dir, "events")
+    # micro-timestamps survive the round-trip (already truncated to us)
+    ev.orderBy("ts").coalesce(1).withColumn(
+        "bucket", F.ntile(n_files).over(__import__("pyspark").sql.window.Window.orderBy("ts"))
+    ).write.partitionBy("bucket").mode("overwrite").parquet(src)
+    return src
+
+
+def test_tumbling_counts_matches_batch(spark, sf_dir, tmp_path):
+    src = _stage_events(spark, sf_dir, tmp_path)
+    files = glob.glob(f"{src}/bucket=*/")
+    stream = (
+        spark.readStream.schema(
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+        )
+        .option("maxFilesPerTrigger", 2)
+        .parquet(f"{src}/bucket=*")
+    )
+    result = tumbling_counts(stream)
+    q = (
+        result.writeStream.format("memory")
+        .queryName("tumbling_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(20,4)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM tumbling_out").collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"]) for r in batch.collect()
+    }
+    # append mode only emits windows the watermark closed; all emitted
+    # windows must match batch exactly, and most windows must emit
+    # (the fixture spans 30 days ≫ the 10-minute watermark).
+    assert got, "stream produced no closed windows"
+    for k, v in got.items():
+        assert want[k] == v, f"window {k}: stream {v} != batch {want[k]}"
+    assert len(got) >= 0.9 * len(want)
+
+
+def test_streaming_dedup_drops_duplicates(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "dup_src")
+    ev = load_table(spark, sf_dir, "events").limit(200)
+    ev.unionByName(ev).coalesce(1).write.mode("overwrite").parquet(src)  # every row twice
+    stream = read_events_stream(spark, src)
+    q = (
+        streaming_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n = spark.sql("SELECT count(*) AS n FROM dedup_out").collect()[0]["n"]
+    assert n == 200
+
+
+def test_session_windows_run(spark, sf_dir, tmp_path):
+    src = _stage_events(spark, sf_dir, tmp_path / "sess")
+    stream = (
+        spark.readStream.schema(
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+        )
+        .parquet(f"{src}/bucket=*")
+    )
+    q = (
+        session_windows(stream)
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM sess_out").collect()
+    assert rows
+    for r in rows:
+        assert r["session_start"] <= r["session_end"]
+        assert r["n_events"] >= 1
+
+
+def test_foreach_batch_gzip_sink(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "sink_src")
+    load_table(spark, sf_dir, "events").limit(100).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = read_events_stream(spark, src)
+    dest = str(tmp_path / "sink_out")
+    ckpt = str(tmp_path / "ckpt")
+    q = write_gzip_json_stream(stream, dest, ckpt).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    files = glob.glob(f"{dest}/*.json.gz")
+    assert files
+    n = 0
+    for fp in files:
+        with gzip.open(fp, "rt") as fh:
+            n += sum(1 for line in fh if line.strip() and json.loads(line))
+    assert n == 100

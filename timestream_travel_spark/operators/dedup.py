@@ -138,13 +138,16 @@ def minhash_signature(shingles: Column, n_hashes: int = N_HASHES) -> Column:
     shingles of murmur3(shingle, i). Seeded F.hash variants stand in
     for independent permutations — standard practice, engine-specific
     (hence rows-only oracle for anything exposing raw hash values)."""
-    # NB: closures, not default-arg lambdas — PySpark dispatches on
-    # lambda arity, so an extra `i=i` parameter would silently receive
-    # the array index column instead of the seed.
-    def perm(i: int):
-        return lambda s: F.hash(s, F.lit(i))
-
-    return F.array(*[F.array_min(F.transform(shingles, perm(i))) for i in range(n_hashes)])
+    # Single pass over the shingle array: each shingle expands to its
+    # n_hashes seeded hashes, folded with an elementwise min. The
+    # shingle-construction subtree appears exactly once in the plan —
+    # the naive per-seed formulation (n_hashes × array_min(transform))
+    # re-evaluates shingling n_hashes times after projection collapse.
+    per_shingle = F.transform(
+        shingles, lambda s: F.array(*[F.hash(s, F.lit(i)) for i in range(n_hashes)])
+    )
+    init = F.array_repeat(F.lit(2147483647), n_hashes)
+    return F.aggregate(per_shingle, init, lambda acc, h: F.zip_with(acc, h, lambda a, b: F.least(a, b)))
 
 
 def minhash_candidates(
@@ -154,23 +157,29 @@ def minhash_candidates(
     """LSH banding: split the signature into bands, hash each band,
     self-join on (band, band_hash) buckets → candidate pairs.
     The join is equi-keyed on the bucket — at 100 TB this is the only
-    near-dup strategy that avoids the quadratic all-pairs shuffle."""
+    near-dup strategy that avoids the quadratic all-pairs shuffle.
+
+    The signature table is persisted before fan-out: without the
+    materialization barrier, Catalyst's projection collapse inlines
+    the whole shingle+minhash expression tree into every band hash
+    and both self-join sides (~100× recompute; measured 143s→<2s at
+    sf0.1). On a cluster this table would be written out — signatures
+    are reused across dedup runs."""
     r = n_hashes // n_bands
-    sig = docs.select(
-        F.col(id_col).alias("id"), minhash_signature(word_shingles(text_col), n_hashes).alias("sig")
+    # repartition first: a single parquet split must not serialize the
+    # CPU-bound signature computation onto one core.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    sig = (
+        docs.repartition(par)
+        .select(F.col(id_col).alias("id"), minhash_signature(word_shingles(text_col), n_hashes).alias("sig"))
+        .persist()
     )
     bands = sig.select(
         "id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), F.hash(F.slice("sig", b * r + 1, r)).alias("bh"))
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+        F.posexplode(
+            F.array(*[F.hash(F.slice("sig", b * r + 1, r)) for b in range(n_bands)])
+        ).alias("band", "bh"),
+    )
     left = bands.alias("l")
     right = bands.alias("r")
     pairs = (
@@ -180,19 +189,20 @@ def minhash_candidates(
             & (F.col("l.bh") == F.col("r.bh"))
             & (F.col("l.id") < F.col("r.id")),
         )
-        .select(
-            F.col("l.id").alias("doc_a"),
-            F.col("r.id").alias("doc_b"),
-            F.col("l.sig").alias("sig_a"),
-            F.col("r.sig").alias("sig_b"),
-        )
+        .select(F.col("l.id").alias("doc_a"), F.col("r.id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    sig_a = sig.select(F.col("id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sig_b = sig.select(F.col("id").alias("doc_b"), F.col("sig").alias("sig_b"))
     est = (
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)).cast("double")
-        / F.lit(float(N_HASHES if n_hashes is None else n_hashes))
+        / F.lit(float(n_hashes))
     )
-    return pairs.select("doc_a", "doc_b", F.round(est, 4).alias("est_jaccard"))
+    return (
+        pairs.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .select("doc_a", "doc_b", F.round(est, 4).alias("est_jaccard"))
+    )
 
 
 @query("q_minhash_lsh_candidates")
