@@ -1,0 +1,102 @@
+"""Source-format round-trips (B.1) and UDF surface (B.12) tests."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from timestream_travel_spark.functions.udfs import (
+    mean_value_gagg,
+    register_sql_udfs,
+    trend_slope_per_user,
+    weighted_value_udf,
+)
+from timestream_travel_spark.sources.formats import read_csv, read_json, write_csv, write_ndjson
+from timestream_travel_spark.tables import load_table
+
+
+def test_csv_roundtrip(spark, sf_dir, tmp_path):
+    od = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_csv")
+    write_csv(od.withColumn("o_orderdate", F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")), path)
+    back = read_csv(
+        spark,
+        path,
+        schema="o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, "
+        "o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING",
+    )
+    assert back.count() == od.count()
+    a = od.agg(F.sum(F.col("o_totalprice").cast("decimal(20,4)"))).collect()[0][0]
+    b = back.agg(F.sum(F.col("o_totalprice").cast("decimal(20,4)"))).collect()[0][0]
+    assert a == b
+
+
+def test_ndjson_gzip_roundtrip(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_json")
+    write_ndjson(ev, path, gzip=True, max_records_per_file=300)
+    assert glob.glob(f"{path}/*.json.gz")
+    back = read_json(
+        spark,
+        path,
+        schema="event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING",
+    )
+    assert back.count() == ev.count()
+    assert back.agg(F.countDistinct("event_id")).collect()[0][0] == ev.count()
+
+
+def test_csv_schema_inference(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a", 1.5), (2, "b", 2.5)], "x bigint, s string, v double")
+    path = str(tmp_path / "infer_csv")
+    write_csv(df, path)
+    back = read_csv(spark, path)  # inferSchema path
+    assert back.count() == 2
+    assert dict(back.dtypes)["x"] in ("int", "bigint")
+
+
+def test_scalar_pandas_udf_two_cols(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").limit(100)
+    k = F.get_json_object("props", "$.k").cast("double")
+    got = ev.select(
+        "event_id",
+        weighted_value_udf(F.col("value"), k).alias("w"),
+        (F.col("value") * (1.0 + k / 100.0)).alias("expected"),
+    ).collect()
+    for r in got:
+        assert abs(r["w"] - r["expected"]) < 1e-9
+
+
+def test_grouped_agg_pandas_udf(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    got = {
+        r["event_type"]: r["m"]
+        for r in ev.groupBy("event_type").agg(mean_value_gagg("value").alias("m")).collect()
+    }
+    want = {
+        r["event_type"]: r["m"] for r in ev.groupBy("event_type").agg(F.avg("value").alias("m")).collect()
+    }
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9
+
+
+def test_sql_udf_registration(spark, sf_dir):
+    register_sql_udfs(spark)
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("emb_v")
+    rows = spark.sql("SELECT vec_id, vector_norm(embedding) AS n FROM emb_v LIMIT 5").collect()
+    assert all(r["n"] > 0 for r in rows)
+
+
+def test_applyinpandas_slope_sign(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1] * 10 + [2] * 10,
+            "ts": list(pd.date_range("2024-01-01", periods=10, freq="1h")) * 2,
+            "value": list(range(10)) + list(range(10, 0, -1)),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    slopes = {r["user_id"]: r["slope"] for r in trend_slope_per_user(df).collect()}
+    assert slopes[1] > 0 and slopes[2] < 0

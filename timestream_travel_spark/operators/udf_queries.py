@@ -1,0 +1,53 @@
+"""Oracle-checked queries exercising the UDF surface (B.12): each
+pandas UDF reimplements an SQL-expressible function, so DuckDB can
+verify the Python path end-to-end."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from timestream_travel_spark.functions.udfs import trend_slope_per_user, vector_norm_udf
+from timestream_travel_spark.registry import query
+from timestream_travel_spark.tables import load_table
+
+
+@query(
+    "q_pandas_udf_norm",
+    oracle="""
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS norm
+    FROM embeddings WHERE vec_id < 200
+    """,
+)
+def q_pandas_udf_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched scalar pandas UDF vs DuckDB's list math. numpy
+    float64 accumulation agrees with sequential sum to ≪1e-4 at
+    64 dims, so round(,4) is stable."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.filter(F.col("vec_id") < 200).select(
+        "vec_id", F.round(vector_norm_udf(F.col("embedding")), 4).alias("norm")
+    )
+
+
+@query(
+    "q_applyinpandas_slope",
+    oracle="""
+    SELECT user_id,
+           round(regr_slope(value, floor(epoch(ts))) * 86400, 6) AS slope_per_day
+    FROM events GROUP BY user_id
+    """,
+)
+def q_applyinpandas_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas least-squares slope per user vs SQL regr_slope.
+    ts truncates to whole epoch seconds on both sides; the slope is
+    rescaled to per-day before rounding — per-second slopes are ~1e-5,
+    where round(,6) amplifies engine-level FP noise into mismatches."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.to_timestamp(F.from_unixtime(F.unix_timestamp("ts")))
+    )
+    slope = F.when(F.isnan("slope"), F.lit(None)).otherwise(F.col("slope"))
+    return trend_slope_per_user(ev).select(
+        "user_id", F.round(slope * 86400, 6).alias("slope_per_day")
+    )

@@ -50,10 +50,13 @@ def load_all() -> None:
         dedup,
         joins,
         llm_text,
+        llm_text2,
         relational,
+        relational2,
         scalar_funcs,
         similarity,
         timeseries,
+        udf_queries,
         windows,
     )
     from timestream_travel_spark.pipeline import backup_queries  # noqa: F401

@@ -30,6 +30,8 @@ def normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
         if isinstance(v, float):
             if math.isnan(v):
                 return "nan"
+            if v == 0.0:
+                return "0"  # fold -0.0 and 0.0 together
             return f"{v:.12g}"
         return str(v)
 
