@@ -1,0 +1,97 @@
+"""CLI parity with the reference's single `backup` command
+(main.go:13-35, cmd/backup.go:34-93).
+
+Flag mapping (reference flag → ours):
+  --region        (AWS plumbing; not applicable — Spark cluster conf)
+  --database/--table (backup.go:41-52) → --source parquet path/URI
+  --s3-bucket     (backup.go:53-58)    → --dest path/URI (s3a:// works)
+  --column        (backup.go:59-64)    → --partition-col
+  --from/--to     (backup.go:65-76)    → --from/--to (same formats:
+                    absolute 'yyyy-MM-dd HH:mm:ss' or relative 1m/1h/1d/1w)
+  --rows          (backup.go:77-81)    → --rows (clamped to 1000)
+  --dry-run       (backup.go:82-86)    → --dry-run
+  --verbose       (backup.go:87-92)    → --verbose
+
+Usage:
+  python -m timestream_travel_spark backup \
+      --source /data/events.parquet --dest /backups/events \
+      --partition-col event_type --ts-col ts --from 1d --rows 500
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="timestream-travel-spark")
+    sub = p.add_subparsers(dest="command", required=True)
+    b = sub.add_parser("backup", help="export a time-series table to gzip NDJSON chunks")
+    b.add_argument("--source", required=True, help="input parquet path/URI (the database.table)")
+    b.add_argument("--dest", required=True, help="output path/URI (the S3 bucket)")
+    b.add_argument("--partition-col", default="event_type", help="column to partition the export by")
+    b.add_argument("--ts-col", default="ts", help="time column")
+    b.add_argument("--from", dest="time_from", default=None, help="window start (absolute or 1m/1h/1d/1w)")
+    b.add_argument("--to", dest="time_to", default=None, help="window end (absolute or relative)")
+    b.add_argument("--rows", type=int, default=1000, help="max rows per output chunk (clamped to 1000)")
+    b.add_argument("--tiebreak-col", default=None, help="deterministic secondary sort column")
+    b.add_argument("--typed", action="store_true", help="native JSON types instead of faithful strings")
+    b.add_argument("--dry-run", action="store_true", help="run queries + counts, skip the write")
+    b.add_argument("--verbose", action="store_true")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(
+        level=logging.DEBUG if args.verbose else logging.INFO,
+        format="%(asctime)s %(levelname)s %(message)s",
+    )
+    log = logging.getLogger("backup")
+
+    from timestream_travel_spark.pipeline.backup import BackupConfig, backup
+    from timestream_travel_spark.session import get_spark
+
+    spark = get_spark("timestream-travel-backup")
+    t0 = time.perf_counter()
+    source = spark.read.parquet(args.source)
+    cfg = BackupConfig(
+        dest=args.dest,
+        partition_col=args.partition_col,
+        ts_col=args.ts_col,
+        time_from=args.time_from,
+        time_to=args.time_to,
+        rows_per_chunk=args.rows,
+        faithful=not args.typed,
+        dry_run=args.dry_run,
+        tiebreak_col=args.tiebreak_col,
+    )
+    try:
+        manifest = backup(spark, source, cfg)
+        rows = manifest.collect()
+    except ValueError as e:
+        log.error("%s", e)
+        return 2
+    # per-partition totals, as the reference logs at the end
+    # (cmd/backup.go:338, 352)
+    totals: dict[str, int] = {}
+    for r in rows:
+        totals[r["partition"]] = totals.get(r["partition"], 0) + r["row_count"]
+    for part, n in sorted(totals.items()):
+        log.info("partition=%s rows=%d", part, n)
+    log.info(
+        "backup %s in %.2fs: %d chunks, %d rows%s",
+        "planned (dry-run)" if args.dry_run else "completed",
+        time.perf_counter() - t0,
+        len(rows),
+        sum(totals.values()),
+        " (nothing written)" if args.dry_run else f" -> {args.dest}",
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -97,9 +97,12 @@ def backup(spark: SparkSession, source: DataFrame, cfg: BackupConfig) -> DataFra
 
     In dry-run mode (backup.go:102-105) the plan runs — discovery,
     decode, counting — but nothing is written."""
+    from timestream_travel_spark.tables import ensure_timestamp
+
     rows = min(cfg.rows_per_chunk, MAX_ROWS_PER_CHUNK)
     t_from, t_to = resolve_window(cfg.time_from, cfg.time_to)
 
+    source = ensure_timestamp(source, cfg.ts_col)
     windowed = source.filter(
         F.col(cfg.ts_col).between(F.lit(t_from.strftime(TIME_FMT)).cast("timestamp"),
                                   F.lit(t_to.strftime(TIME_FMT)).cast("timestamp"))
@@ -116,7 +119,9 @@ def backup(spark: SparkSession, source: DataFrame, cfg: BackupConfig) -> DataFra
         .withColumnRenamed(cfg.partition_col, "partition")
         .select(
             "partition",
-            F.date_format("max_ts", "yyyyMMdd").alias("date"),
+            # the reference keys a chunk under its min-time's yyyyMMdd
+            # (backup.go:311-313, chunk.From)
+            F.date_format("min_ts", "yyyyMMdd").alias("date"),
             "chunk",
             F.date_format("min_ts", "yyyy-MM-dd HH:mm:ss").alias("min_ts"),
             F.date_format("max_ts", "yyyy-MM-dd HH:mm:ss").alias("max_ts"),

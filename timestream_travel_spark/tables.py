@@ -25,18 +25,24 @@ TABLES = [
 ]
 
 
+def ensure_timestamp(df: DataFrame, ts_col: str) -> DataFrame:
+    """Normalize a TIMESTAMP(NANOS) column read as long (under
+    spark.sql.legacy.parquet.nanosAsLong) to TimestampType: truncate
+    ns→us exactly like DuckDB's TIMESTAMP_NS→TIMESTAMP cast. Integer
+    `div` — double math would lose precision at 1.7e18."""
+    if dict(df.dtypes).get(ts_col) == "bigint":
+        df = df.withColumn(ts_col, F.expr(f"timestamp_micros({ts_col} div 1000)"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.parquet carries TIMESTAMP(NANOS); a vanilla session
         # (e.g. the driver's) can't scan it without this runtime conf.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) read as long (spark.sql.legacy.parquet.
-        # nanosAsLong): truncate ns→us exactly like DuckDB's
-        # TIMESTAMP_NS→TIMESTAMP cast. Integer `div` — double math
-        # would lose precision at 1.7e18.
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        df = ensure_timestamp(df, "ts")
     return df
 
 
