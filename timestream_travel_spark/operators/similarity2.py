@@ -1,0 +1,121 @@
+"""Similarity search, part 2: IVF-style ANN (coarse quantizer →
+inverted lists → probe top cells) and positional array expansion.
+
+IVF is the second scale path next to sign-LSH (similarity.py): at
+100 TB the centroid assignment becomes the partition/cluster key of
+the stored index, and a query touches only nprobe cells.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from timestream_travel_spark.functions.vectors import cosine, query_vector_lit, to_double_array
+from timestream_travel_spark.operators.similarity import QUERY_VEC_ID, TOP_K, _query_vec
+from timestream_travel_spark.registry import query
+from timestream_travel_spark.tables import load_table
+
+N_PROBE = 3
+
+
+def label_centroids(embeddings: DataFrame) -> list[tuple[int, list[float]]]:
+    """Coarse quantizer: per-label elementwise mean. A production IVF
+    trains k-means; labels give a deterministic stand-in with the same
+    plumbing (centroid table is tiny → driver-side parameters)."""
+    cent = (
+        embeddings.select("label", F.posexplode(to_double_array(F.col("embedding"))).alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("entries"))
+        .select("label", F.transform("entries", lambda e: e.getField("m")).alias("centroid"))
+        .collect()
+    )
+    return [(r["label"], list(r["centroid"])) for r in cent]
+
+
+@query("q_ann_ivf_topk")
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: assign vectors to nearest centroid (inverted lists),
+    probe the query's top-3 cells, exact cosine within them. Rows-only
+    oracle (cell assignment is quantizer-specific); pytest bounds
+    recall vs brute force."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = label_centroids(e)
+    qvec = _query_vec(spark, sf_dir)
+
+    def py_cos(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return dot / (na * nb)
+
+    probe_cells = [
+        lab for lab, _ in sorted(cents, key=lambda lc: -py_cos(qvec, lc[1]))[:N_PROBE]
+    ]
+    # cell assignment: argmax cosine over centroids. One sims array +
+    # array_position — a when/otherwise max-chain would nest every
+    # previous cosine into each comparison (exponential expression
+    # tree; measured 38s → ~1s for 10 centroids).
+    v = to_double_array(F.col("embedding"))
+    sims = F.array(*[cosine(v, query_vector_lit(cvec)) for _, cvec in cents])
+    labels_lit = F.array(*[F.lit(lab) for lab, _ in cents])
+    idx = F.array_position(sims, F.array_max(sims)).cast("int")
+    assigned = e.withColumn("cell", F.element_at(labels_lit, idx))
+    cand = assigned.filter(F.col("cell").isin(probe_cells)).filter(F.col("vec_id") != QUERY_VEC_ID)
+    sim = F.round(cosine(to_double_array(F.col("embedding")), query_vector_lit(qvec)), 4)
+    return (
+        cand.select("vec_id", sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+@query(
+    "q_posexplode",
+    oracle="""
+    SELECT vec_id,
+           CAST(generate_subscripts(embedding, 1) AS INT) AS pos,
+           round(CAST(unnest(embedding) AS DOUBLE), 6) AS val
+    FROM embeddings WHERE vec_id < 20
+    """,
+)
+def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional array expansion (posexplode ≍ unnest WITH
+    ORDINALITY) — the row-wise view of the array type (A19)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.filter(F.col("vec_id") < 20)
+        .select("vec_id", F.posexplode("embedding").alias("pos", "v"))
+        .select(
+            "vec_id",
+            (F.col("pos") + 1).cast("int").alias("pos"),
+            F.round(F.col("v").cast("double"), 6).alias("val"),
+        )
+    )
+
+
+@query(
+    "q_grouping_sets",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+           COALESCE(l_linestatus, 'ALL') AS ls,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the non-hierarchical cousin of
+    rollup/cube), via Spark SQL over the registered views."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+               COALESCE(l_linestatus, 'ALL') AS ls,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )

@@ -54,7 +54,9 @@ def load_all() -> None:
         relational,
         relational2,
         scalar_funcs,
+        scalar_funcs2,
         similarity,
+        similarity2,
         timeseries,
         udf_queries,
         windows,
