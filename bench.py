@@ -28,9 +28,12 @@ HEADLINE = [
     "q_sessionize",
     "q_resample_hourly",
     "q_token_frequency",     # explode-heavy text pipeline
+    "q_tfidf_top_terms",     # two-agg + dictionary join
     "q_dedup_exact",
     "q_minhash_lsh_candidates",
     "q_cosine_topk",
+    "q_embedding_neardup_pairs",  # blocked pairwise vector math
+    "q_sliding_window",      # overlapping-window expansion
 ]
 
 

@@ -67,3 +67,41 @@ def test_global_topk_avoids_total_sort(spark, sf_dir):
     qs = entrymod.queries()
     plan = qs["q_orderby_limit"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    """Scale story: co-located (bucketed) fact tables join without an
+    Exchange — the 100 TB answer to repeated orderkey joins."""
+    import uuid
+
+    db = f"bucketdb_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{tmp_path}/wh'")
+    try:
+        o = load_table(spark, sf_dir, "orders")
+        li = load_table(spark, sf_dir, "lineitem")
+        o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(f"{db}.orders_b")
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(f"{db}.lineitem_b")
+        ob, lb = spark.table(f"{db}.orders_b"), spark.table(f"{db}.lineitem_b")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange hashpartitioning" not in plan, "bucketed join still shuffles"
+            assert joined.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_partition_pruning_on_partitioned_sink(spark, sf_dir, tmp_path):
+    """Writes partitioned by event_type; an equality filter must prune
+    to one partition directory (dynamic file skipping)."""
+    ev = load_table(spark, sf_dir, "events")
+    dest = str(tmp_path / "part_events")
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(dest)
+    back = spark.read.parquet(dest).filter(F.col("event_type") == "click")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(event_type" in plan
+    assert back.count() == ev.filter(F.col("event_type") == "click").count()

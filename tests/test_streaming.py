@@ -134,3 +134,25 @@ def test_foreach_batch_gzip_sink(spark, sf_dir, tmp_path):
         with gzip.open(fp, "rt") as fh:
             n += sum(1 for line in fh if line.strip() and json.loads(line))
     assert n == 100
+
+
+def test_sliding_avg_runs(spark, sf_dir, tmp_path):
+    from timestream_travel_spark.streaming.jobs import sliding_avg
+
+    src = str(tmp_path / "slide_src")
+    load_table(spark, sf_dir, "events").coalesce(2).write.mode("overwrite").parquet(src)
+    stream = read_events_stream(spark, src)
+    q = (
+        sliding_avg(stream)
+        .writeStream.format("memory")
+        .queryName("slide_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM slide_out").collect()
+    assert rows
+    # each (window_start, event_type) appears once; averages are finite
+    keys = [(r["window_start"], r["event_type"]) for r in rows]
+    assert len(keys) == len(set(keys))

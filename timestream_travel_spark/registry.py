@@ -58,6 +58,7 @@ def load_all() -> None:
         similarity,
         similarity2,
         timeseries,
+        timeseries2,
         udf_queries,
         windows,
     )

@@ -40,6 +40,13 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Single mid-size parquet files must still fan out across
+        # cores: with the default 4 MiB open-cost a 20 MB file scans
+        # as ~3 tasks on 32 cores. 512 KiB open-cost lets split size
+        # follow totalBytes/defaultParallelism down to row-group
+        # granularity. maxPartitionBytes stays 128 MiB — the right
+        # split at 100 TB; this knob only affects the small-file tail.
+        .config("spark.sql.files.openCostInBytes", str(512 * 1024))
         # events.parquet carries TIMESTAMP(NANOS) which Spark has no
         # native type for; read as long and convert in tables.py.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
