@@ -105,3 +105,16 @@ def test_partition_pruning_on_partitioned_sink(spark, sf_dir, tmp_path):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(event_type" in plan
     assert back.count() == ev.filter(F.col("event_type") == "click").count()
+
+
+def test_approx_count_distinct_error_bound(spark, sf_dir):
+    """HLL++ estimate must stay within ~3x its configured rsd of the
+    exact count (rows-only op needs a correctness bound somewhere)."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    est = qs["q_approx_count_distinct"](spark, sf_dir).collect()[0]
+    exact_orders = load_table(spark, sf_dir, "lineitem").select("l_orderkey").distinct().count()
+    exact_parts = load_table(spark, sf_dir, "lineitem").select("l_partkey").distinct().count()
+    assert abs(est["approx_orders"] - exact_orders) / exact_orders < 0.06
+    assert abs(est["approx_parts"] - exact_parts) / exact_parts < 0.06

@@ -53,6 +53,7 @@ def load_all() -> None:
         llm_text2,
         relational,
         relational2,
+        relational3,
         scalar_funcs,
         scalar_funcs2,
         similarity,
