@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from timestream_travel_spark.ops import davg, davg_sql, dsum, dsum_sql, revenue_col, REVENUE_SQL, ts_str
 from timestream_travel_spark.registry import query
-from timestream_travel_spark.tables import load_table
+from timestream_travel_spark.tables import load_events_window, load_table
 
 TIME_FROM = "2024-01-05 00:00:00"
 TIME_TO = "2024-01-20 00:00:00"
@@ -41,11 +41,9 @@ def q_time_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-range + equality predicate scan — the reference's export
     WHERE clause (cmd/backup.go:240-248), as pushed-down parquet
     filters instead of interpolated SQL strings."""
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.filter(F.col("ts").between(F.lit(TIME_FROM).cast("timestamp"), F.lit(TIME_TO).cast("timestamp")))
-        .filter(F.col("event_type") == "purchase")
-        .select("event_id", "user_id", "event_type", "value", ts_str("ts", "ts_s"))
+    ev = load_events_window(spark, sf_dir, TIME_FROM, TIME_TO)
+    return ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "event_type", "value", ts_str("ts", "ts_s")
     )
 
 
@@ -63,13 +61,8 @@ def q_partition_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-value discovery: DISTINCT-via-GROUP-BY within a time
     range, nulls skipped (cmd/backup.go:170-209). Column pruning means
     the scan reads only (ts, event_type)."""
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.filter(F.col("ts").between(F.lit(TIME_FROM).cast("timestamp"), F.lit(TIME_TO).cast("timestamp")))
-        .where(F.col("event_type").isNotNull())
-        .select("event_type")
-        .distinct()
-    )
+    ev = load_events_window(spark, sf_dir, TIME_FROM, TIME_TO)
+    return ev.where(F.col("event_type").isNotNull()).select("event_type").distinct()
 
 
 @query(

@@ -97,15 +97,16 @@ def backup(spark: SparkSession, source: DataFrame, cfg: BackupConfig) -> DataFra
 
     In dry-run mode (backup.go:102-105) the plan runs — discovery,
     decode, counting — but nothing is written."""
-    from timestream_travel_spark.tables import ensure_timestamp
+    from timestream_travel_spark.tables import ensure_timestamp, time_window_filter
 
     rows = min(cfg.rows_per_chunk, MAX_ROWS_PER_CHUNK)
     t_from, t_to = resolve_window(cfg.time_from, cfg.time_to)
 
-    source = ensure_timestamp(source, cfg.ts_col)
-    windowed = source.filter(
-        F.col(cfg.ts_col).between(F.lit(t_from.strftime(TIME_FMT)).cast("timestamp"),
-                                  F.lit(t_to.strftime(TIME_FMT)).cast("timestamp"))
+    # window-filter BEFORE the ns→us conversion so the range predicate
+    # pushes to the parquet scan (tables.time_window_filter)
+    windowed = ensure_timestamp(
+        time_window_filter(source, cfg.ts_col, t_from.strftime(TIME_FMT), t_to.strftime(TIME_FMT)),
+        cfg.ts_col,
     ).filter(F.col(cfg.partition_col).isNotNull())
 
     tiebreak = cfg.tiebreak_col or source.columns[0]

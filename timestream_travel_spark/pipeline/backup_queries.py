@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from timestream_travel_spark.operators.timeseries import chunk_manifest
 from timestream_travel_spark.ops import ts_str
 from timestream_travel_spark.registry import query
-from timestream_travel_spark.tables import load_table
+from timestream_travel_spark.tables import load_events_window, load_table
 
 WINDOW_FROM = "2024-01-03 00:00:00"
 WINDOW_TO = "2024-01-28 00:00:00"
@@ -48,12 +48,9 @@ ROWS_PER_CHUNK = 250
 def q_backup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: export-chunk manifest for a time-windowed backup of
     `events`, partitioned by event_type, ≤250 rows per chunk."""
-    ev = load_table(spark, sf_dir, "events")
-    windowed = ev.filter(
-        F.col("ts").between(
-            F.lit(WINDOW_FROM).cast("timestamp"), F.lit(WINDOW_TO).cast("timestamp")
-        )
-    ).filter(F.col("event_type").isNotNull())
+    windowed = load_events_window(spark, sf_dir, WINDOW_FROM, WINDOW_TO).filter(
+        F.col("event_type").isNotNull()
+    )
     m = chunk_manifest(windowed, "event_type", "ts", ROWS_PER_CHUNK, "event_id")
     return m.select(
         F.col("event_type").alias("partition"),

@@ -35,6 +35,36 @@ def ensure_timestamp(df: DataFrame, ts_col: str) -> DataFrame:
     return df
 
 
+def time_window_filter(df: DataFrame, ts_col: str, lo: str, hi: str) -> DataFrame:
+    """Time-range predicate that reaches the parquet scan even when
+    ts_col is raw TIMESTAMP(NANOS) int64.
+
+    The ns→us conversion (`timestamp_micros(ts div 1000)`) is opaque
+    to pushdown, so `converted_ts BETWEEN lo AND hi` scans everything.
+    The conversion is monotonic, so the exact raw-ns equivalent is
+    ns ∈ [lo_us·1000, hi_us·1000 + 999] — pushable int64 bounds that
+    let parquet row-group stats skip data. Bounds are second-precision
+    timestamps interpreted as UTC (the engine session timezone)."""
+    from datetime import datetime, timezone
+
+    if dict(df.dtypes).get(ts_col) == "bigint":
+        fmt = "%Y-%m-%d %H:%M:%S"
+        lo_us = int(datetime.strptime(lo, fmt).replace(tzinfo=timezone.utc).timestamp()) * 1_000_000
+        hi_us = int(datetime.strptime(hi, fmt).replace(tzinfo=timezone.utc).timestamp()) * 1_000_000
+        return df.filter(F.col(ts_col).between(lo_us * 1000, hi_us * 1000 + 999))
+    return df.filter(
+        F.col(ts_col).between(F.lit(lo).cast("timestamp"), F.lit(hi).cast("timestamp"))
+    )
+
+
+def load_events_window(spark: SparkSession, sf_dir: str, lo: str, hi: str) -> DataFrame:
+    """events scan with the time window pushed to the raw column,
+    then normalized to TimestampType."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ensure_timestamp(time_window_filter(raw, "ts", lo, hi), "ts")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.parquet carries TIMESTAMP(NANOS); a vanilla session
