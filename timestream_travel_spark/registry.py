@@ -51,6 +51,7 @@ def load_all() -> None:
         joins,
         llm_text,
         llm_text2,
+        llm_text3,
         relational,
         relational2,
         relational3,
