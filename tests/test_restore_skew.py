@@ -1,0 +1,127 @@
+"""Backup verification, incremental export, skew helpers, and
+stream-static join tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from timestream_travel_spark.operators.skew import salted_aggregate, salted_join
+from timestream_travel_spark.pipeline.backup import BackupConfig, backup
+from timestream_travel_spark.pipeline.restore import incremental_backup, verify_backup
+from timestream_travel_spark.tables import load_table
+
+
+def test_verify_backup_roundtrip(spark, sf_dir, tmp_path):
+    dest = str(tmp_path / "vb")
+    ev = load_table(spark, sf_dir, "events")
+    cfg = BackupConfig(
+        dest=dest, time_from="2024-01-01 00:00:00", time_to="2024-01-31 00:00:00",
+        rows_per_chunk=300, tiebreak_col="event_id",
+    )
+    manifest = backup(spark, ev, cfg)
+    report = verify_backup(spark, dest, manifest).collect()
+    assert report
+    assert all(r["status"] == "ok" for r in report), [r for r in report if r["status"] != "ok"]
+
+
+def test_verify_backup_detects_tampering(spark, sf_dir, tmp_path):
+    import glob
+    import os
+
+    dest = str(tmp_path / "vt")
+    ev = load_table(spark, sf_dir, "events")
+    cfg = BackupConfig(
+        dest=dest, time_from="2024-01-01 00:00:00", time_to="2024-01-31 00:00:00",
+        rows_per_chunk=300, tiebreak_col="event_id",
+    )
+    manifest = backup(spark, ev, cfg).cache()
+    manifest.count()
+    victim = glob.glob(f"{dest}/__part=*/__date=*/*.json.gz")[0]
+    os.remove(victim)
+    report = verify_backup(spark, dest, manifest).collect()
+    bad = [r for r in report if r["status"] != "ok"]
+    assert bad, "deleted chunk went undetected"
+    assert {r["status"] for r in bad} <= {"missing", "mismatch"}
+
+
+def test_incremental_backup_exports_only_new_rows(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events")
+    cfg1 = BackupConfig(
+        dest=str(tmp_path / "full"), time_from="2024-01-01 00:00:00",
+        time_to="2024-01-15 00:00:00", tiebreak_col="event_id",
+    )
+    m1 = incremental_backup(spark, ev, cfg1, None).cache()
+    n1 = m1.agg(F.sum("row_count")).collect()[0][0]
+
+    cfg2 = BackupConfig(
+        dest=str(tmp_path / "incr"), time_from="2024-01-01 00:00:00",
+        time_to="2024-01-31 00:00:00", tiebreak_col="event_id",
+    )
+    m2 = incremental_backup(spark, ev, cfg2, m1).cache()
+    n2 = m2.agg(F.sum("row_count")).collect()[0][0]
+
+    total = ev.filter(F.col("ts").between("2024-01-01", "2024-01-31")).count()
+    # manifest ts is second-precision, so rows sharing the high-water
+    # second may be re-exported; bound the overlap instead of exact eq
+    assert n1 + n2 >= total
+    assert n1 + n2 <= total + 5 * 2  # ≤ a couple rows per partition
+    # second run must not re-export the bulk of run 1
+    assert n2 < total - n1 + 10
+
+
+def test_salted_aggregate_matches_plain(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    salted = salted_aggregate(
+        li, ["l_returnflag"], {"l_quantity": "sum", "l_orderkey": "count"}
+    ).collect()
+    plain = (
+        li.groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("sum_l_quantity"), F.count("l_orderkey").alias("count_l_orderkey"))
+        .collect()
+    )
+    s = {r["l_returnflag"]: (round(r["sum_l_quantity"], 6), r["count_l_orderkey"]) for r in salted}
+    p = {r["l_returnflag"]: (round(r["sum_l_quantity"], 6), r["count_l_orderkey"]) for r in plain}
+    assert s == p
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    salted = salted_join(li, od, "l_orderkey", "o_orderkey").groupBy("o_orderpriority").count()
+    plain = li.join(od, li.l_orderkey == od.o_orderkey).groupBy("o_orderpriority").count()
+    s = {r["o_orderpriority"]: r["count"] for r in salted.collect()}
+    p = {r["o_orderpriority"]: r["count"] for r in plain.collect()}
+    assert s == p
+
+
+def test_stream_static_join(spark, sf_dir, tmp_path):
+    """Stream-static enrichment: streaming events joined to a static
+    dimension (user_id -> parity tag) — the standard streaming lookup
+    pattern (B.10)."""
+    from timestream_travel_spark.streaming.jobs import read_events_stream
+
+    src = str(tmp_path / "ss_src")
+    ev = load_table(spark, sf_dir, "events").limit(500)
+    ev.coalesce(2).write.mode("overwrite").parquet(src)
+    dim = spark.range(0, 20).select(
+        F.col("id").alias("user_id"),
+        F.when(F.col("id") % 2 == 0, "even").otherwise("odd").alias("parity"),
+    )
+    stream = read_events_stream(spark, src)
+    enriched = stream.join(F.broadcast(dim), "user_id", "left")
+    q = (
+        enriched.groupBy("parity")
+        .agg(F.count("*").alias("n"))
+        .writeStream.format("memory")
+        .queryName("ss_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["parity"]: r["n"] for r in spark.sql("SELECT * FROM ss_out").collect()}
+    want = {
+        r["parity"]: r["n"]
+        for r in ev.join(dim, "user_id", "left").groupBy("parity").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want

@@ -1,0 +1,76 @@
+"""Backup verification + incremental export — closing the loop on
+the reference's purpose (a backup you can't verify or continue isn't
+a backup).
+
+The reference embeds a CRC32 in every S3 key (cmd/backup.go:308-313)
+but ships no verifier and re-exports whole windows on every run
+(default window 'now-1h → now', cmd/backup.go:139-153 — rerun overlap
+is the operator's problem). Both gaps close here:
+
+- verify_backup: re-read the NDJSON output, recompute per-(partition,
+  date) row counts, compare against the manifest. Distributed: one
+  scan of the backup, one tiny join against the manifest.
+- incremental_backup: export only rows newer than the previous
+  manifest's high-water mark (max_ts) per partition — the
+  change-data-capture form of the reference's window export.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from timestream_travel_spark.pipeline.backup import BackupConfig, backup
+
+
+def verify_backup(spark: SparkSession, dest: str, manifest: DataFrame) -> DataFrame:
+    """Compare the written backup against its manifest, per partition.
+
+    Granularity note: manifest rows are per *chunk* (keyed by the
+    chunk min-ts date, like the reference's S3 keys) while the file
+    layout is per *row* date — a chunk spans many date dirs, so the
+    comparable unit is the partition value. Returns one row per
+    partition with expected vs found row counts and a `status`
+    column ('ok' | 'mismatch' | 'missing'). The payload is faithful
+    NDJSON (one line = one exported row), so counting needs no schema
+    agreement."""
+    found = (
+        spark.read.text(f"{dest}/__part=*/__date=*/*.json.gz")
+        .withColumn("path", F.input_file_name())
+        .withColumn("partition", F.regexp_extract("path", r"__part=([^/]+)/", 1))
+        .groupBy("partition")
+        .agg(F.count("*").alias("found_rows"))
+    )
+    expected = manifest.groupBy("partition").agg(F.sum("row_count").alias("expected_rows"))
+    joined = expected.join(found, ["partition"], "full")
+    return joined.select(
+        "partition",
+        "expected_rows",
+        "found_rows",
+        F.when(F.col("found_rows").isNull(), "missing")
+        .when(F.col("expected_rows") == F.col("found_rows"), "ok")
+        .otherwise("mismatch")
+        .alias("status"),
+    )
+
+
+def incremental_backup(
+    spark: SparkSession, source: DataFrame, cfg: BackupConfig, prev_manifest: DataFrame | None
+) -> DataFrame:
+    """Export only rows strictly newer than the previous run's
+    per-partition high-water mark.
+
+    The watermark table is tiny (one row per partition value) →
+    broadcast anti-range join against the source; partitions never
+    seen before export in full. Returns the new manifest (chunks of
+    only the new rows)."""
+    if prev_manifest is None:
+        return backup(spark, source, cfg)
+    hwm = prev_manifest.groupBy("partition").agg(F.max("max_ts").alias("hwm_ts"))
+    src = source.join(
+        F.broadcast(hwm), source[cfg.partition_col] == hwm["partition"], "left"
+    )
+    fresh = src.filter(
+        F.col("hwm_ts").isNull() | (F.col(cfg.ts_col) > F.to_timestamp("hwm_ts"))
+    ).drop("partition", "hwm_ts")
+    return backup(spark, fresh, cfg)
