@@ -125,3 +125,15 @@ def test_stream_static_join(spark, sf_dir, tmp_path):
         for r in ev.join(dim, "user_id", "left").groupBy("parity").agg(F.count("*").alias("n")).collect()
     }
     assert got == want
+
+
+def test_compact_parquet(spark, sf_dir, tmp_path):
+    from timestream_travel_spark.pipeline.compact import compact_parquet
+
+    src = str(tmp_path / "frag")
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(40).write.mode("overwrite").parquet(src)  # fragment
+    stats = compact_parquet(spark, src, str(tmp_path / "compacted"), target_file_mb=64)
+    assert stats["rows"] == ev.count()
+    assert stats["files_before"] == 40
+    assert stats["files_after"] < 5

@@ -41,6 +41,9 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--typed", action="store_true", help="native JSON types instead of faithful strings")
     b.add_argument("--dry-run", action="store_true", help="run queries + counts, skip the write")
     b.add_argument("--verbose", action="store_true")
+    v = sub.add_parser("verify", help="reconcile a backup against its stored manifest")
+    v.add_argument("--dest", required=True, help="backup output path (must contain _manifest/)")
+    v.add_argument("--verbose", action="store_true")
     return p
 
 
@@ -54,6 +57,24 @@ def main(argv: list[str] | None = None) -> int:
 
     from timestream_travel_spark.pipeline.backup import BackupConfig, backup
     from timestream_travel_spark.session import get_spark
+
+    if args.command == "verify":
+        from timestream_travel_spark.pipeline.restore import verify_backup
+
+        spark = get_spark("timestream-travel-verify")
+        manifest = spark.read.parquet(f"{args.dest}/_manifest")
+        report = verify_backup(spark, args.dest, manifest).collect()
+        bad = [r for r in report if r["status"] != "ok"]
+        for r in report:
+            log.info(
+                "partition=%s expected=%s found=%s status=%s",
+                r["partition"], r["expected_rows"], r["found_rows"], r["status"],
+            )
+        if bad:
+            log.error("verification FAILED for %d partition(s)", len(bad))
+            return 1
+        log.info("verification OK (%d partitions)", len(report))
+        return 0
 
     spark = get_spark("timestream-travel-backup")
     t0 = time.perf_counter()
@@ -72,6 +93,10 @@ def main(argv: list[str] | None = None) -> int:
     try:
         manifest = backup(spark, source, cfg)
         rows = manifest.collect()
+        if not args.dry_run:
+            # persist the manifest beside the data (underscore prefix →
+            # invisible to downstream Spark/Hadoop scans of the payload)
+            manifest.write.mode("overwrite").parquet(f"{args.dest}/_manifest")
     except ValueError as e:
         log.error("%s", e)
         return 2
