@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from timestream_travel_spark.ops import davg, davg_sql, ts_str
+from timestream_travel_spark.ops import ts_str
 from timestream_travel_spark.registry import query
 from timestream_travel_spark.tables import load_table
 

@@ -12,7 +12,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from timestream_travel_spark.functions.vectors import cosine, dot, norm, query_vector_lit, to_double_array
+from timestream_travel_spark.functions.vectors import cosine, dot, query_vector_lit, to_double_array
 from timestream_travel_spark.registry import query
 from timestream_travel_spark.tables import load_table
 

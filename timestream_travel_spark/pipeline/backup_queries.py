@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from timestream_travel_spark.operators.timeseries import chunk_manifest
 from timestream_travel_spark.ops import ts_str
 from timestream_travel_spark.registry import query
-from timestream_travel_spark.tables import load_events_window, load_table
+from timestream_travel_spark.tables import load_events_window
 
 WINDOW_FROM = "2024-01-03 00:00:00"
 WINDOW_TO = "2024-01-28 00:00:00"

@@ -57,6 +57,7 @@ def load_all() -> None:
         relational3,
         scalar_funcs,
         scalar_funcs2,
+        scalar_funcs3,
         similarity,
         similarity2,
         timeseries,
