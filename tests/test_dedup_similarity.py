@@ -110,3 +110,14 @@ def test_ann_ivf_recall_vs_brute_force(spark, sf_dir):
     assert len(approx) == 10
     recall = len(set(exact) & set(approx)) / len(exact)
     assert recall >= 0.3, f"IVF recall vs brute force too low: {recall}"
+
+
+def test_ann_ivf_kmeans_recall(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    exact = [r["vec_id"] for r in qs["q_cosine_topk"](spark, sf_dir).collect()]
+    approx = [r["vec_id"] for r in qs["q_ann_ivf_kmeans_topk"](spark, sf_dir).collect()]
+    assert len(approx) == 10
+    recall = len(set(exact) & set(approx)) / len(exact)
+    assert recall >= 0.3, f"kmeans-IVF recall too low: {recall}"

@@ -119,3 +119,75 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
     )
+
+
+def _assign_cell(v, cents: list[list[float]]):
+    """argmax-cosine cell id via sims array + array_position (never a
+    when-chain — see module history)."""
+    sims = F.array(*[cosine(v, query_vector_lit(c)) for c in cents])
+    return F.array_position(sims, F.array_max(sims)).cast("int") - 1
+
+
+def train_kmeans_centroids(
+    embeddings: DataFrame, k: int = 8, iters: int = 3
+) -> list[list[float]]:
+    """Lloyd's k-means as a driver-side loop over DataFrame
+    aggregations: assign (argmax cosine), recompute means
+    (posexplode + avg), collect the k×dim centroid table. Only the
+    tiny centroid table ever reaches the driver; assignment and the
+    mean-update are full-cluster scans — the shape that holds at
+    100 TB (iters × one scan each).
+
+    Init: the first k vectors by vec_id (deterministic; k-means++
+    would need a distance-weighted sample pass — roadmap)."""
+    init = (
+        embeddings.orderBy("vec_id").limit(k)
+        .select(to_double_array(F.col("embedding")).alias("e"))
+        .collect()
+    )
+    cents = [list(r["e"]) for r in init]
+    v = to_double_array(F.col("embedding"))
+    for _ in range(iters):
+        assigned = embeddings.withColumn("cell", _assign_cell(v, cents))
+        new = (
+            assigned.select("cell", F.posexplode(v).alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("entries"))
+            .select("cell", F.transform("entries", lambda e: e.getField("m")).alias("centroid"))
+            .collect()
+        )
+        by_cell = {r["cell"]: list(r["centroid"]) for r in new}
+        # empty cells keep their previous centroid
+        cents = [by_cell.get(i, cents[i]) for i in range(k)]
+    return cents
+
+
+@query("q_ann_ivf_kmeans_topk")
+def q_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a k-means-trained coarse quantizer (vs the
+    label-mean stand-in of q_ann_ivf_topk): 8 Lloyd cells, probe the
+    top-3 nearest to the query, exact cosine inside. Rows-only
+    oracle; pytest bounds recall."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = train_kmeans_centroids(e, k=8, iters=3)
+    qvec = _query_vec(spark, sf_dir)
+
+    def py_cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / ((sum(x * x for x in a) ** 0.5) * (sum(x * x for x in b) ** 0.5))
+
+    probe = sorted(range(len(cents)), key=lambda i: -py_cos(qvec, cents[i]))[:N_PROBE]
+    v = to_double_array(F.col("embedding"))
+    cand = (
+        e.withColumn("cell", _assign_cell(v, cents))
+        .filter(F.col("cell").isin(probe))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+    )
+    sim = F.round(cosine(to_double_array(F.col("embedding")), query_vector_lit(qvec)), 4)
+    return (
+        cand.select("vec_id", sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
