@@ -118,3 +118,14 @@ def test_approx_count_distinct_error_bound(spark, sf_dir):
     exact_parts = load_table(spark, sf_dir, "lineitem").select("l_partkey").distinct().count()
     assert abs(est["approx_orders"] - exact_orders) / exact_orders < 0.06
     assert abs(est["approx_parts"] - exact_parts) / exact_parts < 0.06
+
+
+def test_percentile_approx_error_bound(spark, sf_dir):
+    """approx_percentile sketch must land near the exact interpolated
+    percentile (scale path next to the exact q_percentiles)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("ap"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("ex"),
+    ).collect()[0]
+    assert abs(row["ap"] - row["ex"]) / row["ex"] < 0.01

@@ -116,3 +116,29 @@ def test_stream_stream_interval_join(spark, sf_dir, tmp_path):
     # this in-order replay it should find (nearly) everything
     assert got <= want
     assert len(got) >= 0.9 * len(want), f"stream join found {len(got)}/{len(want)}"
+
+
+def test_drop_duplicates_within_watermark(spark, sf_dir, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicate event_ids arriving
+    within the watermark horizon are dropped even when their ts
+    differs slightly (the at-least-once-ingest dedup primitive)."""
+    src = str(tmp_path / "ddw_src")
+    ev = load_table(spark, sf_dir, "events").limit(300)
+    dup = ev.withColumn("ts", F.col("ts") + F.expr("INTERVAL 5 SECONDS"))
+    ev.unionByName(dup).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+        ).parquet(src)
+    )
+    deduped = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(["event_id"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("ddw_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n = spark.sql("SELECT count(*) AS n, count(distinct event_id) AS d FROM ddw_out").collect()[0]
+    assert n["n"] == 300 and n["d"] == 300

@@ -55,6 +55,7 @@ def load_all() -> None:
         relational,
         relational2,
         relational3,
+        relational4,
         scalar_funcs,
         scalar_funcs2,
         scalar_funcs3,
