@@ -113,3 +113,49 @@ def test_faithful_null_rendering(spark):
     assert rows[0]["b"] == "NULL"
     assert rows[1]["a"] == "NULL" and rows[1]["c"] == "NULL"
     assert rows[0]["a"] == "1" and rows[0]["c"] == "2.5"
+
+
+def test_backup_reference_layout(spark, sf_dir, tmp_path):
+    """Byte-level key parity: <db>/<table>/<partition>/<yyyyMMdd>/
+    <minIso>_<maxIso>_<crc32hex>.log.gz (cmd/backup.go:311-313)."""
+    import gzip as _gzip
+    import json as _json
+    import re
+    import zlib
+
+    from timestream_travel_spark.pipeline.reference_layout import backup_reference_layout
+
+    ev = load_table(spark, sf_dir, "events")
+    cfg = BackupConfig(
+        dest=str(tmp_path / "ref"),
+        time_from="2024-01-01 00:00:00",
+        time_to="2024-01-31 00:00:00",
+        rows_per_chunk=250,
+        tiebreak_col="event_id",
+    )
+    keys = backup_reference_layout(spark, ev, cfg, database="mydb", table="events")
+    assert keys
+    pat = re.compile(
+        r"^mydb/events/(?P<part>[^/]+)/(?P<day>\d{8})/"
+        r"(?P<lo>\d{8}T\d{6}Z)_(?P<hi>\d{8}T\d{6}Z)_(?P<crc>[0-9a-f]{8})\.log\.gz$"
+    )
+    total = 0
+    for key in keys:
+        m = pat.match(key)
+        assert m, f"key does not match reference scheme: {key}"
+        fpath = str(tmp_path / "ref" / key)
+        with open(fpath, "rb") as fh:
+            raw = fh.read()
+        assert f"{zlib.crc32(raw):08x}" == m.group("crc"), "embedded CRC mismatch"
+        with _gzip.open(fpath, "rt") as fh:
+            rows = [_json.loads(line) for line in fh if line.strip()]
+        assert 0 < len(rows) <= 250
+        total += len(rows)
+        ts_vals = [r["ts"] for r in rows]
+        lo = min(ts_vals).replace("-", "").replace(":", "").replace(" ", "T") + "Z"
+        hi = max(ts_vals).replace("-", "").replace(":", "").replace(" ", "T") + "Z"
+        assert lo == m.group("lo") and hi == m.group("hi"), "bounds in key != content"
+        assert m.group("day") == m.group("lo")[:8]
+    assert total == ev.filter(F.col("ts").between("2024-01-01", "2024-01-31")).count()
+    # staging fully cleaned up
+    assert not (tmp_path / "ref" / "_staging").exists()

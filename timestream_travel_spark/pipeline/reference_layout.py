@@ -1,0 +1,112 @@
+"""Byte-level key parity with the reference's S3 layout
+(cmd/backup.go:311-313):
+
+    <database>/<table>/<partitionValue>/<yyyyMMdd>/<minIso>_<maxIso>_<crc32hex>.log.gz
+
+Spark names its output files itself, so exact keys need a post-write
+pass. The trick that makes files == chunks: write partitioned by the
+partition value ONLY (no date dirs), with the stream sorted ORDER BY
+ts DESC inside each partition and maxRecordsPerFile=N — the writer
+then cuts the sorted stream into successive ≤N-row files, which are
+exactly the reference's result pages (backup.go:253-257). The rename
+pass streams each file once to recover (min_ts, max_ts, crc32 of the
+gzipped bytes — same checksum target as backup.go:308-309) and moves
+it to its reference key.
+
+Time formats: yyyyMMdd for the dir (Go layout '20060102',
+backup.go:24), basic-ISO seconds for the bounds ('20060102T150405Z',
+backup.go:26-27).
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+import zlib
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from timestream_travel_spark.pipeline.backup import MAX_ROWS_PER_CHUNK, TIME_FMT, BackupConfig, resolve_window
+
+ISO_BASIC = "%Y%m%dT%H%M%SZ"
+
+
+def backup_reference_layout(
+    spark: SparkSession, source: DataFrame, cfg: BackupConfig, database: str, table: str
+) -> list[str]:
+    """Run the export and lay the output out under the reference's
+    exact key scheme. Returns the list of final keys (relative to
+    cfg.dest).
+
+    The stats+rename pass is driver-coordinated but streams one file
+    at a time (payloads never concatenate in memory); at cluster
+    scale you would run the same loop inside foreachPartition over a
+    listing DataFrame."""
+    from timestream_travel_spark.functions.faithful import faithful_projection
+    from timestream_travel_spark.tables import ensure_timestamp, time_window_filter
+
+    if not cfg.faithful:
+        raise ValueError(
+            "reference layout requires faithful mode (bounds are parsed "
+            "from the reference's 'yyyy-MM-dd HH:mm:ss' renderings)"
+        )
+    rows = min(cfg.rows_per_chunk, MAX_ROWS_PER_CHUNK)
+    t_from, t_to = resolve_window(cfg.time_from, cfg.time_to)
+    windowed = ensure_timestamp(
+        time_window_filter(source, cfg.ts_col, t_from.strftime(TIME_FMT), t_to.strftime(TIME_FMT)),
+        cfg.ts_col,
+    ).filter(F.col(cfg.partition_col).isNotNull())
+
+    staging = os.path.join(cfg.dest, "_staging")
+    out = faithful_projection(windowed) if cfg.faithful else windowed
+    (
+        out.withColumn("__part", F.col(cfg.partition_col))
+        .repartition(F.col("__part"))
+        .sortWithinPartitions(F.desc(cfg.ts_col))
+        .write.mode("overwrite")
+        .partitionBy("__part")
+        .option("compression", "gzip")
+        .option("maxRecordsPerFile", rows)
+        .json(staging)
+    )
+
+    keys: list[str] = []
+    for dirpath, _, files in os.walk(staging):
+        for fname in sorted(files):
+            if not fname.endswith(".json.gz"):
+                continue
+            fpath = os.path.join(dirpath, fname)
+            part_val = dirpath.split("__part=")[1].split(os.sep)[0]
+            with open(fpath, "rb") as fh:
+                raw = fh.read()
+            crc = zlib.crc32(raw)  # CRC over the gzipped object, backup.go:308-309
+            min_ts, max_ts = None, None
+            with gzip.open(fpath, "rt") as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    ts = json.loads(line)[cfg.ts_col]
+                    min_ts = ts if min_ts is None or ts < min_ts else min_ts
+                    max_ts = ts if max_ts is None or ts > max_ts else max_ts
+            lo = datetime.strptime(min_ts, TIME_FMT)
+            hi = datetime.strptime(max_ts, TIME_FMT)
+            key = os.path.join(
+                database,
+                table,
+                part_val,
+                lo.strftime("%Y%m%d"),
+                f"{lo.strftime(ISO_BASIC)}_{hi.strftime(ISO_BASIC)}_{crc:08x}.log.gz",
+            )
+            final = os.path.join(cfg.dest, key)
+            os.makedirs(os.path.dirname(final), exist_ok=True)
+            os.replace(fpath, final)
+            keys.append(key)
+    # drop the staging skeleton (empty dirs + _SUCCESS markers)
+    for dirpath, dirs, files in os.walk(staging, topdown=False):
+        for f in files:
+            os.remove(os.path.join(dirpath, f))
+        os.rmdir(dirpath)
+    return sorted(keys)
