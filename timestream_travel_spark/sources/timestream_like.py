@@ -1,0 +1,136 @@
+"""Timestream-like connector: a PySpark Python DataSource that reads
+paginated query-result pages in Amazon Timestream's wire shape and
+decodes them with the reference's recursive type rules.
+
+The reference consumes `timestreamquery` results: pages of Rows of
+Datum, typed by ColumnInfo, with four type constructors decoded
+recursively (helpers/helpers.go):
+
+- scalar    → string, nil → "NULL"        (ProcessScalarType, :5-10)
+- timeseries→ {timeString: value} map     (ProcessTimeSeriesType, :12-25)
+- array     → list, recursive             (ProcessArrayType, :27-41)
+- row       → {columnName: value} map     (ProcessRowType, :43-63)
+
+This connector reads the same shapes from NDJSON page files (the
+local stand-in for the paginated HTTP API — one file per NextToken
+page, cmd/backup.go:253-258) and exposes them as a DataFrame:
+scalar columns as strings (faithful), nested columns as JSON strings.
+Schema comes from the first page's ColumnInfo — dynamic, never
+declared (SURVEY.md §1.1).
+
+Spark integration: the DataSource V2 Python API; one InputPartition
+per page file, so page-parallelism is task-parallelism (the
+goroutine-per-partition of cmd/backup.go:228-231, without threads).
+
+Usage:
+    spark.dataSource.register(TimestreamLikeDataSource)
+    df = spark.read.format("timestream_like").option("path", pages_dir).load()
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+from typing import Any
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StringType, StructField, StructType
+
+NULL_STR = "NULL"  # helpers.go:5-10
+
+
+# ----------------------------------------------------------- decoders
+# Each mirrors one helpers.go function; Datum/ColumnInfo field names
+# follow the public timestreamquery API shape.
+
+
+def process_scalar(datum: dict[str, Any]) -> str:
+    """helpers.go:5-10 — nil ScalarValue renders as the string NULL."""
+    v = datum.get("ScalarValue")
+    return NULL_STR if v is None else str(v)
+
+
+def process_time_series(datum: dict[str, Any], value_type: dict[str, Any]) -> dict[str, Any]:
+    """helpers.go:12-25 — points become a {timeString: value} map."""
+    out: dict[str, Any] = {}
+    for point in datum.get("TimeSeriesValue") or []:
+        out[str(point["Time"])] = decode_datum(point["Value"], value_type)
+    return out
+
+
+def process_array(datum: dict[str, Any], elem_type: dict[str, Any]) -> list[Any]:
+    """helpers.go:27-41 — recursive element decode."""
+    return [decode_datum(d, elem_type) for d in (datum.get("ArrayValue") or [])]
+
+
+def process_row(data: list[dict[str, Any]], column_info: list[dict[str, Any]]) -> dict[str, Any]:
+    """helpers.go:43-63 — ColumnInfo-driven map keyed by column name."""
+    out: dict[str, Any] = {}
+    for datum, ci in zip(data, column_info):
+        out[ci["Name"]] = decode_datum(datum, ci["Type"])
+    return out
+
+
+def decode_datum(datum: dict[str, Any], col_type: dict[str, Any]) -> Any:
+    """Dispatch on the four constructors (helpers.go:46-59)."""
+    if "ScalarType" in col_type:
+        return process_scalar(datum)
+    if "TimeSeriesMeasureValueColumnInfo" in col_type:
+        return process_time_series(datum, col_type["TimeSeriesMeasureValueColumnInfo"]["Type"])
+    if "ArrayColumnInfo" in col_type:
+        return process_array(datum, col_type["ArrayColumnInfo"]["Type"])
+    if "RowColumnInfo" in col_type:
+        return process_row(datum.get("RowValue", {}).get("Data", []), col_type["RowColumnInfo"])
+    raise ValueError(f"unknown Timestream column type: {col_type}")
+
+
+def _read_page(path: str) -> dict[str, Any]:
+    with open(path) as fh:
+        return json.load(fh)
+
+
+class TimestreamLikeDataSource(DataSource):
+    """spark.read.format('timestream_like').option('path', dir)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "timestream_like"
+
+    def _pages(self) -> list[str]:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("timestream_like requires option 'path' (directory of page files)")
+        pages = sorted(glob.glob(f"{path}/page-*.json"))
+        if not pages:
+            raise ValueError(f"no page-*.json files under {path}")
+        return pages
+
+    def schema(self) -> StructType:
+        """Dynamic schema from the first page's ColumnInfo
+        (helpers.go:43-46): scalars → string (faithful), nested →
+        JSON string."""
+        first = _read_page(self._pages()[0])
+        return StructType([StructField(ci["Name"], StringType()) for ci in first["ColumnInfo"]])
+
+    def reader(self, schema: StructType) -> "TimestreamLikeReader":
+        return TimestreamLikeReader(self._pages(), schema)
+
+
+class TimestreamLikeReader(DataSourceReader):
+    def __init__(self, pages: list[str], schema: StructType) -> None:
+        self.pages = pages
+        self.fields = [f.name for f in schema.fields]
+
+    def partitions(self) -> list[InputPartition]:
+        # one partition per result page — the unit of parallel decode
+        return [InputPartition(p) for p in self.pages]
+
+    def read(self, partition: InputPartition):
+        page = _read_page(partition.value)
+        column_info = page["ColumnInfo"]
+        for row in page.get("Rows", []):
+            decoded = process_row(row["Data"], column_info)
+            yield tuple(
+                v if isinstance(v, str) else json.dumps(v, sort_keys=True)
+                for v in (decoded[name] for name in self.fields)
+            )
