@@ -44,6 +44,12 @@ def build_parser() -> argparse.ArgumentParser:
     v = sub.add_parser("verify", help="reconcile a backup against its stored manifest")
     v.add_argument("--dest", required=True, help="backup output path (must contain _manifest/)")
     v.add_argument("--verbose", action="store_true")
+    c = sub.add_parser("compact", help="rewrite fragmented parquet into size-targeted files")
+    c.add_argument("--src", required=True, help="fragmented parquet directory")
+    c.add_argument("--dest", required=True, help="compacted output directory")
+    c.add_argument("--target-mb", type=int, default=128, help="target file size in MiB")
+    c.add_argument("--partition-by", default=None, help="comma-separated partition columns")
+    c.add_argument("--verbose", action="store_true")
     return p
 
 
@@ -74,6 +80,23 @@ def main(argv: list[str] | None = None) -> int:
             log.error("verification FAILED for %d partition(s)", len(bad))
             return 1
         log.info("verification OK (%d partitions)", len(report))
+        return 0
+
+    if args.command == "compact":
+        from timestream_travel_spark.pipeline.compact import compact_parquet
+
+        spark = get_spark("timestream-travel-compact")
+        stats = compact_parquet(
+            spark,
+            args.src,
+            args.dest,
+            target_file_mb=args.target_mb,
+            partition_by=args.partition_by.split(",") if args.partition_by else None,
+        )
+        log.info(
+            "compacted %d files -> %d (%d rows) at %s",
+            stats["files_before"], stats["files_after"], stats["rows"], args.dest,
+        )
         return 0
 
     spark = get_spark("timestream-travel-backup")

@@ -125,3 +125,27 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(profile("user_id", as_str))
         .unionByName(profile("value", as_dec))
     )
+
+
+@query(
+    "q_histogram",
+    oracle="""
+    SELECT CAST(least(floor(o_totalprice / 50000), 9) AS INT) AS bucket,
+           COUNT(*) AS n_orders,
+           round(CAST(MIN(o_totalprice) AS DECIMAL(12,2)), 2) AS lo,
+           round(CAST(MAX(o_totalprice) AS DECIMAL(12,2)), 2) AS hi
+    FROM orders
+    GROUP BY least(floor(o_totalprice / 50000), 9)
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (10 × 50k buckets, top bucket clamped) —
+    the distribution-profiling primitive: one partial-aggregated scan,
+    10 rows out regardless of input size."""
+    od = load_table(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 50000), F.lit(9)).cast("int")
+    return od.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.min("o_totalprice").cast("decimal(12,2)"), 2).alias("lo"),
+        F.round(F.max("o_totalprice").cast("decimal(12,2)"), 2).alias("hi"),
+    )
