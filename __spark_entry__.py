@@ -28,8 +28,35 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q_backup_manifest"](spark, "/root/testdata/sf0.001")
 
 
+# Queries with no driver-green CORRECTNESS row as of round 1
+# (CORRECTNESS_r01.json covered only the first 50 registry entries).
+# Order these first so a capped driver harness verifies them next.
+_UNVERIFIED_FIRST = [
+    "q_dedup_keep_first", "q_upsert", "q_profile_columns", "q_histogram",
+    "q_datetime_funcs", "q_string_funcs", "q_math_funcs", "q_hash_funcs",
+    "q_array_funcs", "q_map_funcs", "q_json_funcs", "q_conditional_cast",
+    "q_datetime_funcs2", "q_string_funcs2", "q_math_funcs2", "q_set_ops_all",
+    "q_window_distribution", "q_sliding_window", "q_gap_fill_spine",
+    "q_array_set_ops", "q_try_cast_safe", "q_explode_outer", "q_cosine_topk",
+    "q_cosine_topk_per_label", "q_ann_lsh_topk", "q_ann_ivf_topk",
+    "q_posexplode", "q_grouping_sets", "q_ann_ivf_kmeans_topk",
+    "q_resample_hourly", "q_tumbling_window", "q_sessionize", "q_series_pivot",
+    "q_chunk_bounds", "q_ewma", "q_ohlc_hourly", "q_sample_deterministic",
+    "q_pandas_udf_norm", "q_applyinpandas_slope", "q_window_topk_per_group",
+    "q_window_rank_kinds", "q_window_lag_delta", "q_window_running_sum",
+    "q_window_moving_avg", "q_window_range_frame", "q_window_locf",
+    "q_backup_manifest",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(registry.QUERIES)
+    ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name in _UNVERIFIED_FIRST:
+        if name in registry.QUERIES:
+            ordered[name] = registry.QUERIES[name]
+    for name, fn in registry.QUERIES.items():
+        ordered.setdefault(name, fn)
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:
