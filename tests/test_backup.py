@@ -29,6 +29,31 @@ def test_resolve_window_absolute_and_relative():
     assert t == now and (t - f).total_seconds() == 3600
 
 
+def test_resolve_window_compound_durations():
+    # go-str2duration grammar (cmd/backup.go:20,134,148): compounds
+    # and a seconds unit, e.g. "1h30m", "1d12h", "90s"
+    from datetime import timedelta
+
+    from timestream_travel_spark.pipeline.backup import parse_duration
+
+    assert parse_duration("1h30m") == timedelta(hours=1, minutes=30)
+    assert parse_duration("1d12h") == timedelta(days=1, hours=12)
+    assert parse_duration("90s") == timedelta(seconds=90)
+    assert parse_duration("1w2d3h4m5s") == timedelta(weeks=1, days=2, hours=3, minutes=4, seconds=5)
+    assert parse_duration("1500ms") == timedelta(milliseconds=1500)
+    assert parse_duration("250us") == timedelta(microseconds=250)
+    assert parse_duration("999ns") == timedelta(0)  # floors below 1us
+    for bad in ("", "h", "1x", "1h30", "1.5h", " 1h", "1h "):
+        with pytest.raises(ValueError):
+            parse_duration(bad)
+
+    now = datetime(2024, 6, 1, 12, 0, 0)
+    f, t = resolve_window("1h30m", None, now=now)
+    assert t == now and (t - f).total_seconds() == 5400
+    f, t = resolve_window("1d12h", "90s", now=now)
+    assert (now - t).total_seconds() == 90 and (t - f).total_seconds() == 36 * 3600
+
+
 def test_resolve_window_validation():
     with pytest.raises(ValueError):
         resolve_window("2024-01-02 00:00:00", "2024-01-01 00:00:00")

@@ -37,9 +37,39 @@ from timestream_travel_spark.functions.faithful import faithful_projection
 from timestream_travel_spark.operators.timeseries import chunk_manifest
 
 MAX_ROWS_PER_CHUNK = 1000  # hard clamp, cmd/backup.go:213-217
-_REL_RE = re.compile(r"^(\d+)([mhdw])$")
-_UNITS = {"m": "minutes", "h": "hours", "d": "days", "w": "weeks"}
+# go-str2duration grammar (cmd/backup.go:20,134,148): a sequence of
+# <number><unit> terms, units w/d/h/m/s/ms/us/ns, e.g. "1h30m", "1d12h",
+# "90s". Multi-char units must precede their single-char prefixes.
+_REL_TERM = re.compile(r"(\d+)(ms|us|µs|ns|[wdhms])")
+_REL_RE = re.compile(r"^(?:\d+(?:ms|us|µs|ns|[wdhms]))+$")
+_UNITS = {
+    "w": "weeks",
+    "d": "days",
+    "h": "hours",
+    "m": "minutes",
+    "s": "seconds",
+    "ms": "milliseconds",
+    "us": "microseconds",
+    "µs": "microseconds",
+    "ns": None,  # sub-microsecond: floors to 0 in timedelta terms
+}
 TIME_FMT = "%Y-%m-%d %H:%M:%S"  # Go layout 2006-01-02 15:04:05, backup.go:25
+
+
+def parse_duration(spec: str) -> timedelta:
+    """Parse a go-str2duration-style compound duration ("1h30m",
+    "1d12h", "90s") into a timedelta. Raises ValueError on anything
+    else (empty string, unknown unit, trailing garbage)."""
+    if not _REL_RE.match(spec):
+        raise ValueError(f"unparseable duration: {spec!r}")
+    total = timedelta()
+    for m in _REL_TERM.finditer(spec):
+        unit = _UNITS[m.group(2)]
+        if unit is None:  # ns — floor like timedelta would
+            total += timedelta(microseconds=int(m.group(1)) // 1000)
+        else:
+            total += timedelta(**{unit: int(m.group(1))})
+    return total
 
 
 def resolve_window(
@@ -49,8 +79,9 @@ def resolve_window(
 ) -> tuple[datetime, datetime]:
     """Absolute/relative time-window resolution (backup.go:128-156):
     each bound parses as 'yyyy-MM-dd HH:mm:ss', else as a relative
-    duration '<n>[m|h|d|w]'; `to` is relative to now, `from` relative
-    to `to`. Defaults: to=now, from=to−1h (backup.go:139-153)."""
+    go-str2duration compound ('90s', '1h30m', '1d12h'); `to` is
+    relative to now, `from` relative to `to`. Defaults: to=now,
+    from=to−1h (backup.go:139-153)."""
     now = now or datetime.utcnow()
 
     def parse(spec: str | None, anchor: datetime, default_delta: timedelta | None) -> datetime:
@@ -59,10 +90,11 @@ def resolve_window(
         try:
             return datetime.strptime(spec, TIME_FMT)
         except ValueError:
-            m = _REL_RE.match(spec)
-            if not m:
-                raise ValueError(f"unparseable time spec: {spec!r}")
-            return anchor - timedelta(**{_UNITS[m.group(2)]: int(m.group(1))})
+            try:
+                delta = parse_duration(spec)
+            except ValueError:
+                raise ValueError(f"unparseable time spec: {spec!r}") from None
+            return anchor - delta
 
     t_to = parse(to_spec, now, None)
     t_from = parse(from_spec, t_to, timedelta(hours=1))
