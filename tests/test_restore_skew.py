@@ -61,12 +61,70 @@ def test_incremental_backup_exports_only_new_rows(spark, sf_dir, tmp_path):
     n2 = m2.agg(F.sum("row_count")).collect()[0][0]
 
     total = ev.filter(F.col("ts").between("2024-01-01", "2024-01-31")).count()
-    # manifest ts is second-precision, so rows sharing the high-water
-    # second may be re-exported; bound the overlap instead of exact eq
-    assert n1 + n2 >= total
-    assert n1 + n2 <= total + 5 * 2  # ≤ a couple rows per partition
-    # second run must not re-export the bulk of run 1
-    assert n2 < total - n1 + 10
+    # manifest carries the epoch-us watermark → exactly-once across runs
+    assert n1 + n2 == total
+
+
+def test_incremental_backup_boundary_second_exact(spark, tmp_path):
+    """Rows sharing the high-water second must not re-export: the
+    watermark is epoch-us (max_ts_us), not the second-rendered
+    max_ts. Fixture plants three rows inside one second straddling
+    the first run's window edge."""
+    from datetime import datetime
+
+    rows = [
+        ("a", 1, datetime(2024, 1, 1, 0, 0, 0, 500000)),
+        ("a", 2, datetime(2024, 1, 1, 0, 0, 1, 100000)),
+        ("a", 3, datetime(2024, 1, 1, 0, 0, 1, 400000)),  # run-1 max, mid-second
+        ("a", 4, datetime(2024, 1, 1, 0, 0, 5, 0)),
+    ]
+    src = spark.createDataFrame(rows, "event_type string, event_id long, ts timestamp")
+    cfg1 = BackupConfig(
+        dest=str(tmp_path / "full"), time_from="2024-01-01 00:00:00",
+        time_to="2024-01-01 00:00:02", tiebreak_col="event_id", partition_col="event_type",
+    )
+    m1 = incremental_backup(spark, src, cfg1, None).cache()
+    assert m1.agg(F.sum("row_count")).collect()[0][0] == 3
+    cfg2 = BackupConfig(
+        dest=str(tmp_path / "incr"), time_from="2024-01-01 00:00:00",
+        time_to="2024-01-01 00:00:10", tiebreak_col="event_id", partition_col="event_type",
+    )
+    m2 = incremental_backup(spark, src, cfg2, m1).cache()
+    # only id 4 — with the old second-rendered watermark ("00:00:01"),
+    # ids 2 and 3 would re-export (3 rows instead of 1)
+    assert m2.agg(F.sum("row_count")).collect()[0][0] == 1
+
+
+def test_incremental_backup_source_partition_column_survives(spark, tmp_path):
+    """A source column literally named 'partition' must survive the
+    watermark join (ADVICE: hwm columns now aliased __hwm_*)."""
+    from datetime import datetime
+
+    rows = [("a", 1, "keepme", datetime(2024, 1, 1, 0, 0, 1)),
+            ("a", 2, "keepme2", datetime(2024, 1, 1, 0, 0, 20))]
+    src = spark.createDataFrame(
+        rows, "event_type string, event_id long, partition string, ts timestamp"
+    )
+    cfg1 = BackupConfig(
+        dest=str(tmp_path / "f"), time_from="2024-01-01 00:00:00",
+        time_to="2024-01-01 00:00:05", tiebreak_col="event_id", partition_col="event_type",
+    )
+    m1 = incremental_backup(spark, src, cfg1, None).cache()
+    cfg2 = BackupConfig(
+        dest=str(tmp_path / "i"), time_from="2024-01-01 00:00:00",
+        time_to="2024-01-01 00:01:00", tiebreak_col="event_id", partition_col="event_type",
+    )
+    m2 = incremental_backup(spark, src, cfg2, m1)
+    assert m2.agg(F.sum("row_count")).collect()[0][0] == 1
+    # the exported NDJSON retains the user 'partition' column
+    import glob
+    import gzip
+    import json
+
+    files = glob.glob(str(tmp_path / "i") + "/__part=*/__date=*/*.json.gz")
+    recs = [json.loads(line) for f in files for line in gzip.open(f, "rt")]
+    assert recs and all("partition" in r for r in recs)
+    assert {r["partition"] for r in recs} == {"keepme2"}
 
 
 def test_salted_aggregate_matches_plain(spark, sf_dir):

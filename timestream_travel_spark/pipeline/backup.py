@@ -125,7 +125,7 @@ class BackupConfig:
 
 def backup(spark: SparkSession, source: DataFrame, cfg: BackupConfig) -> DataFrame:
     """Run the export; returns the manifest DataFrame
-    (partition, date, chunk, min_ts, max_ts, row_count, crc32).
+    (partition, date, chunk, min_ts, max_ts, max_ts_us, row_count, crc32).
 
     In dry-run mode (backup.go:102-105) the plan runs — discovery,
     decode, counting — but nothing is written."""
@@ -158,6 +158,10 @@ def backup(spark: SparkSession, source: DataFrame, cfg: BackupConfig) -> DataFra
             "chunk",
             F.date_format("min_ts", "yyyy-MM-dd HH:mm:ss").alias("min_ts"),
             F.date_format("max_ts", "yyyy-MM-dd HH:mm:ss").alias("max_ts"),
+            # full-precision watermark for incremental_backup: the
+            # second-rendered max_ts above re-exports every row in the
+            # final second of the previous run (boundary-second dup)
+            F.unix_micros(F.col("max_ts")).alias("max_ts_us"),
             "row_count",
             "crc32",
         )

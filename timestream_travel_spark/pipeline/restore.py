@@ -63,14 +63,27 @@ def incremental_backup(
     The watermark table is tiny (one row per partition value) →
     broadcast anti-range join against the source; partitions never
     seen before export in full. Returns the new manifest (chunks of
-    only the new rows)."""
+    only the new rows).
+
+    The watermark is the manifest's `max_ts_us` (epoch microseconds)
+    so boundary-second rows are never re-exported; legacy manifests
+    without that column fall back to the second-rendered `max_ts`
+    (over-exports the final second — dedup on restore). Watermark
+    columns are aliased `__hwm_*` so a source column named
+    'partition'/'hwm_ts' survives the join unambiguously."""
     if prev_manifest is None:
         return backup(spark, source, cfg)
-    hwm = prev_manifest.groupBy("partition").agg(F.max("max_ts").alias("hwm_ts"))
-    src = source.join(
-        F.broadcast(hwm), source[cfg.partition_col] == hwm["partition"], "left"
+    if "max_ts_us" in prev_manifest.columns:
+        hwm_expr = F.max("max_ts_us")
+        ts_pred = F.col(cfg.ts_col) > F.timestamp_micros(F.col("__hwm_ts"))
+    else:
+        hwm_expr = F.max("max_ts")
+        ts_pred = F.col(cfg.ts_col) > F.to_timestamp(F.col("__hwm_ts"))
+    hwm = prev_manifest.groupBy(F.col("partition").alias("__hwm_part")).agg(
+        hwm_expr.alias("__hwm_ts")
     )
-    fresh = src.filter(
-        F.col("hwm_ts").isNull() | (F.col(cfg.ts_col) > F.to_timestamp("hwm_ts"))
-    ).drop("partition", "hwm_ts")
+    src = source.join(
+        F.broadcast(hwm), source[cfg.partition_col] == hwm["__hwm_part"], "left"
+    )
+    fresh = src.filter(F.col("__hwm_ts").isNull() | ts_pred).drop("__hwm_part", "__hwm_ts")
     return backup(spark, fresh, cfg)
