@@ -184,3 +184,47 @@ def test_backup_reference_layout(spark, sf_dir, tmp_path):
     assert total == ev.filter(F.col("ts").between("2024-01-01", "2024-01-31")).count()
     # staging fully cleaned up
     assert not (tmp_path / "ref" / "_staging").exists()
+
+
+def test_reference_layout_unescapes_partition_values(spark, tmp_path):
+    """Partition values with chars Spark percent-escapes in dir names
+    (space, ':') must appear unescaped in the reference key
+    (cmd/backup.go:311-313 uses the raw partition value)."""
+    from datetime import datetime
+
+    from timestream_travel_spark.pipeline.reference_layout import backup_reference_layout
+
+    rows = [
+        ("web shop:EU", 1, datetime(2024, 1, 2, 10, 0, 0)),
+        ("web shop:EU", 2, datetime(2024, 1, 2, 11, 0, 0)),
+        ("plain", 3, datetime(2024, 1, 2, 12, 0, 0)),
+    ]
+    src = spark.createDataFrame(rows, "event_type string, event_id long, ts timestamp")
+    cfg = BackupConfig(
+        dest=str(tmp_path / "ref"), time_from="2024-01-01 00:00:00",
+        time_to="2024-01-03 00:00:00", tiebreak_col="event_id",
+    )
+    keys = backup_reference_layout(spark, src, cfg, database="db", table="t")
+    parts = {k.split("/")[2] for k in keys}
+    assert "web shop:EU" in parts and "plain" in parts
+    for k in keys:
+        assert "%" not in k.split("/")[2]
+        assert (tmp_path / "ref" / k).exists()
+
+
+def test_reference_layout_key_collision_raises(spark, tmp_path):
+    """Two chunks with identical bounds+CRC (identical content) would
+    silently overwrite under os.replace — must raise instead."""
+    from datetime import datetime
+
+    from timestream_travel_spark.pipeline.reference_layout import backup_reference_layout
+
+    # 4 byte-identical rows, 2 per chunk → two identical staged files
+    rows = [("a", 7, datetime(2024, 1, 2, 10, 0, 0))] * 4
+    src = spark.createDataFrame(rows, "event_type string, event_id long, ts timestamp")
+    cfg = BackupConfig(
+        dest=str(tmp_path / "ref"), time_from="2024-01-01 00:00:00",
+        time_to="2024-01-03 00:00:00", rows_per_chunk=2, tiebreak_col="event_id",
+    )
+    with pytest.raises(Exception, match="collision"):
+        backup_reference_layout(spark, src, cfg, database="db", table="t")

@@ -16,6 +16,16 @@ it to its reference key.
 Time formats: yyyyMMdd for the dir (Go layout '20060102',
 backup.go:24), basic-ISO seconds for the bounds ('20060102T150405Z',
 backup.go:26-27).
+
+The stats+rename pass is DISTRIBUTED: a `binaryFile` scan of the
+staging dir (one Spark task per file — listing, CRC, bounds all
+executor-side, the blob never reaches the driver), then the rename
+runs inside the same mapInPandas task, mirroring the reference's
+worker-side uploads (backup.go:317-328: each goroutine PUTs its own
+object). Only the final key strings are collected — parameter-sized,
+like the reference's key log. Retry-safe: a re-executed task finds
+its source gone + target present and treats the move as done; a
+genuine key collision (two chunks, same partition/bounds/CRC) raises.
 """
 
 from __future__ import annotations
@@ -34,17 +44,22 @@ from timestream_travel_spark.pipeline.backup import MAX_ROWS_PER_CHUNK, TIME_FMT
 ISO_BASIC = "%Y%m%dT%H%M%SZ"
 
 
+def _local_path(uri: str) -> str:
+    """file:/x or file:///x → /x; plain paths pass through."""
+    if uri.startswith("file:"):
+        path = uri[len("file:") :]
+        while path.startswith("//"):
+            path = path[1:]
+        return path
+    return uri
+
+
 def backup_reference_layout(
     spark: SparkSession, source: DataFrame, cfg: BackupConfig, database: str, table: str
 ) -> list[str]:
     """Run the export and lay the output out under the reference's
-    exact key scheme. Returns the list of final keys (relative to
-    cfg.dest).
-
-    The stats+rename pass is driver-coordinated but streams one file
-    at a time (payloads never concatenate in memory); at cluster
-    scale you would run the same loop inside foreachPartition over a
-    listing DataFrame."""
+    exact key scheme. Returns the sorted list of final keys (relative
+    to cfg.dest)."""
     from timestream_travel_spark.functions.faithful import faithful_projection
     from timestream_travel_spark.tables import ensure_timestamp, time_window_filter
 
@@ -73,37 +88,68 @@ def backup_reference_layout(
         .json(staging)
     )
 
-    keys: list[str] = []
-    for dirpath, _, files in os.walk(staging):
-        for fname in sorted(files):
-            if not fname.endswith(".json.gz"):
-                continue
-            fpath = os.path.join(dirpath, fname)
-            part_val = dirpath.split("__part=")[1].split(os.sep)[0]
-            with open(fpath, "rb") as fh:
-                raw = fh.read()
-            crc = zlib.crc32(raw)  # CRC over the gzipped object, backup.go:308-309
-            min_ts, max_ts = None, None
-            with gzip.open(fpath, "rt") as fh:
-                for line in fh:
+    # Distributed stats+rename: binaryFile gives (path, content) one
+    # row per staged object. The partition value comes from the
+    # '__part=' path segment, percent-UNESCAPED (the writer escapes
+    # ' ', ':', '/', '%', ... via ExternalCatalogUtils %XX codes —
+    # urllib.parse.unquote is the exact inverse); path parsing rather
+    # than Spark's partition-column inference so numeric-looking
+    # values ("00123") aren't type-mangled.
+    listing = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.json.gz")
+        .load(staging)
+        .select("path", "content")
+    )
+
+    ts_col, dest = cfg.ts_col, cfg.dest
+
+    def stat_and_rename(batches):
+        from urllib.parse import unquote
+
+        import pandas as pd
+
+        for pdf in batches:
+            keys_out = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                part_val = unquote(_local_path(path).split("__part=")[1].split(os.sep)[0])
+                crc = zlib.crc32(bytes(content))  # over the gzipped object, backup.go:308-309
+                min_ts = max_ts = None
+                for line in gzip.decompress(bytes(content)).decode("utf-8").splitlines():
                     if not line.strip():
                         continue
-                    ts = json.loads(line)[cfg.ts_col]
+                    ts = json.loads(line)[ts_col]
                     min_ts = ts if min_ts is None or ts < min_ts else min_ts
                     max_ts = ts if max_ts is None or ts > max_ts else max_ts
-            lo = datetime.strptime(min_ts, TIME_FMT)
-            hi = datetime.strptime(max_ts, TIME_FMT)
-            key = os.path.join(
-                database,
-                table,
-                part_val,
-                lo.strftime("%Y%m%d"),
-                f"{lo.strftime(ISO_BASIC)}_{hi.strftime(ISO_BASIC)}_{crc:08x}.log.gz",
-            )
-            final = os.path.join(cfg.dest, key)
-            os.makedirs(os.path.dirname(final), exist_ok=True)
-            os.replace(fpath, final)
-            keys.append(key)
+                lo = datetime.strptime(min_ts, TIME_FMT)
+                hi = datetime.strptime(max_ts, TIME_FMT)
+                key = os.path.join(
+                    database,
+                    table,
+                    part_val,
+                    lo.strftime("%Y%m%d"),
+                    f"{lo.strftime(ISO_BASIC)}_{hi.strftime(ISO_BASIC)}_{crc:08x}.log.gz",
+                )
+                src = _local_path(path)
+                final = os.path.join(dest, key)
+                os.makedirs(os.path.dirname(final), exist_ok=True)
+                try:
+                    # atomic claim: O_EXCL create, then replace — two
+                    # concurrent tasks can't both win the same key
+                    os.close(os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+                except FileExistsError:
+                    if os.path.exists(src):
+                        raise FileExistsError(
+                            f"reference-key collision: {key} already exists "
+                            f"(two chunks with identical bounds+CRC)"
+                        ) from None
+                    # task retry: move already happened — idempotent
+                else:
+                    os.replace(src, final)
+                keys_out.append(key)
+            yield pd.DataFrame({"key": keys_out})
+
+    keys = [r["key"] for r in listing.mapInPandas(stat_and_rename, "key string").collect()]
     # drop the staging skeleton (empty dirs + _SUCCESS markers)
     for dirpath, dirs, files in os.walk(staging, topdown=False):
         for f in files:
