@@ -127,6 +127,40 @@ def test_incremental_backup_source_partition_column_survives(spark, tmp_path):
     assert {r["partition"] for r in recs} == {"keepme2"}
 
 
+def test_verify_reference_layout_crc(spark, sf_dir, tmp_path):
+    """Chunk-level CRC contract (cmd/backup.go:308-313): verify must
+    pass on a pristine layout and fail after a single corrupted byte."""
+    import glob
+
+    from timestream_travel_spark.cli import main as cli_main
+    from timestream_travel_spark.pipeline.reference_layout import backup_reference_layout
+    from timestream_travel_spark.pipeline.restore import verify_reference_layout
+
+    dest = str(tmp_path / "ref")
+    ev = load_table(spark, sf_dir, "events")
+    cfg = BackupConfig(
+        dest=dest, time_from="2024-01-01 00:00:00", time_to="2024-01-15 00:00:00",
+        rows_per_chunk=500, tiebreak_col="event_id",
+    )
+    keys = backup_reference_layout(spark, ev, cfg, database="db", table="events")
+    report = verify_reference_layout(spark, dest).cache()
+    assert report.count() == len(keys)
+    assert report.filter(report["status"] != "ok").count() == 0
+    assert cli_main(["verify", "--dest", dest, "--layout"]) == 0
+    # unpersist or the plan-matched cache would mask the corruption below
+    report.unpersist()
+
+    # flip one byte mid-payload of one chunk
+    victim = sorted(glob.glob(dest + "/db/events/*/*/*.log.gz"))[0]
+    blob = bytearray(open(victim, "rb").read())
+    blob[len(blob) // 2] ^= 0xFF
+    open(victim, "wb").write(bytes(blob))
+
+    bad = verify_reference_layout(spark, dest).filter(F.col("status") != "ok").collect()
+    assert len(bad) == 1 and bad[0]["status"] == "crc_mismatch"
+    assert cli_main(["verify", "--dest", dest, "--layout"]) == 1
+
+
 def test_salted_aggregate_matches_plain(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     salted = salted_aggregate(

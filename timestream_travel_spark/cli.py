@@ -43,6 +43,12 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--verbose", action="store_true")
     v = sub.add_parser("verify", help="reconcile a backup against its stored manifest")
     v.add_argument("--dest", required=True, help="backup output path (must contain _manifest/)")
+    v.add_argument(
+        "--layout",
+        action="store_true",
+        help="reference-layout mode: recompute per-chunk CRC32 and check it "
+        "against the crc embedded in each object key",
+    )
     v.add_argument("--verbose", action="store_true")
     c = sub.add_parser("compact", help="rewrite fragmented parquet into size-targeted files")
     c.add_argument("--src", required=True, help="fragmented parquet directory")
@@ -65,9 +71,24 @@ def main(argv: list[str] | None = None) -> int:
     from timestream_travel_spark.session import get_spark
 
     if args.command == "verify":
-        from timestream_travel_spark.pipeline.restore import verify_backup
+        from timestream_travel_spark.pipeline.restore import verify_backup, verify_reference_layout
 
         spark = get_spark("timestream-travel-verify")
+        if args.layout:
+            # chunk-level CRC contract (cmd/backup.go:308-313)
+            report = verify_reference_layout(spark, args.dest)
+            bad = report.filter(report["status"] != "ok").collect()
+            n = report.count()
+            for r in bad:
+                log.error(
+                    "key=%s stored=%s actual=%s status=%s",
+                    r["key"], r["stored_crc"], r["actual_crc"], r["status"],
+                )
+            if bad:
+                log.error("CRC verification FAILED for %d of %d chunk(s)", len(bad), n)
+                return 1
+            log.info("CRC verification OK (%d chunks)", n)
+            return 0
         manifest = spark.read.parquet(f"{args.dest}/_manifest")
         report = verify_backup(spark, args.dest, manifest).collect()
         bad = [r for r in report if r["status"] != "ok"]
@@ -113,29 +134,36 @@ def main(argv: list[str] | None = None) -> int:
         dry_run=args.dry_run,
         tiebreak_col=args.tiebreak_col,
     )
+    from pyspark.sql import functions as F
+
     try:
         manifest = backup(spark, source, cfg)
-        rows = manifest.collect()
         if not args.dry_run:
             # persist the manifest beside the data (underscore prefix →
-            # invisible to downstream Spark/Hadoop scans of the payload)
+            # invisible to downstream Spark/Hadoop scans of the payload);
+            # written distributed — the manifest itself is millions of
+            # rows at 100 TB, never collect() it
             manifest.write.mode("overwrite").parquet(f"{args.dest}/_manifest")
+            manifest = spark.read.parquet(f"{args.dest}/_manifest")
+        # per-partition totals, as the reference logs at the end
+        # (cmd/backup.go:338, 352) — aggregated executor-side, only
+        # one row per partition value reaches the driver
+        totals = (
+            manifest.groupBy("partition")
+            .agg(F.sum("row_count").alias("rows"), F.count("*").alias("chunks"))
+            .collect()
+        )
     except ValueError as e:
         log.error("%s", e)
         return 2
-    # per-partition totals, as the reference logs at the end
-    # (cmd/backup.go:338, 352)
-    totals: dict[str, int] = {}
-    for r in rows:
-        totals[r["partition"]] = totals.get(r["partition"], 0) + r["row_count"]
-    for part, n in sorted(totals.items()):
-        log.info("partition=%s rows=%d", part, n)
+    for r in sorted(totals, key=lambda r: r["partition"]):
+        log.info("partition=%s rows=%d", r["partition"], r["rows"])
     log.info(
         "backup %s in %.2fs: %d chunks, %d rows%s",
         "planned (dry-run)" if args.dry_run else "completed",
         time.perf_counter() - t0,
-        len(rows),
-        sum(totals.values()),
+        sum(r["chunks"] for r in totals),
+        sum(r["rows"] for r in totals),
         " (nothing written)" if args.dry_run else f" -> {args.dest}",
     )
     return 0

@@ -54,6 +54,50 @@ def verify_backup(spark: SparkSession, dest: str, manifest: DataFrame) -> DataFr
     )
 
 
+def verify_reference_layout(spark: SparkSession, dest: str) -> DataFrame:
+    """Chunk-level CRC verification of a reference-layout backup
+    (cmd/backup.go:308-313: the key embeds crc32 of the gzipped
+    object). Distributed binaryFile scan — each task recomputes its
+    files' CRC from the raw bytes and compares to the key's crc hex.
+
+    Returns one row per object: (key, stored_crc, actual_crc,
+    status ∈ 'ok' | 'crc_mismatch' | 'bad_key')."""
+    import zlib
+
+    listing = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.log.gz")
+        .option("recursiveFileLookup", "true")
+        .load(dest)
+        .select("path", "content")
+    )
+
+    def check(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {"key": [], "stored_crc": [], "actual_crc": [], "status": []}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                fname = path.rsplit("/", 1)[1]
+                actual = f"{zlib.crc32(bytes(content)):08x}"
+                stem = fname[: -len(".log.gz")]
+                parts = stem.rsplit("_", 1)
+                if len(parts) != 2 or len(parts[1]) != 8:
+                    stored, status = "", "bad_key"
+                else:
+                    stored = parts[1]
+                    status = "ok" if stored == actual else "crc_mismatch"
+                out["key"].append(fname)
+                out["stored_crc"].append(stored)
+                out["actual_crc"].append(actual)
+                out["status"].append(status)
+            yield pd.DataFrame(out)
+
+    return listing.mapInPandas(
+        check, "key string, stored_crc string, actual_crc string, status string"
+    )
+
+
 def incremental_backup(
     spark: SparkSession, source: DataFrame, cfg: BackupConfig, prev_manifest: DataFrame | None
 ) -> DataFrame:
