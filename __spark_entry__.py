@@ -46,6 +46,8 @@ _UNVERIFIED_FIRST = [
     "q_window_rank_kinds", "q_window_lag_delta", "q_window_running_sum",
     "q_window_moving_avg", "q_window_range_frame", "q_window_locf",
     "q_backup_manifest",
+    # round-2 additions — also never driver-checked yet
+    "q_lsh_verified_jaccard",
 ]
 
 

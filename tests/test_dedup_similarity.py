@@ -48,6 +48,38 @@ def test_minhash_lsh_finds_planted_near_dups(spark, sf_dir):
     assert min(planted_found) > 0.5
 
 
+def test_lsh_verified_pairs_match_exact(spark, sf_dir):
+    """The LSH-gated exact-Jaccard flow must reproduce the brute-force
+    pairs ≥ threshold (fixture dups sit at j≈0.97 where LSH recall is
+    ~1), and its plan must contain no corpus self-join on block keys —
+    every join is equi on the LSH bucket or a doc id."""
+    from timestream_travel_spark.operators.dedup import lsh_verified_pairs
+
+    docs = _with_near_dups(spark, sf_dir).cache()
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in lsh_verified_pairs(docs, threshold=0.5).collect()
+    }
+    sh = docs.select("doc_id", word_shingles("text").alias("sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))
+    brute = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.round(inter / union, 4).alias("jaccard"))
+        .filter((inter / union) >= 0.5)
+        .collect()
+    }
+    docs.unpersist()
+    assert got == brute
+    # plan shape: no cartesian / non-equi corpus join in the gated flow
+    plan = lsh_verified_pairs(docs, threshold=0.5)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_exact_dedup_idempotent(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     doubled = d.unionByName(d)

@@ -217,6 +217,62 @@ def q_minhash_lsh_candidates_impl(docs: DataFrame) -> DataFrame:
     return minhash_candidates(docs)
 
 
+def lsh_verified_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", threshold: float = 0.5
+) -> DataFrame:
+    """The 100 TB near-dup flow: LSH candidates → exact Jaccard on
+    candidate pairs ONLY. No all-pairs or block self-join of the
+    corpus anywhere in the plan — the only corpus-sized shuffles are
+    the LSH bucket join (equi-keyed) and two id-equi joins attaching
+    shingle sets to the (tiny) candidate list.
+
+    The blocked-exact q_ngram_jaccard_pairs stays as the small-SF
+    verify twin; this is the plan that survives a hot (lang, source)
+    block."""
+    cand = minhash_candidates(docs, id_col, text_col).select("doc_a", "doc_b")
+    sh = docs.select(F.col(id_col).alias("id"), word_shingles(text_col).alias("sh"))
+    sh_a = sh.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    joined = cand.join(sh_a, "doc_a").join(sh_b, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / union
+    return joined.select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard")).filter(
+        (inter / union) >= threshold
+    )
+
+
+@query(
+    "q_lsh_verified_jaccard",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) - 2, 1)),
+               i -> array_to_string(regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')[i:i+2], ' ')
+             )) AS shingles
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 4)
+             AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+    """,
+)
+def q_lsh_verified_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs ≥ 0.5 true Jaccard, found via MinHash-LSH
+    candidates and verified exactly on the candidate set. The oracle
+    is the unblocked all-pairs SQL — equality holds because the
+    fixture's duplicate pairs sit at j ≈ 0.97 where 8-band/3-row LSH
+    recall is 1 − (1 − 0.97³)⁸ ≈ 1 − 3·10⁻⁹; no fixture pair lands in
+    (0.067, 0.9) where recall could flake (measured at sf0.001/0.01)."""
+    d = load_table(spark, sf_dir, "documents")
+    return lsh_verified_pairs(d, threshold=0.5)
+
+
 # ------------------------------------------------------------------- SimHash
 
 
