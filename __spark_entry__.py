@@ -48,6 +48,7 @@ _UNVERIFIED_FIRST = [
     "q_backup_manifest",
     # round-2 additions — also never driver-checked yet
     "q_lsh_verified_jaccard",
+    "q_image_header_dims",
 ]
 
 

@@ -231,3 +231,47 @@ def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("lang", blob.alias("blob")).groupBy("lang").agg(
         F.sum(F.octet_length("blob")).alias("total_bytes"), F.count("*").alias("n_blobs")
     )
+
+
+@query(
+    "q_image_header_dims",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST((n_chars % 640) + 1 AS INT) AS width,
+           CAST((n_chars % 480) + 1 AS INT) AS height,
+           'decoded_header:png' AS status
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def q_image_header_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image-metadata extraction end-to-end: synthesize a valid
+    PNG header per document (geometry derived from n_chars),
+    Arrow-batch it through extract_asset_metadata's mapInPandas, and
+    return the dimensions the PURE-PYTHON header parser recovered
+    (functions/multimodal.py parse_image_dims — PNG IHDR struct read,
+    public spec). The oracle recomputes the planted geometry in SQL;
+    a hash match proves the parse is real, not the fake fallback."""
+    from timestream_travel_spark.functions.multimodal import (
+        extract_asset_metadata,
+        synthesize_png,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"].astype("int64"),
+                    "blob": [
+                        synthesize_png((int(n) % 640) + 1, (int(n) % 480) + 1)
+                        for n in pdf["n_chars"]
+                    ],
+                }
+            )
+
+    blobs = d.select("doc_id", "n_chars").mapInPandas(synth, "asset_id long, blob binary")
+    meta = extract_asset_metadata(blobs, "asset_id", "blob", "image/png")
+    return meta.select("asset_id", "width", "height", "status")
