@@ -57,7 +57,35 @@ def main() -> None:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    total = round(sum(timings.values()), 3)
+    # Reusable-index path: build the MinHash signature index once,
+    # then run candidate generation FROM the index — the delta vs
+    # q_minhash_lsh_candidates above is the cross-run saving.
+    import shutil
+    import tempfile
+
+    from timestream_travel_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_candidates_from_index,
+    )
+    from timestream_travel_spark.tables import load_table
+
+    idx_dir = tempfile.mkdtemp(prefix="minhash_idx_")
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        t0 = time.perf_counter()
+        build_minhash_index(docs, idx_dir)
+        timings["minhash_index_build"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        minhash_candidates_from_index(spark, idx_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings["q_minhash_from_index"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+
+    # headline total stays comparable across rounds: the index
+    # build/reuse timings are reported per-query but not summed
+    total = round(sum(timings[n] for n in HEADLINE), 3)
     print(
         json.dumps(
             {

@@ -80,6 +80,28 @@ def test_lsh_verified_pairs_match_exact(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_minhash_index_roundtrip(spark, sf_dir, tmp_path):
+    """Candidates from a persisted signature index must equal the
+    direct computation (hashes are deterministic)."""
+    from timestream_travel_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_candidates_from_index,
+    )
+
+    docs = _with_near_dups(spark, sf_dir)
+    idx = str(tmp_path / "sig_idx")
+    build_minhash_index(docs, idx)
+    from_index = {
+        (r["doc_a"], r["doc_b"], r["est_jaccard"])
+        for r in minhash_candidates_from_index(spark, idx).collect()
+    }
+    direct = {
+        (r["doc_a"], r["doc_b"], r["est_jaccard"])
+        for r in minhash_candidates(docs).collect()
+    }
+    assert from_index == direct and from_index
+
+
 def test_exact_dedup_idempotent(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     doubled = d.unionByName(d)
