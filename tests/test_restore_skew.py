@@ -3,6 +3,7 @@ stream-static join tests."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from timestream_travel_spark.operators.skew import salted_aggregate, salted_join
@@ -184,6 +185,77 @@ def test_salted_join_matches_plain(spark, sf_dir):
     s = {r["o_orderpriority"]: r["count"] for r in salted.collect()}
     p = {r["o_orderpriority"]: r["count"] for r in plain.collect()}
     assert s == p
+
+
+def _skewed_pair(spark):
+    """300k-row fact where 95% of rows share key 7, plus a 1000-row
+    dim — the classic hot-key join fixture."""
+    large = spark.range(0, 300_000).select(
+        F.when((F.col("id") % 100) < 95, F.lit(7)).otherwise(F.col("id") % 1000).alias("k"),
+        (F.col("id") % 97).alias("v"),
+    )
+    small = spark.range(1000).select(F.col("id").alias("k2"), (F.col("id") * 3).alias("w"))
+    return large, small
+
+
+def test_aqe_skew_split_matches_salted_join(spark):
+    """AQE's runtime skew-split and the explicit salted_join rewrite
+    must agree with the plain join on a deliberately hot-keyed
+    fixture; the AQE final plan must actually show the skew split
+    (skew=true on the sort-merge join)."""
+    large, small = _skewed_pair(spark)
+    agg = lambda df: {  # noqa: E731
+        r["k"]: (r["n"], r["s"])
+        for r in df.groupBy("k").agg(F.count("*").alias("n"), F.sum(F.col("v") * F.col("w")).alias("s")).collect()
+    }
+
+    plain = agg(large.join(small, large.k == small.k2))
+    salted = agg(salted_join(large, small, "k", "k2"))
+    assert salted == plain
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    try:
+        # force SMJ + make the local fixture cross AQE's skew bar
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        joined = large.join(small, large.k == small.k2)
+        assert agg(joined) == plain
+        # global aggregate: a groupBy on the join key would let
+        # Catalyst reuse the join's partitioning, which forbids the
+        # skew split (splitting would break the required distribution)
+        final_plan = joined.agg(
+            F.count("*").alias("n"), F.sum(F.col("v") * F.col("w")).alias("s")
+        )
+        [row] = final_plan.collect()
+        assert row["n"] == sum(n for n, _ in plain.values())
+        assert row["s"] == sum(s for _, s in plain.values())
+        plan_str = final_plan._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan_str, f"AQE did not skew-split:\n{plan_str[:2000]}"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_salted_join_rejects_small_side_preserving_modes(spark):
+    large, small = _skewed_pair(spark)
+    for how in ("right", "full", "outer", "full_outer", "rightouter"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(large, small, "k", "k2", how=how)
+    # left variants stay accepted
+    assert salted_join(large, small, "k", "k2", how="left_semi").columns == ["k", "v"]
 
 
 def test_stream_static_join(spark, sf_dir, tmp_path):

@@ -57,7 +57,19 @@ def salted_join(
     large gets a random salt in [0, n_salts); small is exploded
     n_salts times so every (key, salt) bucket finds its match. The
     shuffle key becomes (key, salt) — a single hot key spreads over
-    n_salts reducers instead of melting one."""
+    n_salts reducers instead of melting one.
+
+    Only inner/left/left_semi/left_anti (large side preserved) are
+    semantics-preserving: with right/full, a small-side key with no
+    large-side match would emit n_salts null-extended duplicates (one
+    per replica). Those modes raise."""
+    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how.lower().replace("_", "") not in {h.replace("_", "") for h in allowed}:
+        raise ValueError(
+            f"salted_join(how={how!r}): only large-side-preserving joins "
+            "(inner/left/left_semi/left_anti) are semantics-preserving — "
+            "the replicated small side would duplicate unmatched rows"
+        )
     l_salted = large.withColumn("__salt", (F.rand(seed=42) * n_salts).cast("int"))
     s_replicated = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

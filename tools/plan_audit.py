@@ -56,6 +56,81 @@ def audit(plan: str) -> list[str]:
     return notes
 
 
+def skew_demo(spark) -> list[str]:
+    """AQE skew-split demonstration on a hot-keyed fixture: result
+    parity with the explicit salted rewrite, timings, and the final
+    adaptive plan showing skew=true (mirrors
+    tests/test_restore_skew.py::test_aqe_skew_split_matches_salted_join)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from timestream_travel_spark.operators.skew import salted_join
+
+    large = spark.range(0, 3_000_000).select(
+        F.when((F.col("id") % 100) < 95, F.lit(7)).otherwise(F.col("id") % 1000).alias("k"),
+        (F.col("id") % 97).alias("v"),
+    )
+    small = spark.range(1000).select(F.col("id").alias("k2"), (F.col("id") * 3).alias("w"))
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    out = ["## AQE skew-join demonstration\n"]
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256KB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256KB")
+
+        probe = lambda df: df.agg(F.count("*").alias("n"), F.sum(F.col("v") * F.col("w")).alias("s")).collect()[0]  # noqa: E731
+
+        t0 = time.perf_counter()
+        agg_df = large.join(small, large.k == small.k2).agg(
+            F.count("*").alias("n"), F.sum(F.col("v") * F.col("w")).alias("s")
+        )
+        aqe_row = agg_df.collect()[0]
+        t_aqe = time.perf_counter() - t0
+        plan = agg_df._jdf.queryExecution().executedPlan().toString()
+
+        t0 = time.perf_counter()
+        salted_row = probe(salted_join(large, small, "k", "k2"))
+        t_salted = time.perf_counter() - t0
+
+        match = (aqe_row["n"], aqe_row["s"]) == (salted_row["n"], salted_row["s"])
+        skewed = "skew=true" in plan
+        out += [
+            "Fixture: 3M-row fact, 95% of rows on one key, joined to a 1000-row dim",
+            "with broadcast disabled (forces the skewed sort-merge path).",
+            "",
+            f"- {'✅' if skewed else '❌'} AQE runtime skew-split engaged (`skew=true` on the SMJ)",
+            f"- {'✅' if match else '❌'} results identical: AQE-split join == explicit salted_join",
+            f"- ℹ️ wall: AQE skew-split {t_aqe:.2f}s vs salted rewrite {t_salted:.2f}s (local[32])",
+            "",
+            "```",
+        ]
+        m = re.search(r".*skew=true.*", plan)
+        smj_start = plan.find("SortMergeJoin")
+        snippet = re.sub(r"#\d+L?", "", plan[max(0, smj_start - 600) : smj_start + 200])
+        out.append(snippet.rstrip())
+        out.append("```\n")
+        if m is None or not match:
+            raise RuntimeError("skew demo failed its own checks — see PLANS.md output")
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return out
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     import __spark_entry__ as entrymod
@@ -84,6 +159,7 @@ def main() -> None:
         tree_end = simple.find("\n\n")
         out.append(simple[: tree_end if 0 < tree_end < 4000 else 4000].rstrip())
         out.append("```\n")
+    out += skew_demo(spark)
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as fh:
         fh.write("\n".join(out))
     print(f"wrote PLANS.md ({len(AUDITED)} queries)")
