@@ -80,6 +80,41 @@ def streaming_dedup(stream: DataFrame, watermark: str = "30 minutes") -> DataFra
     return stream.withWatermark("ts", watermark).dropDuplicates(["event_id", "ts"])
 
 
+def read_rate_stream(spark: SparkSession, rows_per_second: int = 500) -> DataFrame:
+    """Rate source shaped like the events table — the fixture-free
+    demo/load-gen stream (each row: monotonically increasing event_id,
+    processing-time ts, synthetic user/type/value)."""
+    rate = spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
+    return rate.select(
+        F.col("value").alias("event_id"),
+        F.col("timestamp").alias("ts"),
+        (F.col("value") % 97).alias("user_id"),
+        F.element_at(
+            F.array(F.lit("click"), F.lit("view"), F.lit("purchase"), F.lit("refund"), F.lit("signup")),
+            (F.col("value") % 5 + 1).cast("int"),
+        ).alias("event_type"),
+        (F.col("value") % 1000).cast("double").alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
+
+
+def rate_demo(
+    spark: SparkSession,
+    dest: str,
+    checkpoint: str,
+    rows_per_second: int = 500,
+    window: str = "5 seconds",
+    watermark: str = "5 seconds",
+):
+    """End-to-end fixture-free pipeline: rate source → tumbling
+    window counts → foreachBatch gzip NDJSON sink. Returns the
+    started StreamingQuery; the caller inspects `lastProgress` for
+    input/processed rates and stops it."""
+    stream = read_rate_stream(spark, rows_per_second)
+    counts = tumbling_counts(stream, window=window, watermark=watermark)
+    return write_gzip_json_stream(counts, dest, checkpoint).start()
+
+
 def write_gzip_json_stream(result: DataFrame, dest: str, checkpoint: str):
     """foreachBatch sink reusing the batch gzip NDJSON writer
     (A23-A26): each micro-batch appends partitioned compressed JSON."""
