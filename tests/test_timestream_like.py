@@ -144,3 +144,34 @@ def test_connector_missing_path_errors(spark):
     spark.dataSource.register(TimestreamLikeDataSource)
     with pytest.raises(Exception):
         spark.read.format("timestream_like").load().collect()
+
+
+def test_connector_tolerates_page_schema_drift(spark, tmp_path):
+    """Dynamic-schema APIs can return heterogeneous pages: a later
+    page missing a first-page column must degrade that column to
+    "NULL" (helpers.go ProcessRowType is per-page), and an extra
+    column must be dropped — never a KeyError that kills the scan."""
+    src = tmp_path / "pages"
+    src.mkdir()
+    ci_full = [
+        {"Name": "time", "Type": {"ScalarType": "TIMESTAMP"}},
+        {"Name": "value", "Type": {"ScalarType": "DOUBLE"}},
+    ]
+    ci_drifted = [  # 'value' gone, unexpected 'extra' present
+        {"Name": "time", "Type": {"ScalarType": "TIMESTAMP"}},
+        {"Name": "extra", "Type": {"ScalarType": "VARCHAR"}},
+    ]
+    (src / "page-000.json").write_text(json.dumps({
+        "ColumnInfo": ci_full,
+        "Rows": [{"Data": [_scalar("2024-01-01 00:00:00"), _scalar(1.5)]}],
+    }))
+    (src / "page-001.json").write_text(json.dumps({
+        "ColumnInfo": ci_drifted,
+        "Rows": [{"Data": [_scalar("2024-01-02 00:00:00"), _scalar("surprise")]}],
+    }))
+    spark.dataSource.register(TimestreamLikeDataSource)
+    df = spark.read.format("timestream_like").option("path", str(src)).load()
+    assert df.columns == ["time", "value"]
+    rows = {r["time"]: r["value"] for r in df.collect()}
+    assert rows["2024-01-01 00:00:00"] == "1.5"
+    assert rows["2024-01-02 00:00:00"] == "NULL"  # missing column degraded

@@ -130,7 +130,11 @@ class TimestreamLikeReader(DataSourceReader):
         column_info = page["ColumnInfo"]
         for row in page.get("Rows", []):
             decoded = process_row(row["Data"], column_info)
+            # Schema is fixed from the FIRST page, but ColumnInfo is
+            # per-page (helpers.go ProcessRowType is per-page too):
+            # a later page missing a schema column degrades to "NULL"
+            # instead of failing the scan; extra columns are dropped.
             yield tuple(
                 v if isinstance(v, str) else json.dumps(v, sort_keys=True)
-                for v in (decoded[name] for name in self.fields)
+                for v in (decoded.get(name, NULL_STR) for name in self.fields)
             )
