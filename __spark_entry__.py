@@ -49,6 +49,12 @@ _UNVERIFIED_FIRST = [
     # round-2 additions — also never driver-checked yet
     "q_lsh_verified_jaccard",
     "q_image_header_dims",
+    "q_tpch_q3_shipping_priority",
+    "q_tpch_q5_local_supplier_volume",
+    "q_tpch_q10_returned_items",
+    "q_pivot_wide",
+    "q_unpivot_melt",
+    "q_percentile_exact",
 ]
 
 

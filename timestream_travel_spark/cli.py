@@ -16,6 +16,22 @@ Usage:
   python -m timestream_travel_spark backup \
       --source /data/events.parquet --dest /backups/events \
       --partition-col event_type --ts-col ts --from 1d --rows 500
+
+S3 contract (A26, cmd/backup.go:317-328): --dest/--source accept any
+Hadoop-FS URI. For s3a:// the cluster must carry hadoop-aws +
+aws-java-sdk on the classpath and the standard S3A conf, e.g.:
+
+  spark.hadoop.fs.s3a.access.key / .secret.key   (or an IAM role /
+  spark.hadoop.fs.s3a.aws.credentials.provider)
+  spark.hadoop.fs.s3a.endpoint                   (non-AWS stores)
+  spark.hadoop.fs.s3a.path.style.access=true     (MinIO et al.)
+
+All writes go through the Hadoop committer — no code path here is
+local-FS-specific except reference_layout's rename pass, which uses
+os.replace and documents its object-store variant (same loop against
+the S3 CopyObject/DeleteObject pair, executor-side). This sandbox has
+no S3 endpoint, so s3a is exercised by URI passthrough only; the
+local-FS e2e tests cover the identical write path.
 """
 
 from __future__ import annotations

@@ -1,0 +1,100 @@
+"""Relational surface, part 5: pivot (long→wide), unpivot/melt
+(wide→long), and exact percentiles — reshaping + distribution
+primitives every analytics engine needs.
+
+Scale notes: pivot with an EXPLICIT value list is one partial-agg
+shuffle (no extra distinct-scan to discover columns — at 100 TB the
+implicit-values variant adds a full pass); unpivot is a zero-shuffle
+stack expression; percentiles here are exact (single sort-based agg)
+with the approx variant covered by q_approx_quantile_error pytest
+bounds elsewhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from timestream_travel_spark.ops import dsum, dsum_sql
+from timestream_travel_spark.registry import query
+from timestream_travel_spark.tables import load_table
+
+EVENT_TYPES = ["click", "purchase", "refund", "signup", "view"]
+
+
+@query(
+    "q_pivot_wide",
+    oracle="""
+    SELECT dayname(ts) AS day,
+           COUNT(*) FILTER (event_type = 'click') AS click,
+           COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (event_type = 'refund') AS refund,
+           COUNT(*) FILTER (event_type = 'signup') AS signup,
+           COUNT(*) FILTER (event_type = 'view') AS view
+    FROM events
+    GROUP BY dayname(ts)
+    """,
+)
+def q_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide: per-weekday event-type counts via pivot with an
+    explicit value list (no discovery pass; deterministic columns).
+    NULL event_types fall outside the listed values, matching the
+    FILTER semantics in the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("day", F.date_format("ts", "EEEE"))
+        .groupBy("day")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+    )
+
+
+@query(
+    "q_unpivot_melt",
+    oracle=f"""
+    SELECT 'l_discount' AS metric, {dsum_sql('l_discount', 'total', 4)} FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', {dsum_sql('l_extendedprice', 'total', 4)} FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity', {dsum_sql('l_quantity', 'total', 4)} FROM lineitem
+    UNION ALL
+    SELECT 'l_tax', {dsum_sql('l_tax', 'total', 4)} FROM lineitem
+    """,
+)
+def q_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long: melt four measure columns into (metric, value)
+    rows — a zero-shuffle stack expression — then one decimal-exact
+    aggregate per metric."""
+    li = load_table(spark, sf_dir, "lineitem")
+    melted = li.unpivot(
+        ids=[],
+        values=["l_discount", "l_extendedprice", "l_quantity", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="v",
+    )
+    return melted.groupBy("metric").agg(dsum("v", "total", scale=4))
+
+
+@query(
+    "q_percentile_exact",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per group (Spark
+    `percentile` == DuckDB `quantile_cont`, both lo+(hi-lo)·frac on
+    the sorted values; rounded to 4dp at the output boundary to
+    absorb the final double ulp)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pct = lambda p, a: F.round(F.percentile("l_extendedprice", F.lit(p)), 4).alias(a)  # noqa: E731
+    return li.groupBy("l_returnflag").agg(
+        pct(0.25, "p25"), pct(0.5, "p50"), pct(0.75, "p75"), pct(0.9, "p90")
+    )

@@ -1,0 +1,148 @@
+"""TPC-H-shaped composite queries (Q3/Q5/Q10 adapted to the fixture
+schema) — the classic multi-join analytics shapes a query engine must
+run well. These exercise the join-order/broadcast/partial-agg
+machinery end-to-end in one plan each, beyond the single-operator
+queries in relational*.py.
+
+Scale notes (the plans that survive 100 TB):
+- dims (region, nation, customer, supplier) are explicitly
+  broadcast — no fact-side shuffle for dimension joins;
+- the orders⋈lineitem fact-fact join shuffles on orderkey only
+  AFTER the date/flag filters prune both sides (pushdown audited in
+  PLANS.md for the same scan paths);
+- aggregates are decimal-exact (ops.dsum) so results hash-match
+  DuckDB bit-for-bit (MEMORY: oracle stability rules);
+- top-k via orderBy+limit → TakeOrderedAndProject, no global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from timestream_travel_spark.ops import REVENUE_SQL, dsum, dsum_sql, revenue_col, ts_str
+from timestream_travel_spark.registry import query
+from timestream_travel_spark.tables import load_table
+
+
+@query(
+    "q_tpch_q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           {dsum_sql(REVENUE_SQL, "revenue", 8)},
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shape: unshipped-orders revenue by order. customer is a
+    broadcast dim; orders⋈lineitem shuffles on orderkey after both
+    date filters push to the scans."""
+    cu = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    od = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-06-01")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-06-01")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(revenue_col(), "revenue", scale=8))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q_tpch_q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n_name, {dsum_sql(REVENUE_SQL, "revenue", 8)}
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q_tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 shape: revenue through LOCAL suppliers (customer and
+    supplier share a nation) per nation of one region. Four broadcast
+    dims around the one fact-fact shuffle."""
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    re = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(
+            F.broadcast(su),
+            (li.l_suppkey == su.s_suppkey) & (cu.c_nationkey == su.s_nationkey),
+        )
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(revenue_col(), "revenue", scale=8))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+@query(
+    "q_tpch_q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name, {dsum_sql(REVENUE_SQL, "revenue", 8)}, n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: top customers by returned-item revenue in a
+    half-year window. Returnflag + date filters push down; customer
+    and nation broadcast; top-20 via TakeOrderedAndProject."""
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-07-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    na = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(revenue_col(), "revenue", scale=8))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )

@@ -56,6 +56,7 @@ def load_all() -> None:
         relational2,
         relational3,
         relational4,
+        relational5,
         scalar_funcs,
         scalar_funcs2,
         scalar_funcs3,
@@ -63,6 +64,7 @@ def load_all() -> None:
         similarity2,
         timeseries,
         timeseries2,
+        tpch,
         udf_queries,
         windows,
     )
