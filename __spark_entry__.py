@@ -55,6 +55,7 @@ _UNVERIFIED_FIRST = [
     "q_pivot_wide",
     "q_unpivot_melt",
     "q_percentile_exact",
+    "q_dedup_clusters",
 ]
 
 

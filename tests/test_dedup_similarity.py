@@ -175,3 +175,23 @@ def test_ann_ivf_kmeans_recall(spark, sf_dir):
     assert len(approx) == 10
     recall = len(set(exact) & set(approx)) / len(exact)
     assert recall >= 0.3, f"kmeans-IVF recall too low: {recall}"
+
+
+def test_connected_components_chain_and_clique(spark):
+    """Min-label propagation handles a 6-node chain (diameter > 1
+    round), a triangle, and an isolated pair; cluster id is the min
+    node of each component."""
+    from timestream_travel_spark.operators.dedup2 import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),   # chain 1..6
+         (10, 11), (11, 12), (10, 12),             # triangle
+         (20, 21)],                                 # pair
+        "src long, dst long",
+    )
+    got = {r["node"]: r["cluster"] for r in connected_components(edges).collect()}
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }

@@ -48,6 +48,7 @@ def load_all() -> None:
     """Import every operator module so its @query decorators run."""
     from timestream_travel_spark.operators import (  # noqa: F401
         dedup,
+        dedup2,
         joins,
         llm_text,
         llm_text2,
