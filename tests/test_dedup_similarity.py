@@ -195,3 +195,21 @@ def test_connected_components_chain_and_clique(spark):
         10: 10, 11: 10, 12: 10,
         20: 20, 21: 20,
     }
+
+
+def test_ann_ivf_kmeanspp_recall_and_spread(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    from timestream_travel_spark.operators.similarity2 import kmeanspp_init
+
+    qs = entrymod.queries()
+    exact = [r["vec_id"] for r in qs["q_cosine_topk"](spark, sf_dir).collect()]
+    approx = [r["vec_id"] for r in qs["q_ann_ivf_kmeanspp_topk"](spark, sf_dir).collect()]
+    assert len(approx) == 10
+    recall = len(set(exact) & set(approx)) / len(exact)
+    assert recall >= 0.3, f"kmeans++-IVF recall too low: {recall}"
+    # seeding is deterministic and produces k distinct centroids
+    e = load_table(spark, sf_dir, "embeddings")
+    c1 = kmeanspp_init(e, 4)
+    c2 = kmeanspp_init(e, 4)
+    assert c1 == c2 and len({tuple(c) for c in c1}) == 4

@@ -5,9 +5,9 @@ primitives every analytics engine needs.
 Scale notes: pivot with an EXPLICIT value list is one partial-agg
 shuffle (no extra distinct-scan to discover columns — at 100 TB the
 implicit-values variant adds a full pass); unpivot is a zero-shuffle
-stack expression; percentiles here are exact (single sort-based agg)
-with the approx variant covered by q_approx_quantile_error pytest
-bounds elsewhere.
+stack expression; percentiles here are exact (single sort-based agg);
+the sketch variant is bounded by
+tests/test_properties.py::test_percentile_approx_error_bound.
 """
 
 from __future__ import annotations

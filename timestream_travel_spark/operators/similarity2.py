@@ -128,8 +128,32 @@ def _assign_cell(v, cents: list[list[float]]):
     return F.array_position(sims, F.array_max(sims)).cast("int") - 1
 
 
+def kmeanspp_init(embeddings: DataFrame, k: int) -> list[list[float]]:
+    """Deterministic k-means++-style seeding (farthest-point /
+    Gonzalez variant): start from the min-vec_id vector, then k−1
+    times pick the vector farthest (1 − max cosine) from the chosen
+    set — argmax instead of k-means++'s D²-weighted sample, so runs
+    are reproducible without a random stream. Each pick is one
+    TakeOrdered scan; k×dim floats total reach the driver."""
+    v = to_double_array(F.col("embedding"))
+    first = (
+        embeddings.orderBy("vec_id").limit(1).select(v.alias("e")).collect()[0]["e"]
+    )
+    cents = [list(first)]
+    for _ in range(k - 1):
+        sims = F.array(*[cosine(v, query_vector_lit(c)) for c in cents])
+        far = (
+            embeddings.select("vec_id", v.alias("e"), (1 - F.array_max(sims)).alias("d"))
+            .orderBy(F.desc("d"), F.asc("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        cents.append(list(far["e"]))
+    return cents
+
+
 def train_kmeans_centroids(
-    embeddings: DataFrame, k: int = 8, iters: int = 3
+    embeddings: DataFrame, k: int = 8, iters: int = 3, init: str = "first"
 ) -> list[list[float]]:
     """Lloyd's k-means as a driver-side loop over DataFrame
     aggregations: assign (argmax cosine), recompute means
@@ -138,14 +162,17 @@ def train_kmeans_centroids(
     mean-update are full-cluster scans — the shape that holds at
     100 TB (iters × one scan each).
 
-    Init: the first k vectors by vec_id (deterministic; k-means++
-    would need a distance-weighted sample pass — roadmap)."""
-    init = (
-        embeddings.orderBy("vec_id").limit(k)
-        .select(to_double_array(F.col("embedding")).alias("e"))
-        .collect()
-    )
-    cents = [list(r["e"]) for r in init]
+    init: 'first' = first k vectors by vec_id; 'farthest' =
+    deterministic k-means++-style spread seeding (kmeanspp_init)."""
+    if init == "farthest":
+        cents = kmeanspp_init(embeddings, k)
+    else:
+        rows = (
+            embeddings.orderBy("vec_id").limit(k)
+            .select(to_double_array(F.col("embedding")).alias("e"))
+            .collect()
+        )
+        cents = [list(r["e"]) for r in rows]
     v = to_double_array(F.col("embedding"))
     for _ in range(iters):
         assigned = embeddings.withColumn("cell", _assign_cell(v, cents))
@@ -162,6 +189,38 @@ def train_kmeans_centroids(
         # empty cells keep their previous centroid
         cents = [by_cell.get(i, cents[i]) for i in range(k)]
     return cents
+
+
+def _ivf_topk(spark: SparkSession, sf_dir: str, init: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = train_kmeans_centroids(e, k=8, iters=3, init=init)
+    qvec = _query_vec(spark, sf_dir)
+
+    def py_cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / ((sum(x * x for x in a) ** 0.5) * (sum(x * x for x in b) ** 0.5))
+
+    probe = sorted(range(len(cents)), key=lambda i: -py_cos(qvec, cents[i]))[:N_PROBE]
+    v = to_double_array(F.col("embedding"))
+    cand = (
+        e.withColumn("cell", _assign_cell(v, cents))
+        .filter(F.col("cell").isin(probe))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+    )
+    sim = F.round(cosine(to_double_array(F.col("embedding")), query_vector_lit(qvec)), 4)
+    return (
+        cand.select("vec_id", sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+@query("q_ann_ivf_kmeanspp_topk")
+def q_ann_ivf_kmeanspp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with deterministic k-means++-style (farthest-point)
+    seeding before Lloyd — better-spread cells than first-k init.
+    Rows-only oracle; pytest bounds recall vs brute force."""
+    return _ivf_topk(spark, sf_dir, init="farthest")
 
 
 @query("q_ann_ivf_kmeans_topk")
