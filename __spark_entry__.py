@@ -56,6 +56,10 @@ _UNVERIFIED_FIRST = [
     "q_unpivot_melt",
     "q_percentile_exact",
     "q_dedup_clusters",
+    "q_stopword_corpus",
+    "q_bigram_counts",
+    "q_type_token_ratio",
+    "q_ann_ivf_kmeanspp_topk",
 ]
 
 

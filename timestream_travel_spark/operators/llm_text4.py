@@ -1,0 +1,130 @@
+"""Text analysis, part 4: stopword-filtered corpus build, corpus
+bigram statistics, and vocabulary richness (type-token ratio) — the
+remaining standard text-pipeline accounting ops.
+
+Scale notes: everything is built-in split/transform/explode + hash
+aggregation (whole-stage codegen, no Python); the bigram top-k ends
+in TakeOrderedAndProject. The per-doc stopword pass never explodes —
+the token array is filtered inside the row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from timestream_travel_spark.operators.dedup import normalized_text
+from timestream_travel_spark.registry import query
+from timestream_travel_spark.tables import load_table
+
+STOPWORDS = ["a", "an", "and", "in", "is", "of", "the", "to"]
+_SW_SQL = "['a','an','and','in','is','of','the','to']"
+
+
+@query(
+    "q_stopword_corpus",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS tokens
+      FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id, lang,
+           CAST(len(tokens) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(tokens, t -> NOT list_contains({_SW_SQL}, t))) AS BIGINT)
+             AS n_content_tokens,
+           round(CAST(len(list_filter(tokens, t -> NOT list_contains({_SW_SQL}, t))) AS DOUBLE)
+                 / len(tokens), 4) AS content_ratio,
+           md5(array_to_string(list_filter(tokens, t -> NOT list_contains({_SW_SQL}, t)), ' '))
+             AS content_fp
+    FROM toks
+    """,
+)
+def q_stopword_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-removal corpus build: per document, token counts
+    before/after stopword filtering, the content ratio, and the
+    fingerprint of the cleaned text (the dedup key a training-data
+    pipeline stores). The filter runs inside the token array — no
+    explode, no shuffle until nothing is left to shuffle."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    tokens = F.split(normalized_text("text"), " ")
+    content = F.filter(tokens, lambda t: ~F.array_contains(sw, t))
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(tokens).cast("bigint").alias("n_tokens"),
+        F.size(content).cast("bigint").alias("n_content_tokens"),
+        F.round(F.size(content).cast("double") / F.size(tokens), 4).alias("content_ratio"),
+        F.md5(F.array_join(content, " ")).alias("content_fp"),
+    )
+
+
+@query(
+    "q_bigram_counts",
+    oracle="""
+    WITH toks AS (
+      SELECT regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS tokens
+      FROM documents
+    ), bigrams AS (
+      SELECT unnest(list_transform(
+               generate_series(1, len(tokens) - 1),
+               i -> tokens[i] || ' ' || tokens[i+1]
+             )) AS bigram
+      FROM toks WHERE len(tokens) >= 2
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM bigrams
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 25
+    """,
+)
+def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide bigram frequencies, top 25 (deterministic
+    tiebreak on the bigram itself). Adjacent-pair construction stays
+    inside the row (transform over indices), then one explode +
+    two-phase count."""
+    d = load_table(spark, sf_dir, "documents")
+    tokens = F.split(normalized_text("text"), " ")
+    idx = F.sequence(F.lit(1), F.size(tokens) - 1)
+    bigrams = F.transform(
+        idx, lambda i: F.concat(F.element_at(tokens, i), F.lit(" "), F.element_at(tokens, i + 1))
+    )
+    return (
+        d.filter(F.size(tokens) >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(25)
+    )
+
+
+@query(
+    "q_type_token_ratio",
+    oracle="""
+    WITH toks AS (
+      SELECT lang,
+             unnest(regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_tokens,
+           COUNT(DISTINCT tok) AS n_types,
+           round(CAST(COUNT(DISTINCT tok) AS DOUBLE) / COUNT(*), 6) AS ttr
+    FROM toks
+    GROUP BY lang
+    """,
+)
+def q_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary richness per language: distinct token types over
+    total tokens — the corpus-quality scalar every dataset card
+    reports. Explode + count-distinct aggregation."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("lang", F.explode(F.split(normalized_text("text"), " ")).alias("tok"))
+    return toks.groupBy("lang").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("tok").alias("n_types"),
+        F.round(F.countDistinct("tok").cast("double") / F.count("*"), 6).alias("ttr"),
+    )

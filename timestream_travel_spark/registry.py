@@ -53,6 +53,7 @@ def load_all() -> None:
         llm_text,
         llm_text2,
         llm_text3,
+        llm_text4,
         relational,
         relational2,
         relational3,
