@@ -301,3 +301,36 @@ def test_compact_parquet(spark, sf_dir, tmp_path):
     assert stats["rows"] == ev.count()
     assert stats["files_before"] == 40
     assert stats["files_after"] < 5
+
+
+def test_bucketed_join_elides_shuffle(spark, sf_dir):
+    """Both sides bucketed by the join key with equal bucket counts →
+    the join plan has NO shuffle exchange (the shuffle was paid once
+    at write time); results equal the plain join."""
+    from timestream_travel_spark.pipeline.bucketing import bucketed_join, write_bucketed
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_bucketed(li, "b_lineitem", "l_orderkey", n_buckets=8)
+        write_bucketed(od, "b_orders", "o_orderkey", n_buckets=8)
+        joined = bucketed_join(spark, "b_lineitem", "b_orders", "l_orderkey", "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, f"bucketing did not elide the shuffle:\n{plan[:1500]}"
+
+        got = {r["o_orderpriority"]: r["n"] for r in
+               joined.groupBy("o_orderpriority").agg(F.count("*").alias("n")).collect()}
+        want = {r["o_orderpriority"]: r["n"] for r in
+                li.join(od, li.l_orderkey == od.o_orderkey)
+                .groupBy("o_orderpriority").agg(F.count("*").alias("n")).collect()}
+        assert got == want
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")

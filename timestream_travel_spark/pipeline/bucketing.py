@@ -1,0 +1,38 @@
+"""Write-path bucketing: pre-shuffle tables on their join key at
+write time so later joins are exchange-free (the Spark counterpart of
+co-located / bucket-pruned storage layouts).
+
+At 100 TB this converts every recurring fact-fact join on the bucket
+key from two full shuffles into zero — the shuffle is paid ONCE at
+ingest. Requirements for Spark to elide the exchange: both sides
+bucketed by the join key with the same bucket count, and
+spark.sql.sources.bucketing.enabled (default true). sortBy within
+buckets additionally removes the per-task sort of a sort-merge join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+    sort: bool = True,
+) -> None:
+    """Persist df as a bucketed (and bucket-sorted) managed table."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort:
+        w = w.sortBy(bucket_col)
+    w.saveAsTable(table)
+
+
+def bucketed_join(spark: SparkSession, left_table: str, right_table: str, left_key: str, right_key: str) -> DataFrame:
+    """Join two pre-bucketed tables on their bucket keys — with equal
+    bucket counts the plan contains no shuffle exchange on either
+    side (verify via .explain: no 'Exchange hashpartitioning')."""
+    lt = spark.table(left_table)
+    rt = spark.table(right_table)
+    return lt.join(rt, lt[left_key] == rt[right_key])
