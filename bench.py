@@ -36,6 +36,16 @@ HEADLINE = [
     "q_sliding_window",      # overlapping-window expansion
 ]
 
+# round-2 additions: timed and reported per-query, NOT in the summed
+# headline metric (keeps `value` comparable to BENCH_r01)
+EXTRA = [
+    "q_tpch_q3_shipping_priority",
+    "q_tpch_q5_local_supplier_volume",
+    "q_tpch_q10_returned_items",
+    "q_lsh_verified_jaccard",
+    "q_dedup_clusters",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -52,7 +62,7 @@ def main() -> None:
     qs["q_partition_counts"](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in HEADLINE + EXTRA:
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)

@@ -257,14 +257,22 @@ def lsh_verified_pairs(
 
     The blocked-exact q_ngram_jaccard_pairs stays as the small-SF
     verify twin; this is the plan that survives a hot (lang, source)
-    block."""
+    block.
+
+    Verification cost model: the candidate list is tiny relative to
+    the corpus (that's the point of LSH), so it BROADCASTS into two
+    joins against the raw text and shingles are recomputed ONLY for
+    matched rows — the corpus is never shuffled carrying shingle
+    arrays, and full-corpus shingling happens exactly once (inside
+    the signature pass)."""
     cand = minhash_candidates(docs, id_col, text_col).select("doc_a", "doc_b")
-    sh = docs.select(F.col(id_col).alias("id"), word_shingles(text_col).alias("sh"))
-    sh_a = sh.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sh_b = sh.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    joined = cand.join(sh_a, "doc_a").join(sh_b, "doc_b")
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))
+    a = docs.select(F.col(id_col).alias("doc_a"), F.col(text_col).alias("__text_a"))
+    b = docs.select(F.col(id_col).alias("doc_b"), F.col(text_col).alias("__text_b"))
+    joined = b.join(F.broadcast(a.join(F.broadcast(cand), "doc_a")), "doc_b")
+    sh_a = word_shingles(F.col("__text_a"))
+    sh_b = word_shingles(F.col("__text_b"))
+    inter = F.size(F.array_intersect(sh_a, sh_b)).cast("double")
+    union = F.size(sh_a) + F.size(sh_b) - F.size(F.array_intersect(sh_a, sh_b))
     jac = inter / union
     return joined.select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard")).filter(
         (inter / union) >= threshold
