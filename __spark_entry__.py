@@ -60,6 +60,9 @@ _UNVERIFIED_FIRST = [
     "q_bigram_counts",
     "q_type_token_ratio",
     "q_ann_ivf_kmeanspp_topk",
+    "q_map_transform",
+    "q_str_to_map",
+    "q_lateral_view_stack",
 ]
 
 

@@ -100,3 +100,20 @@ def test_applyinpandas_slope_sign(spark):
     df = spark.createDataFrame(pdf)
     slopes = {r["user_id"]: r["slope"] for r in trend_slope_per_user(df).collect()}
     assert slopes[1] > 0 and slopes[2] < 0
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC write/read roundtrip; the range predicate reaches the ORC
+    scan as a pushed filter (SearchArgument), like parquet."""
+    from timestream_travel_spark.sources.formats import read_orc, write_orc
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    path = str(tmp_path / "events_orc")
+    write_orc(ev, path)
+    back = read_orc(spark, path)
+    assert back.count() == ev.count()
+    assert dict(back.dtypes) == dict(ev.dtypes)
+    q = back.filter(F.col("user_id") < 100).select("event_id", "user_id")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "user_id" in plan.split("PushedFilters")[1][:120]
+    assert q.count() == ev.filter(F.col("user_id") < 100).count()

@@ -62,6 +62,7 @@ def load_all() -> None:
         scalar_funcs,
         scalar_funcs2,
         scalar_funcs3,
+        scalar_funcs4,
         similarity,
         similarity2,
         timeseries,

@@ -41,6 +41,17 @@ def read_json(spark: SparkSession, path: str, schema: str | None = None) -> Data
     return reader.json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — Spark-native columnar alternative; same pushdown /
+    pruning behavior as parquet (predicate pushdown via ORC
+    SearchArguments)."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, compression: str = "zlib") -> None:
+    df.write.mode("overwrite").option("compression", compression).orc(path)
+
+
 def write_csv(df: DataFrame, path: str, header: bool = True, compression: str | None = None) -> None:
     w = df.write.mode("overwrite").option("header", str(header).lower())
     if compression:
