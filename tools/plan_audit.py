@@ -30,6 +30,9 @@ AUDITED = [
     "q_token_frequency",
     "q_minhash_lsh_candidates",
     "q_cosine_topk",
+    "q_tpch_q3_shipping_priority",
+    "q_tpch_q5_local_supplier_volume",
+    "q_lsh_verified_jaccard",
 ]
 
 
