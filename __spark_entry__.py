@@ -63,6 +63,7 @@ _UNVERIFIED_FIRST = [
     "q_map_transform",
     "q_str_to_map",
     "q_lateral_view_stack",
+    "q_rolling_hash_fp",
 ]
 
 

@@ -128,3 +128,45 @@ def q_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("tok").alias("n_types"),
         F.round(F.countDistinct("tok").cast("double") / F.count("*"), 6).alias("ttr"),
     )
+
+
+ROLL_B = 131
+ROLL_M = 1_000_000_007
+
+
+@query(
+    "q_rolling_hash_fp",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS tokens
+      FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(tokens,
+                 t -> CAST(length(t) * {ROLL_B} + ascii(t) * 31 + ascii(reverse(t)) AS BIGINT))),
+             (acc, v) -> (acc * {ROLL_B} + v) % {ROLL_M}
+           ) AS fp
+    FROM toks
+    """,
+)
+def q_rolling_hash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash document fingerprint (Rabin-Karp
+    style): fold acc = (acc·B + v(token)) mod M over the token
+    stream, v(t) = len·B + ascii(first) · 31 + ascii(last). Engine-
+    portable arithmetic (no murmur3), order-sensitive — unlike the
+    md5 set fingerprint, token REORDERING changes the hash. One
+    in-row fold, no shuffle."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    tokens = F.split(normalized_text("text"), " ")
+    v = lambda t: (  # noqa: E731
+        F.length(t) * ROLL_B + F.ascii(t) * 31 + F.ascii(F.reverse(t))
+    ).cast("bigint")
+    fp = F.aggregate(
+        tokens,
+        F.lit(0).cast("bigint"),
+        lambda acc, t: (acc * ROLL_B + v(t)) % ROLL_M,
+    )
+    return d.select("doc_id", fp.alias("fp"))
