@@ -66,6 +66,12 @@ def build_parser() -> argparse.ArgumentParser:
         "against the crc embedded in each object key",
     )
     v.add_argument("--verbose", action="store_true")
+    r = sub.add_parser("restore", help="rehydrate a gzip-NDJSON backup into parquet")
+    r.add_argument("--backup", required=True, help="backup output path (the backup --dest)")
+    r.add_argument("--dest", required=True, help="parquet output directory")
+    r.add_argument("--schema", default=None, help="DDL schema to cast faithful strings back to types")
+    r.add_argument("--dedup-key", default=None, help="drop duplicate rows by this key (keep max ts)")
+    r.add_argument("--verbose", action="store_true")
     c = sub.add_parser("compact", help="rewrite fragmented parquet into size-targeted files")
     c.add_argument("--src", required=True, help="fragmented parquet directory")
     c.add_argument("--dest", required=True, help="compacted output directory")
@@ -117,6 +123,16 @@ def main(argv: list[str] | None = None) -> int:
             log.error("verification FAILED for %d partition(s)", len(bad))
             return 1
         log.info("verification OK (%d partitions)", len(report))
+        return 0
+
+    if args.command == "restore":
+        from timestream_travel_spark.pipeline.restore import restore_backup
+
+        spark = get_spark("timestream-travel-restore")
+        stats = restore_backup(
+            spark, args.backup, args.dest, schema=args.schema, dedup_key=args.dedup_key
+        )
+        log.info("restored %d rows (%d read) -> %s", stats["rows_out"], stats["rows_in"], args.dest)
         return 0
 
     if args.command == "compact":

@@ -54,6 +54,49 @@ def verify_backup(spark: SparkSession, dest: str, manifest: DataFrame) -> DataFr
     )
 
 
+def restore_backup(
+    spark: SparkSession,
+    backup_dir: str,
+    dest: str,
+    schema: str | None = None,
+    dedup_key: str | None = None,
+) -> dict[str, int]:
+    """Rehydrate a gzip-NDJSON backup into an analytics-ready parquet
+    table — the inverse of backup() (the reference ships no restore
+    path; a backup you can't restore isn't a backup).
+
+    - faithful exports are all-string with "NULL" sentinels
+      (helpers.go:5-10): the sentinel maps back to real NULL, then an
+      optional DDL `schema` casts columns to types;
+    - `dedup_key`: drop duplicate rows by key (keep max ts) — the
+      reconciliation for overlapping window exports from legacy
+      (pre-epoch-us) manifests;
+    - distributed end-to-end: one scan of the backup, one optional
+      window, one parquet write. Returns {rows_in, rows_out}."""
+    raw = spark.read.json(f"{backup_dir}/__part=*/__date=*/*.json.gz")
+    cols = [c for c in raw.columns if not c.startswith("__")]
+    df = raw.select(
+        *[F.when(F.col(c) == "NULL", None).otherwise(F.col(c)).alias(c) for c in cols]
+    )
+    if schema:
+        from pyspark.sql.types import StructType
+
+        target = StructType.fromDDL(schema)
+        df = df.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in target.fields]
+        )
+    rows_in = df.count()
+    if dedup_key:
+        from pyspark.sql import Window
+
+        order_col = "ts" if "ts" in df.columns else dedup_key
+        w = Window.partitionBy(dedup_key).orderBy(F.desc(order_col))
+        df = df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    df.write.mode("overwrite").parquet(dest)
+    rows_out = spark.read.parquet(dest).count()
+    return {"rows_in": rows_in, "rows_out": rows_out}
+
+
 def verify_reference_layout(spark: SparkSession, dest: str) -> DataFrame:
     """Chunk-level CRC verification of a reference-layout backup
     (cmd/backup.go:308-313: the key embeds crc32 of the gzipped
