@@ -64,6 +64,9 @@ _UNVERIFIED_FIRST = [
     "q_str_to_map",
     "q_lateral_view_stack",
     "q_rolling_hash_fp",
+    "q_tpch_q6_forecast_revenue",
+    "q_tpch_q14_promo_share",
+    "q_tpch_q18_large_orders",
 ]
 
 

@@ -146,3 +146,110 @@ def q_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+@query(
+    "q_tpch_q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                    * CAST(l_discount AS DECIMAL(12,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape: forecast-revenue-change — the pure scan-filter-agg
+    query. Every predicate pushes to the parquet scan; the plan is
+    one scan + one partial/final agg, no shuffle of data rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,4)") * F.col("l_discount").cast("decimal(12,4)")
+    return f.agg(
+        F.sum(rev).cast("double").alias("revenue"), F.count("*").alias("n_lines")
+    )
+
+
+@query(
+    "q_tpch_q14_promo_share",
+    oracle=f"""
+    SELECT round(
+             100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                              THEN CAST({REVENUE_SQL} AS DECIMAL(20,8)) ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(CAST({REVENUE_SQL} AS DECIMAL(20,8))) AS DOUBLE), 6) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-06-01 00:00:00'
+    """,
+)
+def q_tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: promotion revenue share — conditional aggregate over
+    a fact⋈dim join (part broadcasts; the date filter prunes the fact
+    scan)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-03-01") & (F.col("l_shipdate") < "1997-06-01")
+    )
+    pa = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = revenue_col().cast("decimal(20,8)")
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(20,8)")))
+    return (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0) * promo.cast("double") / F.sum(rev).cast("double"), 6
+            ).alias("promo_pct")
+        )
+    )
+
+
+@query(
+    "q_tpch_q18_large_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, SUM(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 400
+    )
+    SELECT c_name, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           round(CAST(o_totalprice AS DECIMAL(12,2)), 2) AS o_totalprice,
+           round(CAST(total_qty AS DECIMAL(12,2)), 2) AS total_qty
+    FROM big
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: large-volume orders — aggregate-then-join (the
+    HAVING filter shrinks the fact to a handful of keys BEFORE any
+    join; the shrunken side then broadcasts into orders)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 400)
+    )
+    return (
+        od.join(F.broadcast(big), od.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round(F.col("o_totalprice").cast("decimal(12,2)"), 2).alias("o_totalprice"),
+            F.round(F.col("qty").cast("decimal(12,2)"), 2).alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
