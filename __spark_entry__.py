@@ -67,6 +67,7 @@ _UNVERIFIED_FIRST = [
     "q_tpch_q6_forecast_revenue",
     "q_tpch_q14_promo_share",
     "q_tpch_q18_large_orders",
+    "q_variant_json",
 ]
 
 

@@ -112,3 +112,34 @@ def q_lateral_view_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o_orderkey < 200
         """
     )
+
+
+@query(
+    "q_variant_json",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_props,
+           CAST(SUM(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 50
+                    THEN CAST(json_extract(props, '$.k') AS BIGINT) ELSE 0 END) AS BIGINT)
+             AS big_k_sum,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    WHERE props IS NOT NULL AND event_type IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): parse_json once into a
+    variant column, then typed variant_get extraction — the
+    open-schema ingestion model (vs per-access get_json_object
+    re-parsing, which re-tokenizes the string per extraction)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("props").isNotNull() & F.col("event_type").isNotNull()
+    )
+    v = ev.select("event_type", F.parse_json("props").alias("v"))
+    k = F.variant_get("v", "$.k", "bigint")
+    return v.groupBy("event_type").agg(
+        F.count("*").alias("n_props"),
+        F.sum(F.when(k > 50, k).otherwise(F.lit(0))).cast("bigint").alias("big_k_sum"),
+        F.max(k).cast("bigint").alias("max_k"),
+    )
