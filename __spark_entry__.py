@@ -68,6 +68,8 @@ _UNVERIFIED_FIRST = [
     "q_tpch_q14_promo_share",
     "q_tpch_q18_large_orders",
     "q_variant_json",
+    "q_audio_header_meta",
+    "q_label_centroids",
 ]
 
 

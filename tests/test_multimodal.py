@@ -118,3 +118,15 @@ def test_extract_asset_metadata(spark, sf_dir):
         assert r["checksum"] == c  # python zlib.crc32 == Spark crc32
         assert r["status"] == "decoded_fake"
         assert 1 <= r["width"] <= 640 and 1 <= r["height"] <= 480
+
+
+def test_parse_wav_meta_roundtrip():
+    from timestream_travel_spark.functions.multimodal import parse_wav_meta, synthesize_wav
+
+    blob = synthesize_wav(2, 16000, 16, 16000 * 3)  # 3 s stereo
+    assert parse_wav_meta(blob) == (2, 16000, 16, 3.0)
+    blob = synthesize_wav(1, 8000, 16, 4000)  # 0.5 s mono
+    assert parse_wav_meta(blob) == (1, 8000, 16, 0.5)
+    assert parse_wav_meta(b"RIFFxxxxNOPE") is None
+    assert parse_wav_meta(b"not audio") is None
+    assert parse_wav_meta(b"RIFF\x00\x00\x00\x00WAVE") is None  # no fmt/data chunks

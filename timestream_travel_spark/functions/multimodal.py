@@ -116,6 +116,43 @@ def synthesize_png(width: int, height: int) -> bytes:
     )
 
 
+def parse_wav_meta(blob: bytes) -> tuple[int, int, int, float] | None:
+    """(channels, sample_rate, bits_per_sample, duration_s) from a
+    RIFF/WAVE header — pure-Python struct reads of the public spec:
+    'RIFF'<size>'WAVE', then chunks; 'fmt ' carries channels/rate/
+    bits at offsets 2/4/14 of its body, 'data' carries the payload
+    size that determines duration. Returns None for non-WAV blobs."""
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        return None
+    channels = rate = bits = None
+    data_size = None
+    i = 12
+    while i + 8 <= len(blob):
+        cid = blob[i : i + 4]
+        (size,) = struct.unpack("<I", blob[i + 4 : i + 8])
+        if cid == b"fmt " and i + 8 + 16 <= len(blob):
+            channels, rate = struct.unpack("<HI", blob[i + 10 : i + 16])
+            (bits,) = struct.unpack("<H", blob[i + 22 : i + 24])
+        elif cid == b"data":
+            data_size = size
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if channels is None or data_size is None or not channels or not bits or not rate:
+        return None
+    bytes_per_sec = rate * channels * (bits // 8)
+    return channels, rate, bits, round(data_size / bytes_per_sec, 6)
+
+
+def synthesize_wav(channels: int, rate: int, bits: int, n_samples: int) -> bytes:
+    """Minimal valid WAV header + silent payload for the given
+    geometry — the deterministic audio fixture."""
+    payload = b"\x00" * (n_samples * channels * (bits // 8))
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * channels * (bits // 8), channels * (bits // 8), bits
+    )
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", len(payload)) + payload
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
 def fake_decode_dims(blob: bytes) -> tuple[int, int]:
     """Deterministic stand-in for decode: derives (width, height)
     from blob content so tests exercise the full pipeline shape."""

@@ -170,3 +170,47 @@ def q_rolling_hash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, t: (acc * ROLL_B + v(t)) % ROLL_M,
     )
     return d.select("doc_id", fp.alias("fp"))
+
+
+@query(
+    "q_audio_header_meta",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(1 + (n_chars % 2) AS INT) AS channels,
+           CAST(CASE WHEN n_chars % 3 = 0 THEN 8000 ELSE 16000 END AS INT) AS sample_rate,
+           CAST(16 AS INT) AS bits,
+           round(CAST(n_chars * 10 AS DOUBLE)
+                 / (CASE WHEN n_chars % 3 = 0 THEN 8000 ELSE 16000 END), 6) AS duration_s
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def q_audio_header_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio metadata for real: synthesize a valid RIFF/WAVE header
+    per document (geometry from n_chars), Arrow-batch through
+    mapInPandas, and return what the pure-Python WAV header parser
+    recovered (functions/multimodal.py parse_wav_meta — public RIFF
+    spec). The oracle recomputes the planted geometry in SQL."""
+    from timestream_travel_spark.functions.multimodal import parse_wav_meta, synthesize_wav
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"asset_id": [], "channels": [], "sample_rate": [], "bits": [], "duration_s": []}
+            for doc_id, n in zip(pdf["doc_id"], pdf["n_chars"]):
+                n = int(n)
+                blob = synthesize_wav(1 + n % 2, 8000 if n % 3 == 0 else 16000, 16, n * 10)
+                meta = parse_wav_meta(blob)
+                ch, rate, bits, dur = meta if meta else (None, None, None, None)
+                out["asset_id"].append(int(doc_id))
+                out["channels"].append(ch)
+                out["sample_rate"].append(rate)
+                out["bits"].append(bits)
+                out["duration_s"].append(dur)
+            yield pd.DataFrame(out)
+
+    return d.select("doc_id", "n_chars").mapInPandas(
+        run, "asset_id long, channels int, sample_rate int, bits int, duration_s double"
+    )

@@ -250,3 +250,29 @@ def q_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(TOP_K)
     )
+
+
+@query(
+    "q_label_centroids",
+    oracle="""
+    SELECT label, pos, round(AVG(v), 6) AS centroid_v FROM (
+      SELECT label,
+             CAST(generate_subscripts(embedding, 1) AS INT) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ) t
+    GROUP BY label, pos
+    """,
+)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF coarse-quantizer training aggregate as a first-class
+    query: per-label elementwise embedding mean (posexplode + avg —
+    one shuffle keyed (label, pos); k×dim rows out regardless of
+    corpus size). This is the distributed half of label_centroids();
+    only the collect differs."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode(to_double_array(F.col("embedding"))).alias("pos0", "v"))
+        .groupBy("label", (F.col("pos0") + 1).cast("int").alias("pos"))
+        .agg(F.round(F.avg("v"), 6).alias("centroid_v"))
+    )
