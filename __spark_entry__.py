@@ -70,6 +70,8 @@ _UNVERIFIED_FIRST = [
     "q_variant_json",
     "q_audio_header_meta",
     "q_label_centroids",
+    "q_exists_subquery",
+    "q_recursive_cte_spine",
 ]
 
 

@@ -117,3 +117,19 @@ def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "user_id" in plan.split("PushedFilters")[1][:120]
     assert q.count() == ev.filter(F.col("user_id") < 100).count()
+
+
+def test_xml_roundtrip(spark, sf_dir, tmp_path):
+    """XML write/read roundtrip (Spark 4 built-in XML source)."""
+    from timestream_travel_spark.sources.formats import read_xml, write_xml
+
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).limit(500)
+    path = str(tmp_path / "orders_xml")
+    write_xml(od, path, row_tag="order")
+    back = read_xml(spark, path, row_tag="order")
+    assert back.count() == 500
+    want = {r["o_orderkey"]: r["o_totalprice"] for r in od.collect()}
+    got = {r["o_orderkey"]: r["o_totalprice"] for r in back.collect()}
+    assert got == want

@@ -98,3 +98,67 @@ def q_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         pct(0.25, "p25"), pct(0.5, "p50"), pct(0.75, "p75"), pct(0.9, "p90")
     )
+
+
+@query(
+    "q_exists_subquery",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
+                        AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
+    """,
+)
+def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native SQL EXISTS / NOT EXISTS — Catalyst decorrelates these
+    into left-semi/left-anti joins (vs the hand-decorrelated
+    composition in q_correlated_subquery). Verified against DuckDB's
+    own decorrelation."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_r5")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_r5")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer_r5
+        WHERE EXISTS (SELECT 1 FROM orders_r5
+                      WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+          AND NOT EXISTS (SELECT 1 FROM orders_r5
+                          WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
+                            AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
+        """
+    )
+
+
+@query(
+    "q_recursive_cte_spine",
+    oracle="""
+    WITH RECURSIVE spine(d) AS (
+      SELECT TIMESTAMP '1997-01-01 00:00:00'
+      UNION ALL
+      SELECT d + INTERVAL 1 DAY FROM spine WHERE d < TIMESTAMP '1997-01-31 00:00:00'
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day, COUNT(o_orderkey) AS n_orders
+    FROM spine LEFT JOIN orders ON CAST(o_orderdate AS DATE) = CAST(d AS DATE)
+    GROUP BY d
+    """,
+)
+def q_recursive_cte_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4): generate a January-1997 date spine
+    recursively, left-join order counts onto it — days with zero
+    orders survive (the gap-fill idiom in pure SQL, cross-engine)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_r5b")
+    return spark.sql(
+        """
+        WITH RECURSIVE spine(d) AS (
+          SELECT TIMESTAMP '1997-01-01 00:00:00'
+          UNION ALL
+          SELECT d + INTERVAL 1 DAY FROM spine WHERE d < TIMESTAMP '1997-01-31 00:00:00'
+        )
+        SELECT date_format(d, 'yyyy-MM-dd') AS day, COUNT(o_orderkey) AS n_orders
+        FROM spine LEFT JOIN orders_r5b ON CAST(o_orderdate AS DATE) = CAST(d AS DATE)
+        GROUP BY d
+        """
+    )

@@ -52,6 +52,18 @@ def write_orc(df: DataFrame, path: str, compression: str = "zlib") -> None:
     df.write.mode("overwrite").option("compression", compression).orc(path)
 
 
+def read_xml(spark: SparkSession, path: str, row_tag: str = "row") -> DataFrame:
+    """XML scan (Spark 4 built-in): one DataFrame row per rowTag
+    element, schema inferred from attributes/children."""
+    return spark.read.format("xml").option("rowTag", row_tag).load(path)
+
+
+def write_xml(df: DataFrame, path: str, row_tag: str = "row", root_tag: str = "rows") -> None:
+    df.write.mode("overwrite").format("xml").option("rowTag", row_tag).option(
+        "rootTag", root_tag
+    ).save(path)
+
+
 def write_csv(df: DataFrame, path: str, header: bool = True, compression: str | None = None) -> None:
     w = df.write.mode("overwrite").option("header", str(header).lower())
     if compression:
