@@ -72,6 +72,7 @@ _UNVERIFIED_FIRST = [
     "q_label_centroids",
     "q_exists_subquery",
     "q_recursive_cte_spine",
+    "q_text_chunks",
 ]
 
 

@@ -133,3 +133,42 @@ def test_xml_roundtrip(spark, sf_dir, tmp_path):
     want = {r["o_orderkey"]: r["o_totalprice"] for r in od.collect()}
     got = {r["o_orderkey"]: r["o_totalprice"] for r in back.collect()}
     assert got == want
+
+
+def test_python_udtf_chunker_parity(spark, sf_dir):
+    """Python UDTF (Spark 4 table-function API): a chunking UDTF must
+    emit exactly the rows of the JVM sequence+explode chunker
+    (q_text_chunks). UDTFs are the API-surface demo — the registry
+    query keeps the codegen fast path."""
+    from pyspark.sql.functions import udtf
+
+    import __spark_entry__ as entrymod
+
+    CHUNK_SIZE, CHUNK_STEP = 200, 150
+
+    @udtf(returnType="doc_id bigint, chunk_id int, chunk_start int, chunk string")
+    class Chunker:
+        def eval(self, doc_id: int, text: str):
+            start, cid = 1, 0
+            last = max(len(text) - CHUNK_STEP, 1)
+            while start <= last:
+                yield doc_id, cid, start, text[start - 1 : start - 1 + CHUNK_SIZE]
+                start += CHUNK_STEP
+                cid += 1
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    spark.udtf.register("chunker", Chunker)
+    d.createOrReplaceTempView("docs_udtf")
+    got = {
+        (r["doc_id"], r["chunk_id"], r["chunk_start"], r["chunk"])
+        for r in spark.sql(
+            "SELECT c.* FROM docs_udtf, LATERAL chunker(doc_id, text) c"
+        ).collect()
+    }
+    want = {
+        (r["doc_id"], r["chunk_id"], r["chunk_start"], r["chunk"])
+        for r in entrymod.queries()["q_text_chunks"](spark, sf_dir).filter(
+            F.col("doc_id") < 50
+        ).collect()
+    }
+    assert got == want and got

@@ -214,3 +214,46 @@ def q_audio_header_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "n_chars").mapInPandas(
         run, "asset_id long, channels int, sample_rate int, bits int, duration_s double"
     )
+
+
+CHUNK_SIZE = 200
+CHUNK_STEP = 150  # size - overlap(50)
+
+
+@query(
+    "q_text_chunks",
+    oracle=f"""
+    SELECT doc_id,
+           CAST((chunk_start - 1) / {CHUNK_STEP} AS INT) AS chunk_id,
+           chunk_start,
+           substr(text, chunk_start, {CHUNK_SIZE}) AS chunk
+    FROM (
+      SELECT doc_id, text,
+             CAST(unnest(generate_series(1, greatest(length(text) - {CHUNK_STEP}, 1), {CHUNK_STEP})) AS INT)
+               AS chunk_start
+      FROM documents WHERE doc_id < 200
+    ) t
+    """,
+)
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping text chunking (the RAG/training-window primitive):
+    {CHUNK_SIZE}-char chunks every {CHUNK_STEP} chars (50-char
+    overlap). Chunk starts are generated INSIDE the row (sequence +
+    explode) and sliced with substring — whole-stage codegen, no
+    Python. The UDTF variant (tests/test_sources_udfs.py) returns
+    identical rows through the Python table-function API."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.length("text") - CHUNK_STEP, F.lit(1)),
+        F.lit(CHUNK_STEP),
+    )
+    return (
+        d.select("doc_id", "text", F.explode(starts).alias("chunk_start"))
+        .select(
+            "doc_id",
+            ((F.col("chunk_start") - 1) / CHUNK_STEP).cast("int").alias("chunk_id"),
+            F.col("chunk_start").cast("int").alias("chunk_start"),
+            F.substring(F.col("text"), F.col("chunk_start"), F.lit(CHUNK_SIZE)).alias("chunk"),
+        )
+    )
