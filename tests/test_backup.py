@@ -261,3 +261,19 @@ def test_restore_backup_roundtrip(spark, sf_dir, tmp_path):
     b = back.filter(F.col("event_id") == s["event_id"]).collect()[0]
     assert b["user_id"] == s["user_id"] and b["event_type"] == s["event_type"]
     assert abs((b["value"] or 0) - (s["value"] or 0)) < 1e-9
+
+
+def test_backup_write_observation_metrics(spark, sf_dir, tmp_path):
+    """The Observation attached to the write job must account exactly
+    for the rows/partitions the manifest claims — zero-extra-scan
+    write-side accounting."""
+    ev = load_table(spark, sf_dir, "events")
+    cfg = BackupConfig(
+        dest=str(tmp_path / "obs"), time_from="2024-01-01 00:00:00",
+        time_to="2024-01-15 00:00:00", tiebreak_col="event_id",
+    )
+    manifest = backup(spark, ev, cfg)
+    rows = manifest.agg(F.sum("row_count")).collect()[0][0]
+    parts = manifest.select("partition").distinct().count()
+    assert manifest._write_metrics["rows_written"] == rows
+    assert manifest._write_metrics["partitions_written"] == parts

@@ -168,11 +168,26 @@ def backup(spark: SparkSession, source: DataFrame, cfg: BackupConfig) -> DataFra
     )
 
     if not cfg.dry_run:
+        from pyspark.sql import Observation
+
         out = faithful_projection(windowed) if cfg.faithful else windowed
         # to_timestamp is a no-op on typed ts and re-parses faithful's
         # string rendering, so one expression covers both modes.
         out = out.withColumn("__part", F.col(cfg.partition_col)).withColumn(
             "__date", F.date_format(F.to_timestamp(F.col(cfg.ts_col)), "yyyyMMdd")
+        )
+        # Observation: write-side accounting (rows/partitions actually
+        # written) piggybacks on the write job — ZERO extra scan, the
+        # metrics ride the task results (cf. the reference's end-of-run
+        # per-partition counters, cmd/backup.go:299-301, which cost it
+        # nothing because the driver loop already had the rows).
+        obs = Observation("backup_write")
+        out = out.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows_written"),
+            # DISTINCT aggregates are disallowed in observed metrics;
+            # the HLL sketch is exact at partition-value cardinalities
+            F.approx_count_distinct("__part").alias("partitions_written"),
         )
         (
             out.repartition(F.col("__part"), F.col("__date"))
@@ -183,4 +198,6 @@ def backup(spark: SparkSession, source: DataFrame, cfg: BackupConfig) -> DataFra
             .option("maxRecordsPerFile", rows)
             .json(cfg.dest)
         )
+        # stash on the returned manifest for callers/tests; parameter-sized
+        manifest._write_metrics = obs.get
     return manifest
