@@ -73,6 +73,8 @@ _UNVERIFIED_FIRST = [
     "q_exists_subquery",
     "q_recursive_cte_spine",
     "q_text_chunks",
+    "q_time_weighted_avg",
+    "q_interpolate_linear",
 ]
 
 

@@ -67,6 +67,7 @@ def load_all() -> None:
         similarity2,
         timeseries,
         timeseries2,
+        timeseries3,
         tpch,
         udf_queries,
         windows,
