@@ -75,6 +75,8 @@ _UNVERIFIED_FIRST = [
     "q_text_chunks",
     "q_time_weighted_avg",
     "q_interpolate_linear",
+    "q_listagg",
+    "q_hll_sketch_union",
 ]
 
 

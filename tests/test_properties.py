@@ -129,3 +129,53 @@ def test_percentile_approx_error_bound(spark, sf_dir):
         F.expr("percentile(l_extendedprice, 0.5)").alias("ex"),
     ).collect()[0]
     assert abs(row["ap"] - row["ex"]) / row["ex"] < 0.01
+
+
+def test_hll_sketch_union_accuracy(spark, sf_dir):
+    """Merged per-half HLL sketches must estimate the global distinct
+    count within HLL error (~2% at default lgK), and match a sketch
+    built over the whole table."""
+    import __spark_entry__ as entrymod
+
+    od = load_table(spark, sf_dir, "orders")
+    exact = od.select("o_custkey").distinct().count()
+    est = entrymod.queries()["q_hll_sketch_union"](spark, sf_dir).collect()[0]["approx_custkeys"]
+    assert abs(est - exact) / exact < 0.05, f"{est} vs {exact}"
+    whole = od.agg(
+        F.round(F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")), 0).cast("bigint").alias("e")
+    ).collect()[0]["e"]
+    assert est == whole  # union of halves == whole-table sketch
+
+
+def test_parse_duration_properties():
+    """Hypothesis: any composed <n><unit> sequence parses to the sum
+    of its parts; junk never parses."""
+    from datetime import timedelta
+
+    from hypothesis import given, strategies as st
+
+    from timestream_travel_spark.pipeline.backup import parse_duration
+
+    UNITS = {"w": 7 * 86400, "d": 86400, "h": 3600, "m": 60, "s": 1}
+
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 9999), st.sampled_from(list(UNITS))),
+            min_size=1, max_size=6,
+        )
+    )
+    def roundtrip(parts):
+        spec = "".join(f"{n}{u}" for n, u in parts)
+        want = timedelta(seconds=sum(n * UNITS[u] for n, u in parts))
+        assert parse_duration(spec) == want
+
+    roundtrip()
+
+    @given(st.text(alphabet="0123456789wdhms .x-", max_size=12))
+    def never_crashes(s):
+        try:
+            parse_duration(s)
+        except ValueError:
+            pass  # rejection is the contract; anything else would raise
+
+    never_crashes()

@@ -162,3 +162,50 @@ def q_recursive_cte_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY d
         """
     )
+
+
+@query(
+    "q_listagg",
+    oracle="""
+    SELECT l_returnflag,
+           string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """listagg / string_agg with deterministic WITHIN-GROUP ordering —
+    the SQL:2023 ordered string concatenation aggregate."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_r5c")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               listagg(DISTINCT l_linestatus, ',') WITHIN GROUP (ORDER BY l_linestatus)
+                 AS statuses
+        FROM lineitem_r5c
+        GROUP BY l_returnflag
+        """
+    )
+
+
+@query("q_hll_sketch_union")
+def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (DataSketches): build per-half sketches
+    of distinct o_custkey, UNION them, estimate — the 100 TB
+    cardinality pattern (sketches merge across partitions/days
+    without re-scanning; a plain approx_count_distinct can't be
+    incrementally maintained). Rows-only oracle (sketch binaries are
+    engine-specific); pytest bounds the estimate against the exact
+    count and asserts union(sketch(A), sketch(B)) == sketch(A ∪ B)."""
+    od = load_table(spark, sf_dir, "orders")
+    halves = od.withColumn("half", (F.col("o_orderkey") % 2).cast("int"))
+    sketches = halves.groupBy("half").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"), F.count("*").alias("n_rows")
+    )
+    merged = sketches.agg(
+        F.hll_union_agg("sk").alias("sk_all"), F.sum("n_rows").alias("n_rows")
+    )
+    return merged.select(
+        F.round(F.hll_sketch_estimate("sk_all"), 0).cast("bigint").alias("approx_custkeys"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+    )
