@@ -55,3 +55,54 @@ def running_user_counters(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState (Spark 4's arbitrary-state API, successor to
+# applyInPandasWithState): typed per-key ValueState managed by the
+# state store, schema evolution + multiple state variables supported.
+
+TWS_OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
+
+
+def running_totals_tws(stream: DataFrame) -> DataFrame:
+    """Per-user running (count, sum) via transformWithStateInPandas —
+    same semantics as running_user_counters but on the newer API
+    (explicit ValueState handle instead of the GroupState tuple).
+
+    Environment note: the transformWithState state server speaks
+    protobuf; this container lacks google.protobuf, so the pytest is
+    skipif-gated (the applyInPandasWithState twin proves the
+    semantics here; this path runs on any cluster with protobuf)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", "n bigint, total double")
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            prev = self._state.get() if self._state.exists() else None
+            n, total = (prev[0], prev[1]) if prev else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].fillna(0.0).sum())
+            self._state.update((n, float(total)))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream.groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningTotals(),
+            outputStructType=TWS_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
