@@ -77,6 +77,7 @@ _UNVERIFIED_FIRST = [
     "q_interpolate_linear",
     "q_listagg",
     "q_hll_sketch_union",
+    "q_hash_sample",
 ]
 
 

@@ -209,3 +209,30 @@ def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.hll_sketch_estimate("sk_all"), 0).cast("bigint").alias("approx_custkeys"),
         F.col("n_rows").cast("bigint").alias("n_rows"),
     )
+
+
+@query(
+    "q_hash_sample",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, CAST(MIN(event_id) AS BIGINT) AS min_id
+    FROM events
+    WHERE (CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 4) AS INT) % 100) < 10
+      AND event_type IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% hash sample: md5(key) bucket < 10% — the
+    reproducible, engine-portable, cluster-stable sampling method
+    (same rows selected on every engine, every run, every partition
+    layout — unlike rand()-based sampling). The seeded-rand variant
+    stays as q_sample_deterministic (rows-only)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    bucket = F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 4), 16, 10).cast(
+        "int"
+    ) % 100
+    return (
+        ev.filter(bucket < 10)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.min("event_id").cast("bigint").alias("min_id"))
+    )
