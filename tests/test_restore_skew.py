@@ -334,3 +334,48 @@ def test_bucketed_join_elides_shuffle(spark, sf_dir):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_incremental_backup_in_place_append(spark, sf_dir, tmp_path):
+    """In-place increments: write_mode='append' lands strictly-newer
+    rows into the SAME dest; old chunks stay byte-identical, the
+    union of manifests reconciles the combined tree."""
+    dest = str(tmp_path / "inplace")
+    ev = load_table(spark, sf_dir, "events")
+    cfg1 = BackupConfig(
+        dest=dest, time_from="2024-01-01 00:00:00", time_to="2024-01-15 00:00:00",
+        tiebreak_col="event_id",
+    )
+    m1 = incremental_backup(spark, ev, cfg1, None).cache()
+    import glob
+    import hashlib
+
+    before = {
+        f: hashlib.md5(open(f, "rb").read()).hexdigest()
+        for f in glob.glob(f"{dest}/__part=*/__date=*/*.json.gz")
+    }
+
+    cfg2 = BackupConfig(
+        dest=dest, time_from="2024-01-01 00:00:00", time_to="2024-01-31 00:00:00",
+        tiebreak_col="event_id", write_mode="append",
+    )
+    m2 = incremental_backup(spark, ev, cfg2, m1).cache()
+
+    # pre-existing files untouched by the append
+    after = {
+        f: hashlib.md5(open(f, "rb").read()).hexdigest()
+        for f in glob.glob(f"{dest}/__part=*/__date=*/*.json.gz")
+    }
+    assert set(before) <= set(after)
+    assert all(after[f] == h for f, h in before.items())
+
+    total = ev.filter(F.col("ts").between("2024-01-01", "2024-01-31")).count()
+    found = sum(
+        1
+        for f in after
+        for _ in __import__("gzip").open(f, "rt")
+    )
+    assert found == total
+    # combined manifest reconciles the combined tree
+    report = verify_backup(spark, dest, m1.unionByName(m2)).collect()
+    assert report and all(r["status"] == "ok" for r in report)

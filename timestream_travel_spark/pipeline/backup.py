@@ -121,6 +121,11 @@ class BackupConfig:
     faithful: bool = True
     dry_run: bool = False
     tiebreak_col: str | None = None
+    # "overwrite" for full exports; "append" lets incremental_backup
+    # land strictly-newer rows into the SAME dest (rows are above the
+    # epoch-us watermark, so append cannot duplicate; a failed
+    # increment must be retried with the same watermark, not resumed)
+    write_mode: str = "overwrite"
 
 
 def backup(spark: SparkSession, source: DataFrame, cfg: BackupConfig) -> DataFrame:
@@ -192,7 +197,7 @@ def backup(spark: SparkSession, source: DataFrame, cfg: BackupConfig) -> DataFra
         (
             out.repartition(F.col("__part"), F.col("__date"))
             .sortWithinPartitions(F.desc(cfg.ts_col))
-            .write.mode("overwrite")
+            .write.mode(cfg.write_mode)
             .partitionBy("__part", "__date")
             .option("compression", "gzip")
             .option("maxRecordsPerFile", rows)
