@@ -97,10 +97,12 @@ def main(argv: list[str] | None = None) -> int:
 
         spark = get_spark("timestream-travel-verify")
         if args.layout:
-            # chunk-level CRC contract (cmd/backup.go:308-313)
-            report = verify_reference_layout(spark, args.dest)
-            bad = report.filter(report["status"] != "ok").collect()
-            n = report.count()
+            # chunk-level CRC contract (cmd/backup.go:308-313); one
+            # distributed scan — the report is chunk-count-sized, so
+            # collect once instead of re-CRCing the tree per action
+            rows = verify_reference_layout(spark, args.dest).collect()
+            bad = [r for r in rows if r["status"] != "ok"]
+            n = len(rows)
             for r in bad:
                 log.error(
                     "key=%s stored=%s actual=%s status=%s",

@@ -138,6 +138,8 @@ def parse_wav_meta(blob: bytes) -> tuple[int, int, int, float] | None:
         i += 8 + size + (size & 1)  # chunks are word-aligned
     if channels is None or data_size is None or not channels or not bits or not rate:
         return None
+    if bits % 8 != 0:  # sub-byte PCM (e.g. ADPCM) — not parseable here
+        return None
     bytes_per_sec = rate * channels * (bits // 8)
     return channels, rate, bits, round(data_size / bytes_per_sec, 6)
 

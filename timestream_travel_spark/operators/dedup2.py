@@ -40,6 +40,7 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst", m
         .select("node", F.col("node").alias("cluster"))
         .persist()
     )
+    changed = 0
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.a == labels.node)
@@ -65,6 +66,13 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst", m
         if changed == 0:
             break
     sym.unpersist()
+    if changed != 0:
+        # silent non-convergence would return split components — a
+        # chain longer than max_iter must be an explicit error
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            f"({changed} labels still changing — graph diameter exceeds max_iter)"
+        )
     return labels
 
 

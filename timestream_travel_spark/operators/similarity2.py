@@ -229,27 +229,7 @@ def q_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     label-mean stand-in of q_ann_ivf_topk): 8 Lloyd cells, probe the
     top-3 nearest to the query, exact cosine inside. Rows-only
     oracle; pytest bounds recall."""
-    e = load_table(spark, sf_dir, "embeddings")
-    cents = train_kmeans_centroids(e, k=8, iters=3)
-    qvec = _query_vec(spark, sf_dir)
-
-    def py_cos(a, b):
-        d = sum(x * y for x, y in zip(a, b))
-        return d / ((sum(x * x for x in a) ** 0.5) * (sum(x * x for x in b) ** 0.5))
-
-    probe = sorted(range(len(cents)), key=lambda i: -py_cos(qvec, cents[i]))[:N_PROBE]
-    v = to_double_array(F.col("embedding"))
-    cand = (
-        e.withColumn("cell", _assign_cell(v, cents))
-        .filter(F.col("cell").isin(probe))
-        .filter(F.col("vec_id") != QUERY_VEC_ID)
-    )
-    sim = F.round(cosine(to_double_array(F.col("embedding")), query_vector_lit(qvec)), 4)
-    return (
-        cand.select("vec_id", sim.alias("cos_sim"))
-        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-        .limit(TOP_K)
-    )
+    return _ivf_topk(spark, sf_dir, init="first")
 
 
 @query(

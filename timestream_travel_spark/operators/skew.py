@@ -63,7 +63,10 @@ def salted_join(
     semantics-preserving: with right/full, a small-side key with no
     large-side match would emit n_salts null-extended duplicates (one
     per replica). Those modes raise."""
-    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi", "leftsemi", "left_anti", "leftanti"}
+    allowed = {
+        "inner", "left", "leftouter", "left_outer",
+        "semi", "left_semi", "leftsemi", "anti", "left_anti", "leftanti",
+    }
     if how.lower().replace("_", "") not in {h.replace("_", "") for h in allowed}:
         raise ValueError(
             f"salted_join(how={how!r}): only large-side-preserving joins "

@@ -58,7 +58,7 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_interpolate_linear",
     oracle="""
     WITH samples AS (
-      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+      SELECT user_id, ts, value, event_id FROM events WHERE event_type = 'purchase'
     ), grid AS (
       SELECT DISTINCT user_id,
              unnest(generate_series(TIMESTAMP '2024-01-05 00:00:00',
@@ -67,11 +67,13 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM samples
     ), before AS (
       SELECT g.user_id, g.g, s.ts AS t0, s.value AS v0,
-             row_number() OVER (PARTITION BY g.user_id, g.g ORDER BY s.ts DESC) AS rn
+             row_number() OVER (PARTITION BY g.user_id, g.g
+                                ORDER BY s.ts DESC, s.event_id DESC) AS rn
       FROM grid g JOIN samples s ON s.user_id = g.user_id AND s.ts <= g.g
     ), after AS (
       SELECT g.user_id, g.g, s.ts AS t1, s.value AS v1,
-             row_number() OVER (PARTITION BY g.user_id, g.g ORDER BY s.ts ASC) AS rn
+             row_number() OVER (PARTITION BY g.user_id, g.g
+                                ORDER BY s.ts ASC, s.event_id ASC) AS rn
       FROM grid g JOIN samples s ON s.user_id = g.user_id AND s.ts > g.g
     )
     SELECT b.user_id,
@@ -94,7 +96,7 @@ def q_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows+grid, the same trick as the as-of join."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     samples = ev.select(
-        "user_id", "ts", "value", F.lit(0).alias("is_grid")
+        "user_id", "ts", "value", "event_id", F.lit(0).alias("is_grid")
     )
     grid = (
         samples.select("user_id").distinct()
@@ -108,19 +110,25 @@ def q_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("ts"),
         )
-        .select("user_id", "ts", F.lit(None).cast("double").alias("value"), F.lit(1).alias("is_grid"))
+        .select(
+            "user_id",
+            "ts",
+            F.lit(None).cast("double").alias("value"),
+            F.lit(None).cast("bigint").alias("event_id"),
+            F.lit(1).alias("is_grid"),
+        )
     )
     # grid points sort AFTER a sample at the same instant (is_grid
     # tiebreak) so an exact-hit sample counts as "at-or-before"
     unioned = samples.unionByName(grid)
     w_fwd = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "is_grid")
+        .orderBy("ts", "is_grid", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_bwd = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "is_grid")
+        .orderBy("ts", "is_grid", "event_id")
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     sample_ts = F.when(F.col("is_grid") == 0, F.col("ts"))

@@ -138,12 +138,17 @@ def backup_reference_layout(
                     # concurrent tasks can't both win the same key
                     os.close(os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
                 except FileExistsError:
-                    if os.path.exists(src):
+                    if not os.path.exists(src):
+                        pass  # task retry: move already happened — idempotent
+                    elif os.path.getsize(final) == 0:
+                        # orphaned placeholder: a prior attempt died
+                        # between claim and replace — finish the move
+                        os.replace(src, final)
+                    else:
                         raise FileExistsError(
                             f"reference-key collision: {key} already exists "
                             f"(two chunks with identical bounds+CRC)"
                         ) from None
-                    # task retry: move already happened — idempotent
                 else:
                     os.replace(src, final)
                 keys_out.append(key)
