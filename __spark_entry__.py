@@ -78,6 +78,7 @@ _UNVERIFIED_FIRST = [
     "q_listagg",
     "q_hll_sketch_union",
     "q_hash_sample",
+    "q_edit_distance_neardups",
 ]
 
 

@@ -257,3 +257,42 @@ def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring(F.col("text"), F.col("chunk_start"), F.lit(CHUNK_SIZE)).alias("chunk"),
         )
     )
+
+
+@query(
+    "q_edit_distance_neardups",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, text,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) - 2, 1)),
+               i -> array_to_string(regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')[i:i+2], ' ')
+             )) AS shingles
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(substr(a.text, 1, 120), substr(b.text, 1, 120)) AS INT) AS edit_dist
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+    """,
+)
+def q_edit_distance_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification of near-dup pairs: levenshtein on
+    the first 120 chars of each LSH-verified pair (capped prefix —
+    full-text edit distance is O(len²) per pair and belongs on a
+    bounded candidate set only, never the corpus). Pair set is the
+    oracle-stable LSH-verified output; the oracle recomputes it
+    all-pairs."""
+    from timestream_travel_spark.operators.dedup import lsh_verified_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = lsh_verified_pairs(d, threshold=0.5).select("doc_a", "doc_b")
+    ta = d.select(F.col("doc_id").alias("doc_a"), F.substring("text", 1, 120).alias("pa"))
+    tb = d.select(F.col("doc_id").alias("doc_b"), F.substring("text", 1, 120).alias("pb"))
+    return (
+        tb.join(F.broadcast(ta.join(F.broadcast(pairs), "doc_a")), "doc_b")
+        .select(
+            "doc_a", "doc_b", F.levenshtein("pa", "pb").cast("int").alias("edit_dist")
+        )
+    )
