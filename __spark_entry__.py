@@ -79,6 +79,7 @@ _UNVERIFIED_FIRST = [
     "q_hll_sketch_union",
     "q_hash_sample",
     "q_edit_distance_neardups",
+    "q_url_funcs",
 ]
 
 

@@ -44,6 +44,8 @@ EXTRA = [
     "q_tpch_q10_returned_items",
     "q_lsh_verified_jaccard",
     "q_dedup_clusters",
+    "q_time_weighted_avg",
+    "q_interpolate_linear",
 ]
 
 

@@ -143,3 +143,42 @@ def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(k > 50, k).otherwise(F.lit(0))).cast("bigint").alias("big_k_sum"),
         F.max(k).cast("bigint").alias("max_k"),
     )
+
+
+@query(
+    "q_url_funcs",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || lang || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
+               || '?src=' || source || '&v=2' AS url
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+           regexp_extract(url, '^https?://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '[?&]src=([^&]*)', 1) AS src_param,
+           replace(regexp_extract(url, '^https?://([^/]+)', 1) , '.example.com', '')
+             AS subdomain
+    FROM u
+    """,
+)
+def q_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL family: parse_url HOST/PATH/QUERY-with-key — the web-corpus
+    provenance columns every crawl pipeline extracts. The oracle
+    re-derives each part with regexes (DuckDB has no parse_url)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    url = F.concat(
+        F.lit("https://"), F.col("lang"), F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"), F.lit("?src="), F.col("source"), F.lit("&v=2"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("src")).alias("src_param"),
+        F.regexp_replace(F.parse_url("url", F.lit("HOST")), r"\.example\.com$", "").alias(
+            "subdomain"
+        ),
+    )
