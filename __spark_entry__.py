@@ -80,6 +80,8 @@ _UNVERIFIED_FIRST = [
     "q_hash_sample",
     "q_edit_distance_neardups",
     "q_url_funcs",
+    "q_tpch_q19_disjunctive",
+    "q_chunk_corpus",
 ]
 
 

@@ -296,3 +296,59 @@ def q_edit_distance_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a", "doc_b", F.levenshtein("pa", "pb").cast("int").alias("edit_dist")
         )
     )
+
+
+@query(
+    "q_chunk_corpus",
+    oracle=f"""
+    WITH chunks AS (
+      SELECT doc_id, lang,
+             substr(text, chunk_start, {CHUNK_SIZE}) AS chunk
+      FROM (
+        SELECT doc_id, lang, text,
+               CAST(unnest(generate_series(1, greatest(length(text) - {CHUNK_STEP}, 1), {CHUNK_STEP})) AS INT)
+                 AS chunk_start
+        FROM documents
+      ) t
+    ), deduped AS (
+      SELECT lang, md5(chunk) AS fp,
+             MIN(length(chunk)) AS chunk_chars,
+             COUNT(*) AS n_copies
+      FROM chunks
+      GROUP BY lang, md5(chunk)
+    )
+    SELECT lang,
+           COUNT(*) AS n_unique_chunks,
+           CAST(SUM(n_copies) AS BIGINT) AS n_total_chunks,
+           CAST(SUM(n_copies) - COUNT(*) AS BIGINT) AS n_dropped_dups,
+           CAST(SUM(chunk_chars) AS BIGINT) AS unique_chars
+    FROM deduped
+    GROUP BY lang
+    """,
+)
+def q_chunk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data chunk corpus in ONE plan: overlapping chunking
+    (in-row) → exact chunk dedup by content fingerprint → per-lang
+    accounting (unique/total/dropped chunks, surviving characters).
+    This is the RAG/pretraining prep flagship: the only shuffles are
+    the two hash aggregations, both keyed on (lang, fp) — chunk text
+    itself never shuffles (the fingerprint does)."""
+    d = load_table(spark, sf_dir, "documents")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length("text") - CHUNK_STEP, F.lit(1)), F.lit(CHUNK_STEP)
+    )
+    chunks = d.select(
+        "lang", F.explode(starts).alias("s"),
+        F.substring(F.col("text"), F.col("s"), F.lit(CHUNK_SIZE)).alias("chunk"),
+    )
+    deduped = (
+        chunks.select("lang", F.md5("chunk").alias("fp"), F.length("chunk").alias("chars"))
+        .groupBy("lang", "fp")
+        .agg(F.min("chars").alias("chunk_chars"), F.count("*").alias("n_copies"))
+    )
+    return deduped.groupBy("lang").agg(
+        F.count("*").alias("n_unique_chunks"),
+        F.sum("n_copies").cast("bigint").alias("n_total_chunks"),
+        (F.sum("n_copies") - F.count("*")).cast("bigint").alias("n_dropped_dups"),
+        F.sum("chunk_chars").cast("bigint").alias("unique_chars"),
+    )

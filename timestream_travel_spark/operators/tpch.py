@@ -253,3 +253,34 @@ def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)
     )
+
+
+@query(
+    "q_tpch_q19_disjunctive",
+    oracle=f"""
+    SELECT {dsum_sql(REVENUE_SQL, "revenue", 8)}, COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 5 AND l_quantity <= 25)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 15 AND l_quantity <= 35)
+       OR (p_type = 'PROMO' AND l_discount >= 0.05)
+    """,
+)
+def q_tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: discounted-revenue under an OR-of-ANDs predicate
+    spanning both join sides — the disjunction can only apply AFTER
+    the join (no single-side pushdown exists for the whole OR), which
+    is exactly what Catalyst does while still pushing the join keys'
+    IsNotNull. The dim side broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(5, 25))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(10, 30)
+           & F.col("l_quantity").between(15, 35))
+        | ((F.col("p_type") == "PROMO") & (F.col("l_discount") >= 0.05))
+    )
+    return j.filter(cond).agg(
+        dsum(revenue_col(), "revenue", scale=8), F.count("*").alias("n_lines")
+    )
