@@ -82,6 +82,7 @@ _UNVERIFIED_FIRST = [
     "q_url_funcs",
     "q_tpch_q19_disjunctive",
     "q_chunk_corpus",
+    "q_data_quality_report",
 ]
 
 

@@ -54,6 +54,7 @@ def load_all() -> None:
         llm_text2,
         llm_text3,
         llm_text4,
+        quality,
         relational,
         relational2,
         relational3,
