@@ -83,6 +83,7 @@ _UNVERIFIED_FIRST = [
     "q_tpch_q19_disjunctive",
     "q_chunk_corpus",
     "q_data_quality_report",
+    "q_tpch_q7_nation_volume",
 ]
 
 

@@ -284,3 +284,59 @@ def q_tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.filter(cond).agg(
         dsum(revenue_col(), "revenue", scale=8), F.count("*").alias("n_lines")
     )
+
+
+@query(
+    "q_tpch_q7_nation_volume",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INT) AS l_year,
+           {dsum_sql(REVENUE_SQL, "revenue", 8)}
+    FROM supplier
+    JOIN lineitem ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: bilateral trade volume between two nations by ship
+    year — the self-joined dimension (nation twice, aliased) with a
+    cross-side disjunction. Both nation sides broadcast; the
+    fact-fact shuffle carries only date-filtered rows."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    od = load_table(spark, sf_dir, "orders")
+    su = load_table(spark, sf_dir, "supplier")
+    cu = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(n1), su.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), cu.c_nationkey == F.col("n2_key"))
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        j.filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year"))
+        .agg(dsum(revenue_col(), "revenue", scale=8))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
