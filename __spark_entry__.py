@@ -84,6 +84,8 @@ _UNVERIFIED_FIRST = [
     "q_chunk_corpus",
     "q_data_quality_report",
     "q_tpch_q7_nation_volume",
+    "q_tpch_q8_market_share",
+    "q_tpch_q22_dormant_customers",
 ]
 
 

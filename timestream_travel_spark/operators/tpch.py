@@ -340,3 +340,102 @@ def q_tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum(revenue_col(), "revenue", scale=8))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
+
+
+@query(
+    "q_tpch_q8_market_share",
+    oracle=f"""
+    WITH volume AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             CAST({REVENUE_SQL} AS DECIMAL(20,8)) AS rev,
+             n2.n_name AS supp_nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    )
+    SELECT o_year,
+           round(CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN rev ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(rev) AS DOUBLE), 6) AS mkt_share
+    FROM volume GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: one nation's share of a region's PROMO-part market by
+    order year — the deepest dim chain in the suite (part, supplier,
+    customer, nation×2, region all broadcast around one fact-fact
+    shuffle), finished by a conditional-aggregate ratio."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    pa = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    su = load_table(spark, sf_dir, "supplier")
+    cu = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    re = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = revenue_col().cast("decimal(20,8)")
+    vol = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(n1), cu.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(re), F.col("n1_region") == re.r_regionkey)
+        .join(F.broadcast(n2), su.s_nationkey == F.col("n2_key"))
+        .select(F.year("o_orderdate").cast("int").alias("o_year"), rev.alias("rev"), "supp_nation")
+    )
+    share = (
+        F.sum(F.when(F.col("supp_nation") == "NATION_1", F.col("rev")).otherwise(
+            F.lit(0).cast("decimal(20,8)")
+        )).cast("double")
+        / F.sum("rev").cast("double")
+    )
+    return vol.groupBy("o_year").agg(F.round(share, 6).alias("mkt_share")).orderBy("o_year")
+
+
+@query(
+    "q_tpch_q22_dormant_customers",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT AVG(c_acctbal) AS a FROM customer WHERE c_acctbal > 0
+    ), active AS (
+      SELECT o_custkey FROM orders GROUP BY o_custkey HAVING COUNT(*) > 5
+    )
+    SELECT c_nationkey,
+           COUNT(*) AS n_custs,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+    FROM customer, avg_bal
+    WHERE c_acctbal > a
+      AND NOT EXISTS (SELECT 1 FROM active WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey
+    """,
+)
+def q_tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: wealthy LOW-ACTIVITY customers (above-average
+    balance, ≤5 orders — this fixture has no fully order-less
+    customers) — scalar subquery (global average, tiny broadcast) +
+    aggregate-then-anti-join against the 'active customer' key set,
+    grouped per nation."""
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    avg_bal = cu.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("a"))
+    active = od.groupBy("o_custkey").agg(F.count("*").alias("n")).filter(F.col("n") > 5)
+    rich = cu.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("a"))
+    dormant = rich.join(active, rich.c_custkey == active.o_custkey, "left_anti")
+    return dormant.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_custs"),
+        F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double").alias("total_bal"),
+    )
