@@ -86,6 +86,9 @@ _UNVERIFIED_FIRST = [
     "q_tpch_q7_nation_volume",
     "q_tpch_q8_market_share",
     "q_tpch_q22_dormant_customers",
+    "q_tpch_q13_order_distribution",
+    "q_tpch_q15_top_supplier",
+    "q_tpch_q17_small_quantity",
 ]
 
 

@@ -439,3 +439,111 @@ def q_tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_custs"),
         F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double").alias("total_bal"),
     )
+
+
+@query(
+    "q_tpch_q13_order_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> 'URGENT'
+      GROUP BY c_custkey
+    ) t
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q_tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: customer order-count distribution — outer join with
+    an ON-clause filter (kept in the join, NOT a post-filter: rows
+    must survive with zero orders), double aggregation."""
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cu.join(
+            od,
+            (cu.c_custkey == od.o_custkey) & (od.o_orderpriority != "URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "q_tpch_q15_top_supplier",
+    oracle=f"""
+    WITH revenue0 AS (
+      SELECT l_suppkey, {dsum_sql(REVENUE_SQL, "total_revenue", 8)}
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue0 ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue0)
+    ORDER BY s_suppkey
+    """,
+)
+def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: top supplier by quarterly revenue — aggregate view
+    + scalar-max subquery against itself (the view computes once and
+    broadcasts its max; ties all surface, ordered by suppkey)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    su = load_table(spark, sf_dir, "supplier")
+    revenue0 = li.groupBy("l_suppkey").agg(dsum(revenue_col(), "total_revenue", scale=8))
+    max_rev = revenue0.agg(F.max("total_revenue").alias("m"))
+    return (
+        revenue0.join(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("m"))
+        .join(F.broadcast(su), F.col("l_suppkey") == su.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q_tpch_q17_small_quantity",
+    oracle=f"""
+    SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) / 7.0, 4)
+             AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN (SELECT l_partkey AS pk, 0.2 * AVG(l_quantity) AS q_bar
+          FROM lineitem GROUP BY l_partkey) t ON pk = p_partkey
+    WHERE p_brand = 'Brand#2' AND p_size <= 10 AND l_quantity < q_bar
+    """,
+)
+def q_tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: small-quantity-order revenue — the correlated
+    per-part average decorrelated by hand into a pre-aggregated
+    broadcast join (avg quantity per part is |parts| rows), then the
+    brand/size filter and the sub-average predicate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 10)
+    )
+    qbar = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("q_bar")
+    )
+    j = (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .join(F.broadcast(qbar), li.l_partkey == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("q_bar"))
+    )
+    return j.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(12,4)")).cast("double") / 7.0, 4
+        ).alias("avg_yearly"),
+        F.count("*").alias("n_lines"),
+    )
