@@ -1,8 +1,11 @@
-"""TPC-H-shaped composite queries (Q3/Q5/Q10 adapted to the fixture
-schema) — the classic multi-join analytics shapes a query engine must
-run well. These exercise the join-order/broadcast/partial-agg
-machinery end-to-end in one plan each, beyond the single-operator
-queries in relational*.py.
+"""TPC-H-shaped composite queries adapted to the fixture schema —
+Q3, Q5, Q6, Q7, Q8, Q10, Q13, Q14, Q15, Q17, Q18, Q19, Q22 (with Q1
+living as q_groupby_agg in relational.py): every TPC-H query the
+fixture's columns can express (the missing nine need partsupp /
+l_commitdate / l_shipmode, which the generator does not produce).
+These exercise the join-order/broadcast/partial-agg machinery
+end-to-end in one plan each, beyond the single-operator queries in
+relational*.py.
 
 Scale notes (the plans that survive 100 TB):
 - dims (region, nation, customer, supplier) are explicitly
