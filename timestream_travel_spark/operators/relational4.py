@@ -132,8 +132,8 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(least(floor(o_totalprice / 50000), 9) AS INT) AS bucket,
            COUNT(*) AS n_orders,
-           round(CAST(MIN(o_totalprice) AS DECIMAL(12,2)), 2) AS lo,
-           round(CAST(MAX(o_totalprice) AS DECIMAL(12,2)), 2) AS hi
+           CAST(round(CAST(MIN(o_totalprice) AS DECIMAL(12,2)), 2) AS DOUBLE) AS lo,
+           CAST(round(CAST(MAX(o_totalprice) AS DECIMAL(12,2)), 2) AS DOUBLE) AS hi
     FROM orders
     GROUP BY least(floor(o_totalprice / 50000), 9)
     """,
@@ -146,6 +146,10 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = F.least(F.floor(F.col("o_totalprice") / 50000), F.lit(9)).cast("int")
     return od.groupBy(bucket.alias("bucket")).agg(
         F.count("*").alias("n_orders"),
-        F.round(F.min("o_totalprice").cast("decimal(12,2)"), 2).alias("lo"),
-        F.round(F.max("o_totalprice").cast("decimal(12,2)"), 2).alias("hi"),
+        F.round(F.min("o_totalprice").cast("decimal(12,2)"), 2)
+        .cast("double")
+        .alias("lo"),
+        F.round(F.max("o_totalprice").cast("decimal(12,2)"), 2)
+        .cast("double")
+        .alias("hi"),
     )
