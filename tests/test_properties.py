@@ -179,3 +179,43 @@ def test_parse_duration_properties():
             pass  # rejection is the contract; anything else would raise
 
     never_crashes()
+
+
+def test_tpch_broadcast_hints_only_on_bounded_inputs(spark, sf_dir, monkeypatch):
+    """Scale guard: an explicit F.broadcast hint overrides
+    autoBroadcastJoinThreshold, so it is only safe on inputs whose size
+    does NOT grow with scale factor — nation (25 rows), region (5), and
+    1-row scalar aggregates. customer/supplier/part and data-derived
+    key sets must join unhinted (AQE demotes to broadcast at runtime
+    when the post-filter size allows). Spy on every hint the TPC-H
+    suite places and fail if one targets a scaling table."""
+    import os as _os
+
+    import timestream_travel_spark.operators.tpch as tpch
+
+    BOUNDED_FILES = {"nation.parquet", "region.parquet"}
+    recorded: list = []
+    real_broadcast = F.broadcast
+
+    def spy(df):
+        recorded.append(df)
+        return real_broadcast(df)
+
+    monkeypatch.setattr(tpch.F, "broadcast", spy)
+    qs = entrymod.queries()
+    tpch_names = [n for n in qs if n.startswith("q_tpch_")]
+    assert tpch_names
+    for name in tpch_names:
+        recorded.clear()
+        qs[name](spark, sf_dir)
+        for hinted in recorded:
+            files = {_os.path.basename(p.rstrip("/")) for p in hinted.inputFiles()}
+            if files <= BOUNDED_FILES:
+                continue
+            # the only other legitimate hint target: a scalar (1-row,
+            # no-grouping) aggregate — constant-size at any sf
+            n_rows = hinted.count()
+            assert n_rows == 1, (
+                f"{name} forces broadcast on a scale-proportional input "
+                f"(sources {sorted(files)}, {n_rows} rows)"
+            )

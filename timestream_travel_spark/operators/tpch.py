@@ -8,8 +8,13 @@ end-to-end in one plan each, beyond the single-operator queries in
 relational*.py.
 
 Scale notes (the plans that survive 100 TB):
-- dims (region, nation, customer, supplier) are explicitly
-  broadcast — no fact-side shuffle for dimension joins;
+- only genuinely bounded inputs carry an explicit F.broadcast hint:
+  nation (25 rows), region (5 rows), and 1-row scalar aggregates.
+  customer/supplier/part and data-derived key sets grow linearly
+  with scale factor, so they carry NO hint — AQE demotes their
+  shuffle joins to broadcast at runtime when (and only when) the
+  post-filter size is under the threshold, which keeps the sf0.1
+  plans fast and the 100 TB plans alive;
 - the orders⋈lineitem fact-fact join shuffles on orderkey only
   AFTER the date/flag filters prune both sides (pushdown audited in
   PLANS.md for the same scan paths);
@@ -47,15 +52,16 @@ from timestream_travel_spark.tables import load_table
     """,
 )
 def q_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q3 shape: unshipped-orders revenue by order. customer is a
-    broadcast dim; orders⋈lineitem shuffles on orderkey after both
-    date filters push to the scans."""
+    """Q3 shape: unshipped-orders revenue by order. customer joins
+    unhinted (sf-proportional; AQE broadcasts it at runtime when the
+    filtered side fits); orders⋈lineitem shuffles on orderkey after
+    both date filters push to the scans."""
     cu = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     od = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-06-01")
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-06-01")
     return (
         li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(revenue_col(), "revenue", scale=8))
         .select(
@@ -88,8 +94,9 @@ def q_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q5 shape: revenue through LOCAL suppliers (customer and
-    supplier share a nation) per nation of one region. Four broadcast
-    dims around the one fact-fact shuffle."""
+    supplier share a nation) per nation of one region. nation/region
+    broadcast by hint; customer/supplier join unhinted (AQE decides)
+    around the one fact-fact shuffle."""
     cu = load_table(spark, sf_dir, "customer")
     od = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
@@ -100,9 +107,9 @@ def q_tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFra
     re = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
         .join(
-            F.broadcast(su),
+            su,
             (li.l_suppkey == su.s_suppkey) & (cu.c_nationkey == su.s_nationkey),
         )
         .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
@@ -131,8 +138,9 @@ def q_tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFra
 )
 def q_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q10 shape: top customers by returned-item revenue in a
-    half-year window. Returnflag + date filters push down; customer
-    and nation broadcast; top-20 via TakeOrderedAndProject."""
+    half-year window. Returnflag + date filters push down; nation
+    broadcasts by hint, customer by AQE when it fits; top-20 via
+    TakeOrderedAndProject."""
     cu = load_table(spark, sf_dir, "customer")
     od = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-07-01")
@@ -141,7 +149,7 @@ def q_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     na = load_table(spark, sf_dir, "nation")
     return (
         li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
         .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(dsum(revenue_col(), "revenue", scale=8))
@@ -195,8 +203,8 @@ def q_tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q14 shape: promotion revenue share — conditional aggregate over
-    a fact⋈dim join (part broadcasts; the date filter prunes the fact
-    scan)."""
+    a fact⋈dim join (part joins unhinted — AQE broadcasts when it
+    fits; the date filter prunes the fact scan)."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1997-03-01") & (F.col("l_shipdate") < "1997-06-01")
     )
@@ -204,7 +212,7 @@ def q_tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = revenue_col().cast("decimal(20,8)")
     promo = F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(20,8)")))
     return (
-        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        li.join(pa, li.l_partkey == pa.p_partkey)
         .agg(
             F.round(
                 F.lit(100.0) * promo.cast("double") / F.sum(rev).cast("double"), 6
@@ -234,7 +242,8 @@ def q_tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q18 shape: large-volume orders — aggregate-then-join (the
     HAVING filter shrinks the fact to a handful of keys BEFORE any
-    join; the shrunken side then broadcasts into orders)."""
+    join; AQE broadcasts the shrunken side into orders at runtime —
+    no forced hint, since the key set is data-dependent)."""
     li = load_table(spark, sf_dir, "lineitem")
     od = load_table(spark, sf_dir, "orders")
     cu = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
@@ -244,8 +253,8 @@ def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("qty") > 400)
     )
     return (
-        od.join(F.broadcast(big), od.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        od.join(big, od.o_orderkey == big.l_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
         .select(
             "c_name",
             "o_orderkey",
@@ -273,10 +282,11 @@ def q_tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     spanning both join sides — the disjunction can only apply AFTER
     the join (no single-side pushdown exists for the whole OR), which
     is exactly what Catalyst does while still pushing the join keys'
-    IsNotNull. The dim side broadcasts."""
+    IsNotNull. The part side joins unhinted (AQE broadcasts when
+    its runtime size allows)."""
     li = load_table(spark, sf_dir, "lineitem")
     pa = load_table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+    j = li.join(pa, li.l_partkey == pa.p_partkey)
     cond = (
         ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
          & F.col("l_quantity").between(5, 25))
@@ -328,8 +338,8 @@ def q_tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = (
         li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
-        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(su, li.l_suppkey == su.s_suppkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
         .join(F.broadcast(n1), su.s_nationkey == F.col("n1_key"))
         .join(F.broadcast(n2), cu.c_nationkey == F.col("n2_key"))
     )
@@ -372,9 +382,10 @@ def q_tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q8 shape: one nation's share of a region's PROMO-part market by
-    order year — the deepest dim chain in the suite (part, supplier,
-    customer, nation×2, region all broadcast around one fact-fact
-    shuffle), finished by a conditional-aggregate ratio."""
+    order year — the deepest dim chain in the suite (nation×2 and
+    region broadcast by hint; part/supplier/customer join unhinted
+    around one fact-fact shuffle), finished by a
+    conditional-aggregate ratio."""
     li = load_table(spark, sf_dir, "lineitem")
     od = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
@@ -392,9 +403,9 @@ def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = revenue_col().cast("decimal(20,8)")
     vol = (
         li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
-        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
-        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(pa, li.l_partkey == pa.p_partkey)
+        .join(su, li.l_suppkey == su.s_suppkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
         .join(F.broadcast(n1), cu.c_nationkey == F.col("n1_key"))
         .join(F.broadcast(re), F.col("n1_region") == re.r_regionkey)
         .join(F.broadcast(n2), su.s_nationkey == F.col("n2_key"))
@@ -508,7 +519,7 @@ def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue0.join(F.broadcast(max_rev))
         .filter(F.col("total_revenue") == F.col("m"))
-        .join(F.broadcast(su), F.col("l_suppkey") == su.s_suppkey)
+        .join(su, F.col("l_suppkey") == su.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -530,8 +541,9 @@ def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q17 shape: small-quantity-order revenue — the correlated
     per-part average decorrelated by hand into a pre-aggregated
-    broadcast join (avg quantity per part is |parts| rows), then the
-    brand/size filter and the sub-average predicate."""
+    equi-join (avg quantity per part is |parts| rows — sf-
+    proportional, so unhinted; AQE broadcasts it when it fits), then
+    the brand/size filter and the sub-average predicate."""
     li = load_table(spark, sf_dir, "lineitem")
     pa = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 10)
@@ -540,8 +552,8 @@ def q_tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(0.2) * F.avg("l_quantity")).alias("q_bar")
     )
     j = (
-        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
-        .join(F.broadcast(qbar), li.l_partkey == F.col("pk"))
+        li.join(pa, li.l_partkey == pa.p_partkey)
+        .join(qbar, li.l_partkey == F.col("pk"))
         .filter(F.col("l_quantity") < F.col("q_bar"))
     )
     return j.agg(
