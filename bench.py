@@ -4,6 +4,12 @@ ONE JSON line with per-query wall seconds.
 
 Each query executes through the noop sink so the full physical plan
 runs (scan→shuffle→agg) without collect() serialization noise.
+
+Each query runs $SPARK_GRAFT_BENCH_REPS times (default 3); the
+reported per-query number (and the summed headline metric) is the
+MEDIAN, with per-query minima alongside in `queries_min` — so
+round-over-round deltas are attributable to plan changes, not to
+single-run machine variance.
 """
 
 from __future__ import annotations
@@ -11,6 +17,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -51,6 +58,7 @@ EXTRA = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
@@ -64,10 +72,25 @@ def main() -> None:
     qs["q_partition_counts"](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
+    minima: dict[str, float] = {}
+
+    def record(name: str, run) -> None:
+        samples = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            run()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 3)
+        minima[name] = round(min(samples), 3)
+
     for name in HEADLINE + EXTRA:
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        record(
+            name,
+            lambda name=name: qs[name](spark, sf_dir)
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+        )
 
     # Reusable-index path: build the MinHash signature index once,
     # then run candidate generation FROM the index — the delta vs
@@ -81,19 +104,21 @@ def main() -> None:
     )
     from timestream_travel_spark.tables import load_table
 
-    idx_dir = tempfile.mkdtemp(prefix="minhash_idx_")
+    docs = load_table(spark, sf_dir, "documents")
+    idx_dirs = [tempfile.mkdtemp(prefix="minhash_idx_") for _ in range(reps)]
     try:
-        docs = load_table(spark, sf_dir, "documents")
-        t0 = time.perf_counter()
-        build_minhash_index(docs, idx_dir)
-        timings["minhash_index_build"] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        minhash_candidates_from_index(spark, idx_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        timings["q_minhash_from_index"] = round(time.perf_counter() - t0, 3)
+        build_iter = iter(idx_dirs)
+        record("minhash_index_build", lambda: build_minhash_index(docs, next(build_iter)))
+        record(
+            "q_minhash_from_index",
+            lambda: minhash_candidates_from_index(spark, idx_dirs[0])
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+        )
     finally:
-        shutil.rmtree(idx_dir, ignore_errors=True)
+        for d in idx_dirs:
+            shutil.rmtree(d, ignore_errors=True)
 
     # headline total stays comparable across rounds: the index
     # build/reuse timings are reported per-query but not summed
@@ -104,7 +129,9 @@ def main() -> None:
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
+                "reps": reps,
                 "queries": timings,
+                "queries_min": minima,
                 "sf": sf,
             }
         )
