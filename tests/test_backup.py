@@ -158,7 +158,7 @@ def test_backup_reference_layout(spark, sf_dir, tmp_path):
         rows_per_chunk=250,
         tiebreak_col="event_id",
     )
-    keys = backup_reference_layout(spark, ev, cfg, database="mydb", table="events")
+    keys = [r["key"] for r in backup_reference_layout(spark, ev, cfg, database="mydb", table="events").collect()]
     assert keys
     pat = re.compile(
         r"^mydb/events/(?P<part>[^/]+)/(?P<day>\d{8})/"
@@ -204,7 +204,7 @@ def test_reference_layout_unescapes_partition_values(spark, tmp_path):
         dest=str(tmp_path / "ref"), time_from="2024-01-01 00:00:00",
         time_to="2024-01-03 00:00:00", tiebreak_col="event_id",
     )
-    keys = backup_reference_layout(spark, src, cfg, database="db", table="t")
+    keys = [r["key"] for r in backup_reference_layout(spark, src, cfg, database="db", table="t").collect()]
     parts = {k.split("/")[2] for k in keys}
     assert "web shop:EU" in parts and "plain" in parts
     for k in keys:
@@ -277,3 +277,46 @@ def test_backup_write_observation_metrics(spark, sf_dir, tmp_path):
     parts = manifest.select("partition").distinct().count()
     assert manifest._write_metrics["rows_written"] == rows
     assert manifest._write_metrics["partitions_written"] == parts
+
+
+def test_reference_layout_filesystem_api_contract(spark, sf_dir, tmp_path):
+    """A26 object-store contract: with a non-local dest scheme the
+    rename must run through the Hadoop FileSystem API (rename ==
+    CopyObject+DeleteObject on S3A), never POSIX os.replace on
+    executors. No S3 endpoint exists in this sandbox, so force the
+    FileSystem path against LocalFileSystem (file://) — the SAME
+    fs.exists/fs.mkdirs/fs.rename call sequence s3a:// would take —
+    and assert byte-identical layout semantics to the local path."""
+    import re
+    import zlib
+
+    from timestream_travel_spark.pipeline.reference_layout import backup_reference_layout
+
+    ev = load_table(spark, sf_dir, "events")
+    cfg = BackupConfig(
+        dest="file://" + str(tmp_path / "ref"),
+        time_from="2024-01-01 00:00:00",
+        time_to="2024-01-08 00:00:00",
+        rows_per_chunk=300,
+        tiebreak_col="event_id",
+    )
+    keys_df = backup_reference_layout(
+        spark, ev, cfg, database="db", table="events", use_filesystem_api=True
+    )
+    keys = [r["key"] for r in keys_df.collect()]
+    assert keys
+    pat = re.compile(
+        r"^db/events/[^/]+/\d{8}/\d{8}T\d{6}Z_\d{8}T\d{6}Z_[0-9a-f]{8}\.log\.gz$"
+    )
+    for key in keys:
+        assert pat.match(key), key
+        fpath = tmp_path / "ref" / key
+        assert fpath.exists(), f"FileSystem rename did not land {key}"
+        crc = f"{zlib.crc32(fpath.read_bytes()):08x}"
+        assert key.endswith(f"{crc}.log.gz"), "embedded CRC mismatch after FS rename"
+    # staging + pending-pairs fully cleaned through the FileSystem API
+    assert not (tmp_path / "ref" / "_staging").exists()
+    assert not (tmp_path / "ref" / "_keys_pending").exists()
+    # the persisted manifest matches what was returned
+    manifest = {r["key"] for r in spark.read.parquet(str(tmp_path / "ref" / "_keys")).collect()}
+    assert manifest == set(keys)

@@ -143,7 +143,7 @@ def test_verify_reference_layout_crc(spark, sf_dir, tmp_path):
         dest=dest, time_from="2024-01-01 00:00:00", time_to="2024-01-15 00:00:00",
         rows_per_chunk=500, tiebreak_col="event_id",
     )
-    keys = backup_reference_layout(spark, ev, cfg, database="db", table="events")
+    keys = [r["key"] for r in backup_reference_layout(spark, ev, cfg, database="db", table="events").collect()]
     report = verify_reference_layout(spark, dest).cache()
     assert report.count() == len(keys)
     assert report.filter(report["status"] != "ok").count() == 0

@@ -26,12 +26,13 @@ aws-java-sdk on the classpath and the standard S3A conf, e.g.:
   spark.hadoop.fs.s3a.endpoint                   (non-AWS stores)
   spark.hadoop.fs.s3a.path.style.access=true     (MinIO et al.)
 
-All writes go through the Hadoop committer — no code path here is
-local-FS-specific except reference_layout's rename pass, which uses
-os.replace and documents its object-store variant (same loop against
-the S3 CopyObject/DeleteObject pair, executor-side). This sandbox has
-no S3 endpoint, so s3a is exercised by URI passthrough only; the
-local-FS e2e tests cover the identical write path.
+All writes go through the Hadoop committer — no code path is
+local-FS-specific: reference_layout's rename pass is scheme-aware
+(executor-side os.replace for file:// destinations; the Hadoop
+FileSystem API — fs.rename == CopyObject+DeleteObject on S3A — for
+any other scheme). This sandbox has no S3 endpoint, so the FileSystem
+branch is contract-tested against LocalFileSystem, which exercises
+the identical fs.exists/fs.mkdirs/fs.rename call sequence.
 """
 
 from __future__ import annotations
