@@ -213,3 +213,27 @@ def test_ann_ivf_kmeanspp_recall_and_spread(spark, sf_dir):
     c1 = kmeanspp_init(e, 4)
     c2 = kmeanspp_init(e, 4)
     assert c1 == c2 and len({tuple(c) for c in c1}) == 4
+
+
+def test_connected_components_long_chain_log_rounds(spark):
+    """Pointer-doubling contract: a 500-node path (diameter 499) must
+    converge in ~log2 rounds — plain min-label propagation would need
+    ~499 rounds and blow max_iter=20. Node ids are shuffled so labels
+    can't ride a monotone id layout."""
+    import random
+
+    from timestream_travel_spark.operators.dedup2 import connected_components
+
+    ids = list(range(1000, 1500))
+    random.Random(42).shuffle(ids)
+    edges = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(len(ids) - 1)], "src long, dst long"
+    )
+    stats: dict = {}
+    labels = connected_components(edges, max_iter=20, stats=stats)
+    got = {r["node"]: r["cluster"] for r in labels.collect()}
+    assert set(got) == set(ids)
+    assert set(got.values()) == {min(ids)}, "single component must share the min label"
+    assert stats["rounds"] <= 11, (
+        f"expected ~log2(500)+2 rounds with pointer doubling, took {stats['rounds']}"
+    )

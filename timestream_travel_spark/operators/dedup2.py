@@ -2,13 +2,19 @@
 pair graph — the step that turns pairwise matches into dedup groups
 (keep one representative per component, drop the rest).
 
-Scale design: iterative min-label propagation, one equi-join shuffle
-per round. Rounds needed = graph diameter, which for dedup graphs is
-tiny (near-dup clusters are quasi-cliques — 2-4 rounds in practice).
-Per-round driver traffic is ONE scalar (the changed-label count),
-like the k-means loop in similarity2.py; labels never leave the
-cluster. This is the standard large-graph CC recipe (a.k.a.
-"hash-to-min"), not a driver-side union-find.
+Scale design: Shiloach-Vishkin-style parent-pointer iteration (the
+FastSV formulation: Zhang/Azad/Hu, "FastSV: A Distributed-Memory
+Connected Component Algorithm with Fast Convergence") — each round
+does grandparent hooking (stochastic: update at the parent;
+aggressive: update at the node) plus pointer shortcutting, all as
+equi-joins + min-aggregations. Tree heights halve per round, so a
+D-diameter chain converges in O(log D) rounds where plain min-label
+propagation needs D rounds. Near-dup clusters are quasi-cliques (2-3
+rounds either way), but a 100 TB graph with chain-shaped components
+must not blow past max_iter. Per-round driver traffic is ONE scalar
+(the changed-label count); labels never leave the cluster, and each
+round's labels are localCheckpoint'ed to stop the self-join lineage
+growing 2^rounds. Not a driver-side union-find.
 """
 
 from __future__ import annotations
@@ -20,14 +26,42 @@ from timestream_travel_spark.registry import query
 from timestream_travel_spark.tables import load_table
 
 
-def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 20) -> DataFrame:
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+    stats: dict | None = None,
+) -> DataFrame:
     """(node, cluster) for every node in `edges`, cluster = min node
     id reachable — deterministic representative labeling.
 
-    Each iteration: push every node's current label to its neighbors,
-    take the min of (own label, neighbor labels). Fixpoint when no
-    label changes. Labels persist between rounds; the previous
-    round's cache is released after the new one materializes."""
+    FastSV round over the parent-pointer map f (f[v] starts as v, ends
+    as the component min). With g = f∘f (grandparent, a labels
+    self-join):
+
+    1. stochastic hooking — for each edge endpoint u, propose
+       min-over-neighbors g to u's PARENT: f[f[u]] ← min nbr g. This
+       merges whole trees, not single nodes.
+    2. aggressive hooking — the same proposal lands at u itself:
+       f[u] ← min nbr g.
+    3. shortcutting — f[u] ← g[u] halves tree height.
+
+    All three are (target, candidate) pairs min-aggregated per target,
+    so one round = two joins + one aggregation + the final update
+    join. Every candidate is an id inside the target's component
+    (neighbors' grandparents), so labels only move down within the
+    component and the fixpoint is the component min. Fixpoint when no
+    label changes.
+
+    Each round's labels are localCheckpoint'ed: the grandparent
+    self-join doubles the logical plan per round, and without lineage
+    truncation the DRIVER dies on plan analysis (2^rounds nodes) long
+    before any data moves. On a cluster with a reliable checkpoint dir
+    df.checkpoint() is the fault-tolerant equivalent.
+
+    `stats`, when given, receives {"rounds": n} for convergence
+    assertions."""
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -38,22 +72,51 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst", m
         sym.select(F.col("a").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("cluster"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     changed = 0
+    rounds = 0
     for _ in range(max_iter):
-        neighbor_min = (
-            sym.join(labels, sym.a == labels.node)
-            .groupBy(F.col("b").alias("node2"))
-            .agg(F.min("cluster").alias("nbr_cluster"))
+        # g = f∘f : grandparent of every node (parent is always a
+        # known node, so the self-join is total)
+        lut = labels.select(F.col("node").alias("pnode"), F.col("cluster").alias("pcluster"))
+        g = (
+            labels.join(lut, labels.cluster == lut.pnode)
+            .select("node", F.col("cluster").alias("parent"), F.col("pcluster").alias("gp"))
+        ).persist()
+
+        # min grandparent over each node's neighbors
+        nbr_g = (
+            sym.join(g, sym.a == g.node)
+            .groupBy(F.col("b").alias("tgt_node"))
+            .agg(F.min("gp").alias("nbr_gp"))
+        )
+
+        # (target, candidate) proposals:
+        hooked = g.join(nbr_g, g.node == F.col("tgt_node"), "left")
+        cands = (
+            # stochastic hooking: candidate lands on u's parent
+            hooked.filter(F.col("nbr_gp").isNotNull()).select(
+                F.col("parent").alias("tgt"), F.col("nbr_gp").alias("cand")
+            )
+            # aggressive hooking: candidate lands on u itself
+            .union(
+                hooked.filter(F.col("nbr_gp").isNotNull()).select(
+                    F.col("node").alias("tgt"), F.col("nbr_gp").alias("cand")
+                )
+            )
+            # shortcutting: u adopts its grandparent
+            .union(g.select(F.col("node").alias("tgt"), F.col("gp").alias("cand")))
+            .groupBy("tgt")
+            .agg(F.min("cand").alias("new_cand"))
         )
         new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.node2, "left")
+            labels.join(cands, labels.node == cands.tgt, "left")
             .select(
                 "node",
-                F.least(F.col("cluster"), F.coalesce("nbr_cluster", "cluster")).alias("cluster"),
+                F.least(F.col("cluster"), F.coalesce("new_cand", "cluster")).alias("cluster"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -61,11 +124,14 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst", m
             .filter(F.col("n.cluster") != F.col("o.cluster"))
             .count()
         )
-        labels.unpersist()
+        g.unpersist()
         labels = new_labels
+        rounds += 1
         if changed == 0:
             break
     sym.unpersist()
+    if stats is not None:
+        stats["rounds"] = rounds
     if changed != 0:
         # silent non-convergence would return split components — a
         # chain longer than max_iter must be an explicit error
