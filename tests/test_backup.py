@@ -267,16 +267,20 @@ def test_backup_write_observation_metrics(spark, sf_dir, tmp_path):
     """The Observation attached to the write job must account exactly
     for the rows/partitions the manifest claims — zero-extra-scan
     write-side accounting."""
+    from pyspark.sql import Observation
+
     ev = load_table(spark, sf_dir, "events")
     cfg = BackupConfig(
         dest=str(tmp_path / "obs"), time_from="2024-01-01 00:00:00",
         time_to="2024-01-15 00:00:00", tiebreak_col="event_id",
     )
-    manifest = backup(spark, ev, cfg)
+    obs = Observation("backup_write_test")
+    manifest = backup(spark, ev, cfg, observation=obs)
     rows = manifest.agg(F.sum("row_count")).collect()[0][0]
     parts = manifest.select("partition").distinct().count()
-    assert manifest._write_metrics["rows_written"] == rows
-    assert manifest._write_metrics["partitions_written"] == parts
+    metrics = obs.get
+    assert metrics["rows_written"] == rows
+    assert metrics["partitions_written"] == parts
 
 
 def test_reference_layout_filesystem_api_contract(spark, sf_dir, tmp_path):

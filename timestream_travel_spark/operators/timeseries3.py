@@ -29,7 +29,8 @@ from timestream_travel_spark.tables import load_table
       FROM events WHERE event_type = 'purchase'
     )
     SELECT user_id,
-           round(SUM(value * dur_us) / SUM(dur_us), 6) AS twa,
+           round(CAST(SUM(CAST(value * dur_us AS DECIMAL(30,6))) AS DOUBLE)
+                 / SUM(dur_us), 6) AS twa,
            CAST(COUNT(dur_us) AS BIGINT) AS n_segments
     FROM seg
     WHERE dur_us IS NOT NULL AND dur_us > 0
@@ -41,15 +42,19 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted by how long it was current (duration to the NEXT
     sample — step-function/LOCF semantics, the standard irregular-
     series average). Last samples carry no duration and drop, as do
-    zero-duration repeats."""
+    zero-duration repeats. The value*duration products accumulate as
+    DECIMAL (ops.dsum pattern): a plain double SUM is order-dependent
+    under partial aggregation and flakes against the oracle at other
+    partition counts."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     dur = (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias("dur_us")
     seg = ev.select("user_id", "value", dur).filter(
         F.col("dur_us").isNotNull() & (F.col("dur_us") > 0)
     )
+    wsum = F.sum((F.col("value") * F.col("dur_us")).cast("decimal(30,6)")).cast("double")
     return seg.groupBy("user_id").agg(
-        F.round(F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us"), 6).alias("twa"),
+        F.round(wsum / F.sum("dur_us"), 6).alias("twa"),
         F.count("dur_us").cast("bigint").alias("n_segments"),
     )
 

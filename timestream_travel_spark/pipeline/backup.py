@@ -128,9 +128,20 @@ class BackupConfig:
     write_mode: str = "overwrite"
 
 
-def backup(spark: SparkSession, source: DataFrame, cfg: BackupConfig) -> DataFrame:
+def backup(
+    spark: SparkSession,
+    source: DataFrame,
+    cfg: BackupConfig,
+    observation: "Observation | None" = None,
+) -> DataFrame:
     """Run the export; returns the manifest DataFrame
     (partition, date, chunk, min_ts, max_ts, max_ts_us, row_count, crc32).
+
+    `observation`: pass a fresh pyspark.sql.Observation to receive
+    write-side accounting (rows_written, partitions_written) that
+    piggybacks on the write job — read `observation.get` after this
+    returns. One Observation instance per backup() call (Spark
+    Observations are single-use). Ignored in dry-run mode.
 
     In dry-run mode (backup.go:102-105) the plan runs — discovery,
     decode, counting — but nothing is written."""
@@ -173,27 +184,29 @@ def backup(spark: SparkSession, source: DataFrame, cfg: BackupConfig) -> DataFra
     )
 
     if not cfg.dry_run:
-        from pyspark.sql import Observation
-
         out = faithful_projection(windowed) if cfg.faithful else windowed
         # to_timestamp is a no-op on typed ts and re-parses faithful's
         # string rendering, so one expression covers both modes.
         out = out.withColumn("__part", F.col(cfg.partition_col)).withColumn(
             "__date", F.date_format(F.to_timestamp(F.col(cfg.ts_col)), "yyyyMMdd")
         )
-        # Observation: write-side accounting (rows/partitions actually
-        # written) piggybacks on the write job — ZERO extra scan, the
-        # metrics ride the task results (cf. the reference's end-of-run
-        # per-partition counters, cmd/backup.go:299-301, which cost it
-        # nothing because the driver loop already had the rows).
-        obs = Observation("backup_write")
-        out = out.observe(
-            obs,
-            F.count(F.lit(1)).alias("rows_written"),
-            # DISTINCT aggregates are disallowed in observed metrics;
-            # the HLL sketch is exact at partition-value cardinalities
-            F.approx_count_distinct("__part").alias("partitions_written"),
-        )
+        if observation is not None:
+            # Observation: write-side accounting (rows/partitions
+            # actually written) piggybacks on the write job — ZERO
+            # extra scan, the metrics ride the task results (cf. the
+            # reference's end-of-run per-partition counters,
+            # cmd/backup.go:299-301, which cost it nothing because the
+            # driver loop already had the rows). The caller owns the
+            # Observation and reads .get after we return.
+            out = out.observe(
+                observation,
+                F.count(F.lit(1)).alias("rows_written"),
+                # DISTINCT aggregates are disallowed in observed
+                # metrics; the HLL++ sketch is exact only while in
+                # sparse mode, which covers realistic partition-value
+                # cardinalities (thousands) but is approximate beyond
+                F.approx_count_distinct("__part").alias("partitions_written"),
+            )
         (
             out.repartition(F.col("__part"), F.col("__date"))
             .sortWithinPartitions(F.desc(cfg.ts_col))
@@ -203,6 +216,4 @@ def backup(spark: SparkSession, source: DataFrame, cfg: BackupConfig) -> DataFra
             .option("maxRecordsPerFile", rows)
             .json(cfg.dest)
         )
-        # stash on the returned manifest for callers/tests; parameter-sized
-        manifest._write_metrics = obs.get
     return manifest
