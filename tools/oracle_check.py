@@ -39,9 +39,61 @@ def normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
     return sorted(out)
 
 
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "oracle_cache")
+
+
+def _fixture_fingerprint(sf_dir: str) -> str:
+    """md5 over the parquet fixture bytes — a cached oracle result is
+    only valid for the exact fixture data it was computed from."""
+    import hashlib
+
+    h = hashlib.md5()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            with open(p, "rb") as fh:
+                for chunk in iter(lambda: fh.read(1 << 20), b""):
+                    h.update(chunk)
+    return h.hexdigest()
+
+
+def _cache_path(sf_dir: str, name: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(CACHE_DIR, tag, f"{name}.json.gz")
+
+
+def _cache_read(sf_dir: str, name: str, fingerprint: str):
+    """→ (cols, normalized_rows) or None. Stale fingerprints miss."""
+    import gzip
+    import json
+
+    p = _cache_path(sf_dir, name)
+    if not os.path.exists(p):
+        return None
+    with gzip.open(p, "rt") as fh:
+        blob = json.load(fh)
+    if blob.get("fingerprint") != fingerprint:
+        return None
+    return blob["cols"], [tuple(r) for r in blob["rows"]]
+
+
+def _cache_write(sf_dir: str, name: str, fingerprint: str, cols, norm_rows) -> None:
+    import gzip
+    import json
+
+    p = _cache_path(sf_dir, name)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    with gzip.open(p, "wt") as fh:
+        json.dump({"fingerprint": fingerprint, "cols": cols, "rows": norm_rows}, fh)
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    write_cache = "--write-cache" in flags
+    no_cache = "--no-cache" in flags
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entrymod
 
@@ -52,6 +104,7 @@ def main() -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    fingerprint = _fixture_fingerprint(sf_dir)
 
     n_pass = n_fail = n_rowsonly = 0
     for name, fn in qs.items():
@@ -70,14 +123,24 @@ def main() -> int:
             print(f"rows {name}: {len(s_rows)} rows (no oracle) [{time.perf_counter()-t0:.1f}s]")
             n_rowsonly += 1
             continue
-        try:
-            res = con.execute(oracles[name])
-            d_cols = [d[0] for d in res.description]
-            d_rows = res.fetchall()
-        except Exception as e:
-            print(f"FAIL {name}: duckdb error: {e}")
-            n_fail += 1
-            continue
+        cached = None if no_cache else _cache_read(sf_dir, name, fingerprint)
+        if cached is not None:
+            d_cols, nd = cached
+            d_rows = nd  # already normalized
+            tag = " (cached oracle)"
+        else:
+            try:
+                res = con.execute(oracles[name])
+                d_cols = [d[0] for d in res.description]
+                d_rows = res.fetchall()
+            except Exception as e:
+                print(f"FAIL {name}: duckdb error: {e}")
+                n_fail += 1
+                continue
+            nd = normalize(d_rows, d_cols)
+            tag = ""
+            if write_cache:
+                _cache_write(sf_dir, name, fingerprint, d_cols, nd)
         ok = True
         if sorted(s_cols) != sorted(d_cols):
             print(f"FAIL {name}: columns differ spark={sorted(s_cols)} duck={sorted(d_cols)}")
@@ -86,13 +149,13 @@ def main() -> int:
             print(f"FAIL {name}: rowcount spark={len(s_rows)} duck={len(d_rows)}")
             ok = False
         else:
-            ns, nd = normalize(s_rows, s_cols), normalize(d_rows, d_cols)
+            ns = normalize(s_rows, s_cols)
             if ns != nd:
                 diffs = [(a, b) for a, b in zip(ns, nd) if a != b][:3]
                 print(f"FAIL {name}: values differ, first diffs: {diffs}")
                 ok = False
         if ok:
-            print(f"PASS {name}: {len(s_rows)} rows [{time.perf_counter()-t0:.1f}s]")
+            print(f"PASS {name}: {len(s_rows)} rows [{time.perf_counter()-t0:.1f}s]{tag}")
             n_pass += 1
         else:
             n_fail += 1
