@@ -253,3 +253,56 @@ def test_streaming_restart_exactly_once(spark, sf_dir, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == total, f"{back.count()} != {total}"
     assert back.select("event_id").distinct().count() == ev.select("event_id").distinct().count()
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
+    """Watermarked stream-stream inner join (click attribution): the
+    streamed pair set must equal the batch join over the same rows —
+    and the time-range conjunct is what keeps both state buffers
+    bounded, so this is the canonical bounded-state join shape."""
+    from timestream_travel_spark.streaming.jobs import stream_stream_click_attribution
+
+    src = _stage_events(spark, sf_dir, tmp_path)
+    schema = (
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+    )
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 2).parquet(f"{src}/bucket=*")
+    )
+    res = stream_stream_click_attribution(
+        stream.filter(F.col("event_type") == "click"),
+        stream.filter(F.col("event_type") == "purchase"),
+    )
+    q = (
+        res.writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.sql("SELECT purchase_id, click_id FROM ssj_out").collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    want = {
+        (r["purchase_id"], r["click_id"])
+        for r in p.join(
+            c,
+            (p.user_id == c.c_user)
+            & (c.click_ts <= p.purchase_ts)
+            & (c.click_ts >= p.purchase_ts - F.expr("INTERVAL 1 HOUR")),
+        ).collect()
+    }
+    assert want, "fixture must produce attributable pairs"
+    assert got == want

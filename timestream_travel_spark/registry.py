@@ -74,3 +74,12 @@ def load_all() -> None:
         windows,
     )
     from timestream_travel_spark.pipeline import backup_queries  # noqa: F401
+
+    # round-3 modules import AFTER everything above so their (not yet
+    # driver-verified) queries register behind the existing backlog in
+    # the unverified-first ordering — the capped correctness window
+    # drains oldest-first
+    from timestream_travel_spark.operators import (  # noqa: F401
+        attribution,
+        llm_text5,
+    )

@@ -80,6 +80,41 @@ def streaming_dedup(stream: DataFrame, watermark: str = "30 minutes") -> DataFra
     return stream.withWatermark("ts", watermark).dropDuplicates(["event_id", "ts"])
 
 
+def stream_stream_click_attribution(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    watermark: str = "1 hour",
+    horizon_expr: str = "INTERVAL 1 HOUR",
+) -> DataFrame:
+    """Watermarked stream-stream INNER join: each purchase pairs with
+    the same user's clicks in the hour before it (click attribution).
+
+    State story: both sides carry an event-time watermark and the join
+    condition bounds click_ts to [purchase_ts − horizon, purchase_ts],
+    so Spark derives a state-eviction watermark for BOTH buffers —
+    state is O(events within the horizon), not unbounded. Without the
+    time-range conjunct a stream-stream inner join must buffer
+    everything forever; this is the canonical bounded-state shape
+    (Structured Streaming docs, inner join with time constraint)."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    ).withWatermark("purchase_ts", watermark)
+    return p.join(
+        c,
+        (p.user_id == c.c_user)
+        & (c.click_ts <= p.purchase_ts)
+        & (c.click_ts >= p.purchase_ts - F.expr(horizon_expr)),
+        "inner",
+    ).select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")
+
+
 def read_rate_stream(spark: SparkSession, rows_per_second: int = 500) -> DataFrame:
     """Rate source shaped like the events table — the fixture-free
     demo/load-gen stream (each row: monotonically increasing event_id,
