@@ -21,3 +21,19 @@ def test_every_query_has_callable_and_oracle_keys_match(spark):
     # SQL-expressible coverage should stay high (rows-only is the
     # exception, not the rule)
     assert len(oracles) / len(qs) > 0.85
+
+
+def test_unverified_queries_lead_the_registry():
+    """The driver checks a capped prefix of queries() per round, so
+    every query WITHOUT a green CORRECTNESS row in any prior round
+    must sort before every query that already has one — generated
+    from the CORRECTNESS_r*.json files, not hand-maintained."""
+    green = entrymod._driver_green_keys()
+    names = list(entrymod.queries())
+    assert green, "prior-round correctness files should yield green keys"
+    seen_green = False
+    for n in names:
+        if n in green:
+            seen_green = True
+        else:
+            assert not seen_green, f"unverified query {n} sorted after a verified one"

@@ -1,7 +1,8 @@
 """LLM-pipeline operators, part 5 (round 3): sentence segmentation
 statistics — the per-document sentence profile a training-data
 pipeline uses for quality gating (too-few/too-long sentences flag
-boilerplate or OCR junk).
+boilerplate or OCR junk) — and deterministic stratified sampling for
+class-balanced corpus construction.
 
 All in-row array transforms over built-in functions — no UDF, no
 explode until the final per-language rollup, so the hot path stays
@@ -12,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from timestream_travel_spark.registry import query
 from timestream_travel_spark.tables import load_table
@@ -82,4 +84,45 @@ def q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)),
             4,
         ).alias("avg_words_per_sentence"),
+    )
+
+
+@query(
+    "q_balanced_sample",
+    oracle="""
+    WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    k AS (SELECT MIN(n) AS k FROM counts),
+    ranked AS (
+      SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM ranked, k WHERE rn <= k.k
+    GROUP BY lang
+    """,
+)
+def q_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified class-balancing: downsample every
+    language to the smallest language's document count, picking docs
+    in md5(doc_id) order — a reproducible, seedless shuffle (the
+    standard corpus-balancing step before training). The per-class
+    quota is a 1-row aggregate (bounded → broadcast is safe); ranking
+    is one window pass per language partition; output is the per-class
+    audit (count + id checksum), driver-safe at any sf."""
+    d = load_table(spark, sf_dir, "documents")
+    k = d.groupBy("lang").count().agg(F.min("count").alias("k"))
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), F.asc("doc_id"))
+    ranked = d.select("lang", "doc_id", F.row_number().over(w).alias("rn"))
+    return (
+        ranked.join(F.broadcast(k))
+        .filter(F.col("rn") <= F.col("k"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+            F.sum("doc_id").cast("bigint").alias("id_sum"),
+        )
     )
