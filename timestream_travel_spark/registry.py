@@ -82,4 +82,5 @@ def load_all() -> None:
     from timestream_travel_spark.operators import (  # noqa: F401
         attribution,
         llm_text5,
+        llm_text6,
     )
