@@ -1,0 +1,112 @@
+"""Property tests for the round-3 training-prep operators
+(operators/llm_text7.py): BPE merge loop vs a pure-Python reference,
+Misra-Gries sketch bounds vs exact counts, and sequence-packing
+invariants."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from timestream_travel_spark.operators.llm_text7 import (
+    CHUNK_TOKENS,
+    HH_SHARE,
+    MG_K,
+    bpe_merge_table,
+    mg_sketch_partitions,
+)
+from timestream_travel_spark.tables import load_table
+
+
+def _words(spark, sf_dir) -> list[str]:
+    rows = load_table(spark, sf_dir, "documents").select("text").collect()
+    out: list[str] = []
+    for (text,) in rows:
+        out.extend(w for w in re.split(r"\s+", text.strip()) if w)
+    return out
+
+
+def _bpe_reference(words: list[str], n_merges: int) -> list[tuple]:
+    """Pure-Python replay of the identical algorithm (word-frequency
+    BPE, greedy left-to-right merge application)."""
+    vocab = Counter(words)
+    state = {w: tuple(w) for w in vocab if len(w) >= 2}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pair_counts: Counter = Counter()
+        for w, syms in state.items():
+            f = vocab[w]
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] += f
+        if not pair_counts:
+            break
+        (p1, p2), cnt = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, p1, p2, p1 + p2, cnt))
+        nxt = {}
+        for w, syms in state.items():
+            acc = [syms[0]]
+            for x in syms[1:]:
+                if acc[-1] == p1 and x == p2:
+                    acc[-1] = p1 + p2
+                else:
+                    acc.append(x)
+            if len(acc) >= 2:
+                nxt[w] = tuple(acc)
+        state = nxt
+    return merges
+
+
+def test_bpe_merge_loop_matches_python_reference(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    got = bpe_merge_table(docs, n_merges=4)
+    want = _bpe_reference(_words(spark, sf_dir), n_merges=4)
+    assert got == want
+
+
+def test_mg_sketch_bounds_and_superset(spark, sf_dir):
+    """Merged Misra-Gries estimates: est ≤ true ≤ est + n/(K+1), and
+    every true heavy hitter survives the thresholded query."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.repartition(8).select(
+        F.explode(
+            F.filter(F.split(F.trim("text"), r"\s+"), lambda w: w != "")
+        ).alias("word")
+    )
+    est = {
+        r["word"]: r["est"]
+        for r in mg_sketch_partitions(words)
+        .groupBy("word")
+        .agg(F.sum("cnt").alias("est"))
+        .collect()
+    }
+    true = Counter(_words(spark, sf_dir))
+    n = sum(true.values())
+    err = n / (MG_K + 1)
+    for w, e in est.items():
+        assert e <= true[w] <= e + err, (w, e, true[w])
+    # superset: every true HH clears the query's lowered threshold
+    for w, t in true.items():
+        if t > n * HH_SHARE:
+            assert w in est and est[w] > n * (HH_SHARE - 1.0 / (MG_K + 1)), w
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    """Every chunk except the last is exactly CHUNK_TOKENS; totals
+    reconcile with the corpus token count; doc spans are contiguous."""
+    import __spark_entry__ as entrymod
+
+    res = entrymod.queries()["q_pack_sequences"](spark, sf_dir)
+    rows = sorted((r["chunk_id"], r["n_tokens"], r["first_doc"], r["last_doc"]) for r in res.collect())
+    assert [c for c, *_ in rows] == list(range(len(rows)))
+    assert all(t == CHUNK_TOKENS for _, t, _, _ in rows[:-1])
+    assert 0 < rows[-1][1] <= CHUNK_TOKENS
+    total = sum(t for _, t, _, _ in rows)
+    assert total == len(_words(spark, sf_dir))
+    # chunks consume docs in doc_id order: the next chunk starts at the
+    # boundary-straddling doc or later, never backwards
+    for (_, _, _, last_prev), (_, _, first_cur, _) in zip(rows, rows[1:]):
+        assert first_cur >= last_prev

@@ -83,4 +83,5 @@ def load_all() -> None:
         attribution,
         llm_text5,
         llm_text6,
+        llm_text7,
     )
