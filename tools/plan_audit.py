@@ -33,6 +33,11 @@ AUDITED = [
     "q_tpch_q3_shipping_priority",
     "q_tpch_q5_local_supplier_volume",
     "q_lsh_verified_jaccard",
+    "q_pack_sequences",
+    "q_contamination_ngrams",
+    "q_inverted_index",
+    "q_mg_heavy_hitters",
+    "q_train_split_manifest",
 ]
 
 
