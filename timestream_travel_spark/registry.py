@@ -84,4 +84,5 @@ def load_all() -> None:
         llm_text5,
         llm_text6,
         llm_text7,
+        llm_text8,
     )
