@@ -185,3 +185,81 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     return connected_components(edges)
+
+
+@query(
+    "q_dedup_keep_best",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) - 2, 1)),
+               i -> array_to_string(regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')[i:i+2], ' ')
+             )) AS shingles
+      FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+    ), sym AS (
+      SELECT src AS a, dst AS b FROM pairs
+      UNION
+      SELECT dst, src FROM pairs
+    ), reach AS (
+      WITH RECURSIVE walk(node, seen) AS (
+        SELECT a, a FROM sym
+        UNION
+        SELECT s.b, w.seen FROM walk w JOIN sym s ON s.a = w.node
+      )
+      SELECT * FROM walk
+    ), cc AS (
+      SELECT node, MIN(seen) AS cluster FROM reach GROUP BY node
+    ), lab AS (
+      SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster, d.n_chars
+      FROM documents d LEFT JOIN cc c ON d.doc_id = c.node
+    ), ranked AS (
+      SELECT cluster, doc_id, n_chars,
+             row_number() OVER (PARTITION BY cluster
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM lab
+    )
+    SELECT cluster,
+           MAX(CASE WHEN rn = 1 THEN doc_id END) AS kept_doc,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM ranked GROUP BY cluster
+    """,
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup materialization manifest: every document is assigned to
+    its near-dup cluster (connected components over LSH-verified
+    pairs; unmatched docs are their own singleton cluster) and the
+    KEPT representative is the longest member (n_chars desc, doc_id
+    tiebreak) — the keep-the-longest policy common in corpus dedup,
+    instead of q_dedup_clusters' min-id labeling. The argmax is one
+    window pass per cluster partition; singletons join in with a
+    left join + coalesce, so the corpus scans once."""
+    from pyspark.sql.window import Window
+
+    from timestream_travel_spark.operators.dedup import lsh_verified_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    edges = lsh_verified_pairs(d, threshold=0.5).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    labels = connected_components(edges)
+    lab = (
+        d.select("doc_id", "n_chars")
+        .join(labels, d.doc_id == labels.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster", "doc_id").alias("cluster"),
+            "n_chars",
+        )
+    )
+    w = Window.partitionBy("cluster").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    ranked = lab.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("cluster").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("kept_doc"),
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+    )
