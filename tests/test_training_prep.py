@@ -110,3 +110,45 @@ def test_pack_sequences_invariants(spark, sf_dir):
     # boundary-straddling doc or later, never backwards
     for (_, _, _, last_prev), (_, _, first_cur, _) in zip(rows, rows[1:]):
         assert first_cur >= last_prev
+
+
+def test_pack_sequences_plan_has_no_global_corpus_window(spark, sf_dir):
+    """The corpus-side cumsum must window per shard (hashpartitioning
+    on shard), never pull the whole corpus through one task; the only
+    SinglePartition exchange allowed is the tiny shard-offset table."""
+    import __spark_entry__ as entrymod
+
+    physical = (
+        entrymod.queries()["q_pack_sequences"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "hashpartitioning(shard" in physical
+    # the shard-offset branch reads only (doc_id→shard, n_tok): its
+    # single-partition window input is aggregate rows, not the corpus
+    assert physical.count("SinglePartition") <= 1
+
+
+def test_oov_vocab_join_is_broadcast(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    physical = (
+        entrymod.queries()["q_oov_rate"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in physical
+
+
+def test_embedding_quantize_codes_roundtrip(spark, sf_dir):
+    """Reconstruction error per dimension is bounded by scale/2 per
+    element: abs_err_sum ≤ n · (dmax−dmin)/255/2 (+ float slack)."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["q_embedding_quantize"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        bound = r["n"] * (r["dmax"] - r["dmin"]) / 255.0 / 2.0
+        assert r["abs_err_sum"] <= bound * 1.01 + 1e-9, r

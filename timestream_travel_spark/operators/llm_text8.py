@@ -132,3 +132,109 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("abs_err_sum"),
     )
+
+
+MIX_TEMP = 2.0  # sampling temperature for multilingual mixing
+
+
+@query(
+    "q_lang_mixture_weights",
+    oracle=f"""
+    WITH c AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                      x -> x <> ''))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    t AS (SELECT SUM(n_tokens) AS total FROM c),
+    w AS (
+      SELECT lang, n_docs, n_tokens,
+             pow(CAST(n_tokens AS DOUBLE) / t.total, 1.0 / {MIX_TEMP}) AS raw
+      FROM c, t
+    )
+    SELECT lang, n_docs, n_tokens,
+           round(raw / SUM(raw) OVER (), 6) AS mix_weight,
+           round((raw / SUM(raw) OVER ()) / (CAST(n_tokens AS DOUBLE)
+                 / SUM(n_tokens) OVER ()), 6) AS upsample_factor
+    FROM w
+    """,
+)
+def q_lang_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled multilingual mixture weights (T={MIX_TEMP}):
+    w_l ∝ (token_share_l)^(1/T), the standard upsampling rule that
+    flattens the language distribution for training (XLM-R-style,
+    public). Per-lang token counts reduce to |langs| rows, so every
+    window/normalization step after the first aggregation runs on a
+    bounded table — the corpus is scanned exactly once."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(doc_words("text"))).cast("bigint").alias("n_tokens"),
+    )
+    from pyspark.sql.window import Window
+
+    all_w = Window.partitionBy()
+    share = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(all_w)
+    raw = F.pow(share, 1.0 / MIX_TEMP)
+    mix = raw / F.sum(raw).over(all_w)
+    return c.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(mix, 6).alias("mix_weight"),
+        F.round(mix / share, 6).alias("upsample_factor"),
+    )
+
+
+N_LEN_BUCKETS = 10
+
+
+@query(
+    "q_length_buckets",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS n_tok
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, n_tok,
+             ntile({N_LEN_BUCKETS}) OVER (ORDER BY n_tok, doc_id) AS bucket
+      FROM d
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_tok) AS BIGINT) AS min_tok,
+           CAST(MAX(n_tok) AS BIGINT) AS max_tok,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+           CAST(MAX(n_tok) * COUNT(*) - SUM(n_tok) AS BIGINT) AS pad_waste
+    FROM b GROUP BY bucket
+    """,
+)
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching audit: documents are split into
+    {N_LEN_BUCKETS} equal-size buckets by token length (ntile with a
+    deterministic tiebreak) and each bucket reports its padding waste
+    (bucket_max×count − sum) — the quantity length-bucketing
+    minimizes vs naive global-max padding. ntile needs a global
+    order: at fixture scale that is one window; at 100 TB the same
+    audit runs on percentile boundaries from approx_quantile + a
+    range join, trading exactness of the bucket EDGES (not of the
+    audit math) for a scan-shaped plan — documented, not silently
+    swapped."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    toks = d.select("doc_id", F.size(doc_words("text")).alias("n_tok"))
+    w = Window.orderBy(F.asc("n_tok"), F.asc("doc_id"))
+    b = toks.withColumn("bucket", F.ntile(N_LEN_BUCKETS).over(w))
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("n_tok").cast("bigint").alias("min_tok"),
+        F.max("n_tok").cast("bigint").alias("max_tok"),
+        F.sum("n_tok").cast("bigint").alias("sum_tok"),
+        (F.max("n_tok") * F.count(F.lit(1)) - F.sum("n_tok"))
+        .cast("bigint")
+        .alias("pad_waste"),
+    )
