@@ -110,20 +110,22 @@ def connected_components(
             .groupBy("tgt")
             .agg(F.min("cand").alias("new_cand"))
         )
-        new_labels = (
+        # the old label rides along into the checkpoint so convergence
+        # is a column comparison on the checkpointed rows — not a
+        # separate old-vs-new equi-join job per round
+        with_old = (
             labels.join(cands, labels.node == cands.tgt, "left")
             .select(
                 "node",
-                F.least(F.col("cluster"), F.coalesce("new_cand", "cluster")).alias("cluster"),
+                F.least(F.col("cluster"), F.coalesce("new_cand", "cluster")).alias(
+                    "cluster"
+                ),
+                F.col("cluster").alias("old_cluster"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.cluster") != F.col("o.cluster"))
-            .count()
-        )
+        changed = with_old.filter(F.col("cluster") != F.col("old_cluster")).count()
+        new_labels = with_old.select("node", "cluster")
         g.unpersist()
         labels = new_labels
         rounds += 1
