@@ -152,3 +152,25 @@ def test_embedding_quantize_codes_roundtrip(spark, sf_dir):
     for r in rows:
         bound = r["n"] * (r["dmax"] - r["dmin"]) / 255.0 / 2.0
         assert r["abs_err_sum"] <= bound * 1.01 + 1e-9, r
+
+
+def test_bloom_probe_no_false_negatives_and_fp_bound(spark, sf_dir):
+    """Planted verbatim duplicates must ALL flag probably_dup (Bloom
+    filters cannot false-negative); novel docs flag at below ~10× the
+    designed FP rate (slack for small-sample variance)."""
+    import math
+
+    import __spark_entry__ as entrymod
+
+    from timestream_travel_spark.operators.bloom import K_HASHES, M_BITS
+    from timestream_travel_spark.tables import load_table
+
+    rows = entrymod.queries()["q_bloom_dedup_probe"](spark, sf_dir).collect()
+    dup_rows = [r for r in rows if r["probe_id"] < 1_000_000]
+    novel_rows = [r for r in rows if r["probe_id"] >= 1_000_000]
+    assert dup_rows and novel_rows
+    assert all(r["probably_dup"] for r in dup_rows)
+    n = load_table(spark, sf_dir, "documents").count()
+    fp_rate = (1 - math.exp(-K_HASHES * n / M_BITS)) ** K_HASHES
+    observed = sum(1 for r in novel_rows if r["probably_dup"]) / len(novel_rows)
+    assert observed <= max(10 * fp_rate, 0.02), (observed, fp_rate)

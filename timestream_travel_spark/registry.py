@@ -82,6 +82,7 @@ def load_all() -> None:
     from timestream_travel_spark.operators import (  # noqa: F401
         attribution,
         llm_text5,
+        bloom,
         llm_text6,
         llm_text7,
         llm_text8,
