@@ -174,3 +174,22 @@ def test_bloom_probe_no_false_negatives_and_fp_bound(spark, sf_dir):
     fp_rate = (1 - math.exp(-K_HASHES * n / M_BITS)) ** K_HASHES
     observed = sum(1 for r in novel_rows if r["probably_dup"]) / len(novel_rows)
     assert observed <= max(10 * fp_rate, 0.02), (observed, fp_rate)
+
+
+def test_length_buckets_approx_tracks_exact(spark, sf_dir):
+    """Approx-quantile bucketing must roughly reproduce the exact
+    ntile populations (equal deciles): every bucket within ±30% of
+    the ideal size, and total docs/tokens reconcile exactly."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    exact = {r["bucket"]: r for r in qs["q_length_buckets"](spark, sf_dir).collect()}
+    approx = {r["bucket"]: r for r in qs["q_length_buckets_approx"](spark, sf_dir).collect()}
+    n_total = sum(r["n_docs"] for r in exact.values())
+    assert sum(r["n_docs"] for r in approx.values()) == n_total
+    assert sum(r["sum_tok"] for r in approx.values()) == sum(
+        r["sum_tok"] for r in exact.values()
+    )
+    ideal = n_total / len(exact)
+    for r in approx.values():
+        assert r["n_docs"] <= ideal * 1.3 + 2, r

@@ -238,3 +238,40 @@ def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("pad_waste"),
     )
+
+
+@query("q_length_buckets_approx")
+def q_length_buckets_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB variant of q_length_buckets: bucket EDGES come from
+    approxQuantile (Greenwald-Khanna, driver receives 9 scalars) and
+    rows are assigned by comparing against the broadcast cut array —
+    no global window, no total order, scan-shaped at any corpus size.
+    Bucket boundaries are approximate; the audit math per bucket is
+    exact. Rows-only oracle (GK sketch is engine-specific); pytest
+    asserts per-bucket populations stay within tolerance of the exact
+    ntile twin."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.size(doc_words("text")).alias("n_tok"))
+    cuts = toks.stat.approxQuantile(
+        "n_tok", [i / N_LEN_BUCKETS for i in range(1, N_LEN_BUCKETS)], 0.001
+    )
+    bucket = F.lit(1) + F.size(
+        F.filter(
+            F.array(*[F.lit(float(c)) for c in cuts]),
+            lambda c: F.col("n_tok") > c,
+        )
+    )
+    b = toks.withColumn("bucket", bucket)
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("n_tok").cast("bigint").alias("min_tok"),
+            F.max("n_tok").cast("bigint").alias("max_tok"),
+            F.sum("n_tok").cast("bigint").alias("sum_tok"),
+            (F.max("n_tok") * F.count(F.lit(1)) - F.sum("n_tok"))
+            .cast("bigint")
+            .alias("pad_waste"),
+        )
+        .orderBy("bucket")
+    )
