@@ -53,6 +53,13 @@ EXTRA = [
     "q_dedup_clusters",
     "q_time_weighted_avg",
     "q_interpolate_linear",
+    # round-3 training-prep flagships
+    "q_pack_sequences",
+    "q_bpe_merge_loop",
+    "q_mg_heavy_hitters",
+    "q_bloom_dedup_probe",
+    "q_dedup_keep_best",
+    "q_contamination_ngrams",
 ]
 
 

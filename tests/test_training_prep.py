@@ -193,3 +193,27 @@ def test_length_buckets_approx_tracks_exact(spark, sf_dir):
     ideal = n_total / len(exact)
     for r in approx.values():
         assert r["n_docs"] <= ideal * 1.3 + 2, r
+
+
+def test_pack_chunks_scale_smoke(spark):
+    """The prefix-sum packing machinery on a 2M-doc synthetic corpus
+    (~400M tokens): totals reconcile exactly and every chunk except
+    the last is full — no global window, so this is shard-parallel
+    all the way."""
+    from pyspark.sql import functions as SF
+
+    from timestream_travel_spark.operators.llm_text7 import pack_chunks
+
+    toks = spark.range(2_000_000).select(
+        SF.col("id").alias("doc_id"), (SF.col("id") % 400 + 1).alias("n_tok")
+    )
+    res = pack_chunks(toks, budget=2048)
+    agg = res.agg(
+        SF.sum("n_tokens").alias("tok"),
+        SF.count(SF.lit(1)).alias("n_chunks"),
+        SF.sum(SF.when(SF.col("n_tokens") != 2048, 1).otherwise(0)).alias("partial"),
+    ).collect()[0]
+    expected_tokens = sum(i % 400 + 1 for i in range(2_000_000))
+    assert agg["tok"] == expected_tokens
+    assert agg["partial"] <= 1
+    assert agg["n_chunks"] == -(-expected_tokens // 2048)

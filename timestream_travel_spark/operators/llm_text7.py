@@ -123,9 +123,15 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-level recursion away from any practical scale); the join is
     size-driven via AQE, not force-broadcast."""
     d = load_table(spark, sf_dir, "documents")
-    nz = d.select("doc_id", F.size(doc_words("text")).alias("n_tok")).filter(
-        F.col("n_tok") > 0
-    )
+    toks = d.select("doc_id", F.size(doc_words("text")).alias("n_tok"))
+    return pack_chunks(toks)
+
+
+def pack_chunks(toks: DataFrame, budget: int = CHUNK_TOKENS) -> DataFrame:
+    """Per-chunk packing manifest for any (doc_id, n_tok) frame — the
+    distributed-prefix-sum core of q_pack_sequences, factored out so
+    the scale test can feed synthetic multi-million-row corpora."""
+    nz = toks.filter(F.col("n_tok") > 0)
     nz = nz.withColumn("shard", F.floor(F.col("doc_id") / PACK_SHARD))
     shard_w = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
     shard_off = (
@@ -143,7 +149,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "off"
     )
     c = nz.join(shard_off, "shard").select("doc_id", "n_tok", off)
-    B = CHUNK_TOKENS
+    B = budget
     first = F.floor(F.col("off") / B)
     last = F.floor((F.col("off") + F.col("n_tok") - 1) / B)
     e = c.select(
