@@ -217,3 +217,37 @@ def test_pack_chunks_scale_smoke(spark):
     assert agg["tok"] == expected_tokens
     assert agg["partial"] <= 1
     assert agg["n_chunks"] == -(-expected_tokens // 2048)
+
+
+def test_bpe_tokenize_matches_python_reference(spark, sf_dir):
+    """Per-lang BPE token counts after applying the learned merges
+    must equal a pure-Python replay."""
+    import __spark_entry__ as entrymod
+
+    from timestream_travel_spark.tables import load_table
+
+    rows = load_table(spark, sf_dir, "documents").select("lang", "text").collect()
+    merges = [(m[1], m[2]) for m in _bpe_reference(_words(spark, sf_dir), 4)]
+    want: dict[str, list[int]] = {}
+    for lang, text in rows:
+        for w in re.split(r"\s+", text.strip()):
+            if not w:
+                continue
+            syms = list(w)
+            for p1, p2 in merges:
+                acc = [syms[0]]
+                for x in syms[1:]:
+                    if acc[-1] == p1 and x == p2:
+                        acc[-1] = p1 + p2
+                    else:
+                        acc.append(x)
+                syms = acc
+            want.setdefault(lang, [0, 0, 0])
+            want[lang][0] += 1
+            want[lang][1] += len(syms)
+            want[lang][2] += len(w)
+    got = {
+        r["lang"]: (r["n_words"], r["n_bpe_tokens"], r["n_chars"])
+        for r in entrymod.queries()["q_bpe_tokenize"](spark, sf_dir).collect()
+    }
+    assert got == {k: tuple(v) for k, v in want.items()}

@@ -317,3 +317,49 @@ def q_bpe_merge_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, schema="merge_rank int, p1 string, p2 string, merged string, cnt bigint"
     ).orderBy("merge_rank")
+
+
+def _merge_fold(arr_col: Column, p1: str, p2: str) -> Column:
+    """Left-to-right greedy application of one merge to a symbol
+    array — same fold as the trainer."""
+    return F.aggregate(
+        F.slice(arr_col, 2, F.greatest(F.size(arr_col) - 1, F.lit(0))),
+        F.slice(arr_col, 1, 1),
+        lambda acc, x: F.when(
+            (F.element_at(acc, -1) == p1) & (x == p2),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(p1 + p2))),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+@query("q_bpe_tokenize")
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained BPE merge table to tokenize the corpus and
+    report per-language compression: token counts fall as the 4
+    learned merges fuse frequent pairs. The fold runs once per
+    DISTINCT word (vocab-bounded, like the trainer) and per-document
+    counts come from joining token counts back onto the exploded
+    corpus — the expensive symbolic work never touches duplicate
+    words. Rows-only oracle (depends on the iterative trainer);
+    pytest replays the pipeline in pure Python."""
+    d = load_table(spark, sf_dir, "documents")
+    merges = bpe_merge_table(d)
+    dw = d.select("doc_id", "lang", F.explode(doc_words("text")).alias("w"))
+    wtab = dw.select("w").distinct().select(
+        "w", F.filter(F.split(F.col("w"), ""), lambda ch: ch != "").alias("a")
+    )
+    for _, p1, p2, _, _ in merges:
+        wtab = wtab.select("w", _merge_fold(F.col("a"), p1, p2).alias("a"))
+    wn = wtab.select("w", F.size("a").alias("n_sym"), F.length("w").alias("n_chr"))
+    return (
+        dw.join(wn, "w")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_sym").cast("bigint").alias("n_bpe_tokens"),
+            F.sum("n_chr").cast("bigint").alias("n_chars"),
+            F.round(
+                F.sum("n_chr").cast("double") / F.sum("n_sym"), 4
+            ).alias("chars_per_token"),
+        )
+    )
