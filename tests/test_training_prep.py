@@ -251,3 +251,35 @@ def test_bpe_tokenize_matches_python_reference(spark, sf_dir):
         for r in entrymod.queries()["q_bpe_tokenize"](spark, sf_dir).collect()
     }
     assert got == {k: tuple(v) for k, v in want.items()}
+
+
+def test_packed_sequences_reconstruct_corpus(spark, sf_dir, tmp_path):
+    """Flattening the written training shards in chunk order must
+    reproduce the exact whitespace token stream of the corpus in
+    doc_id order; all chunks but the last are full."""
+    from timestream_travel_spark.pipeline.training_export import (
+        packed_sequences,
+        write_training_shards,
+    )
+    from timestream_travel_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    dest = str(tmp_path / "shards")
+    n_chunks = write_training_shards(docs, dest, budget=128)
+    got = spark.read.parquet(dest).orderBy("chunk_id").collect()
+    assert len(got) == n_chunks
+    flat = [t for r in got for t in r["tokens"]]
+    want = []
+    for _, text in sorted(
+        (r["doc_id"], r["text"]) for r in docs.select("doc_id", "text").collect()
+    ):
+        want.extend(w for w in re.split(r"\s+", text.strip()) if w)
+    assert flat == want
+    assert all(r["n_tokens"] == 128 for r in got[:-1])
+    # manifest agreement: same chunk count as the registry query's math
+    assert n_chunks == -(-len(want) // 128)
+    # direct (non-written) path agrees
+    direct = packed_sequences(docs, budget=128).agg(
+        F.sum("n_tokens").alias("s")
+    ).collect()[0]["s"]
+    assert direct == len(want)

@@ -127,10 +127,11 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_chunks(toks)
 
 
-def pack_chunks(toks: DataFrame, budget: int = CHUNK_TOKENS) -> DataFrame:
-    """Per-chunk packing manifest for any (doc_id, n_tok) frame — the
-    distributed-prefix-sum core of q_pack_sequences, factored out so
-    the scale test can feed synthetic multi-million-row corpora."""
+def doc_offsets(toks: DataFrame) -> DataFrame:
+    """(doc_id, n_tok, off): each document's exclusive global token
+    offset in doc_id order, via the two-phase distributed prefix sum
+    (shard-local window cumsum + tiny shard-offset join) — no global
+    window anywhere."""
     nz = toks.filter(F.col("n_tok") > 0)
     nz = nz.withColumn("shard", F.floor(F.col("doc_id") / PACK_SHARD))
     shard_w = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
@@ -148,7 +149,14 @@ def pack_chunks(toks: DataFrame, budget: int = CHUNK_TOKENS) -> DataFrame:
     off = (F.coalesce(F.sum("n_tok").over(local_w), F.lit(0)) + F.col("shard_off")).alias(
         "off"
     )
-    c = nz.join(shard_off, "shard").select("doc_id", "n_tok", off)
+    return nz.join(shard_off, "shard").select("doc_id", "n_tok", off)
+
+
+def pack_chunks(toks: DataFrame, budget: int = CHUNK_TOKENS) -> DataFrame:
+    """Per-chunk packing manifest for any (doc_id, n_tok) frame — the
+    distributed-prefix-sum core of q_pack_sequences, factored out so
+    the scale test can feed synthetic multi-million-row corpora."""
+    c = doc_offsets(toks)
     B = budget
     first = F.floor(F.col("off") / B)
     last = F.floor((F.col("off") + F.col("n_tok") - 1) / B)
