@@ -324,3 +324,43 @@ def test_reference_layout_filesystem_api_contract(spark, sf_dir, tmp_path):
     # the persisted manifest matches what was returned
     manifest = {r["key"] for r in spark.read.parquet(str(tmp_path / "ref" / "_keys")).collect()}
     assert manifest == set(keys)
+
+
+def test_restore_as_of_point_in_time(spark, sf_dir, tmp_path):
+    """Point-in-time restore: rows after the cutoff are absent, rows
+    at/before are all present, and the scan prunes __date partition
+    directories (PartitionFilters), not just rows."""
+    from timestream_travel_spark.pipeline.restore import restore_as_of
+
+    dest = str(tmp_path / "bk")
+    ev = load_table(spark, sf_dir, "events")
+    cfg = BackupConfig(
+        dest=dest, time_from="2024-01-01 00:00:00", time_to="2024-01-15 00:00:00",
+        rows_per_chunk=500, tiebreak_col="event_id",
+    )
+    backup(spark, ev, cfg)
+
+    cutoff = "2024-01-07 12:00:00"
+    out = str(tmp_path / "asof")
+    schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+    res = restore_as_of(spark, dest, out, cutoff, schema=schema)
+    back = spark.read.parquet(out)
+    src = (
+        ev.filter(F.col("ts").between("2024-01-01", "2024-01-15"))
+        .filter(F.col("event_type").isNotNull())
+        .filter(F.col("ts") <= cutoff)
+    )
+    assert res["rows_out"] == src.count() == back.count()
+    assert back.filter(F.col("ts") > cutoff).count() == 0
+
+    # the pruned read must push the partition predicate into the scan
+    cutoff_day = "20240107"
+    pruned = (
+        spark.read.option("basePath", dest)
+        .json(f"{dest}/__part=*/__date=*/*.json.gz")
+        .filter(F.col("__date") <= cutoff_day)
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(__date" in plan or "(__date" in plan.split(
+        "PartitionFilters"
+    )[1][:80]

@@ -72,6 +72,7 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--dest", required=True, help="parquet output directory")
     r.add_argument("--schema", default=None, help="DDL schema to cast faithful strings back to types")
     r.add_argument("--dedup-key", default=None, help="drop duplicate rows by this key (keep max ts)")
+    r.add_argument("--as-of", default=None, help="point-in-time restore: only rows with ts <= 'yyyy-MM-dd HH:mm:ss' (partition-pruned read)")
     r.add_argument("--verbose", action="store_true")
     c = sub.add_parser("compact", help="rewrite fragmented parquet into size-targeted files")
     c.add_argument("--src", required=True, help="fragmented parquet directory")
@@ -129,9 +130,15 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.command == "restore":
-        from timestream_travel_spark.pipeline.restore import restore_backup
+        from timestream_travel_spark.pipeline.restore import restore_as_of, restore_backup
 
         spark = get_spark("timestream-travel-restore")
+        if args.as_of:
+            stats = restore_as_of(
+                spark, args.backup, args.dest, args.as_of, schema=args.schema
+            )
+            log.info("restored %d rows as of %s -> %s", stats["rows_out"], args.as_of, args.dest)
+            return 0
         stats = restore_backup(
             spark, args.backup, args.dest, schema=args.schema, dedup_key=args.dedup_key
         )

@@ -174,3 +174,42 @@ def incremental_backup(
     )
     fresh = src.filter(F.col("__hwm_ts").isNull() | ts_pred).drop("__hwm_part", "__hwm_ts")
     return backup(spark, fresh, cfg)
+
+
+def restore_as_of(
+    spark: SparkSession,
+    backup_dir: str,
+    dest: str,
+    cutoff: str,
+    schema: str | None = None,
+    ts_col: str = "ts",
+) -> dict[str, int]:
+    """Point-in-time restore — rebuild the table state as of
+    `cutoff` ('yyyy-MM-dd HH:mm:ss', UTC): the time-travel read the
+    repo is named for. Chunk directories are pruned FIRST via the
+    sink's __date partition column (only directories with
+    __date ≤ cutoff's day are listed/read — PartitionFilters in the
+    scan, verified by test), then the row-level ts ≤ cutoff predicate
+    handles the straddling day. At 100 TB the partition prune is the
+    difference between scanning one day's tail and scanning the whole
+    archive. Returns {rows_out}."""
+    cutoff_day = cutoff[:10].replace("-", "")
+    raw = (
+        spark.read.option("basePath", backup_dir)
+        .json(f"{backup_dir}/__part=*/__date=*/*.json.gz")
+        .filter(F.col("__date") <= cutoff_day)
+    )
+    cols = [c for c in raw.columns if not c.startswith("__")]
+    df = raw.select(
+        *[F.when(F.col(c) == "NULL", None).otherwise(F.col(c)).alias(c) for c in cols]
+    )
+    if schema:
+        from pyspark.sql.types import StructType
+
+        target = StructType.fromDDL(schema)
+        df = df.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in target.fields]
+        )
+    df = df.filter(F.to_timestamp(F.col(ts_col)) <= F.to_timestamp(F.lit(cutoff)))
+    df.write.mode("overwrite").parquet(dest)
+    return {"rows_out": spark.read.parquet(dest).count()}
