@@ -283,3 +283,19 @@ def test_packed_sequences_reconstruct_corpus(spark, sf_dir, tmp_path):
         F.sum("n_tokens").alias("s")
     ).collect()[0]["s"]
     assert direct == len(want)
+
+
+def test_cm_sketch_overestimates_within_bound(spark, sf_dir):
+    """Count-Min: est ≥ true for every probed token, and the
+    overestimate stays within 3·n/W (generous vs the e·n/W w.h.p.
+    bound, deterministic here)."""
+    import __spark_entry__ as entrymod
+
+    from timestream_travel_spark.operators.llm_text9 import CM_W
+
+    rows = entrymod.queries()["q_cm_sketch_estimates"](spark, sf_dir).collect()
+    assert len(rows) == 30
+    n = len(_words(spark, sf_dir))
+    for r in rows:
+        assert r["est_cnt"] >= r["true_cnt"], r
+        assert r["est_cnt"] - r["true_cnt"] <= 3 * n / CM_W + 1, r

@@ -86,4 +86,5 @@ def load_all() -> None:
         llm_text6,
         llm_text7,
         llm_text8,
+        llm_text9,
     )
