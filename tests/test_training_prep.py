@@ -299,3 +299,39 @@ def test_cm_sketch_overestimates_within_bound(spark, sf_dir):
     for r in rows:
         assert r["est_cnt"] >= r["true_cnt"], r
         assert r["est_cnt"] - r["true_cnt"] <= 3 * n / CM_W + 1, r
+
+
+def test_split_leakage_detects_planted_cross_split_dup(spark):
+    """A text planted under two doc_ids that hash to different splits
+    must surface in the leakage report (doc_id=1 → train, 0 → test
+    under the md5 bucket rule)."""
+    from timestream_travel_spark.operators.llm_text7 import md5_bucket
+    from timestream_travel_spark.operators.llm_text9 import q_split_leakage  # noqa: F401
+
+    df = spark.createDataFrame(
+        [(0, "identical leaked text"), (1, "identical leaked text"), (2, "unique text")],
+        "doc_id bigint, text string",
+    )
+    b = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("int") % 100
+    split = F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    fp = F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "))
+    leaks = (
+        df.select(fp.alias("fp"), split.alias("split"))
+        .groupBy("fp")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .count()
+    )
+    assert leaks == 1
+    assert md5_bucket is not None
+
+
+def test_quantized_ann_recall(spark, sf_dir):
+    """Quantized top-10 must recall ≥0.8 of the full-precision
+    top-10 (8-bit codes are near-lossless at this dim)."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    exact = {r["vec_id"] for r in qs["q_cosine_topk"](spark, sf_dir).collect()}
+    quant = {r["vec_id"] for r in qs["q_ann_quantized_topk"](spark, sf_dir).collect()}
+    assert len(exact & quant) / len(exact) >= 0.8

@@ -127,3 +127,99 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bits_per_token"
         ),
     )
+
+
+@query(
+    "q_split_leakage",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+             CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) % 100 < 80
+                  THEN 'train'
+                  WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) % 100 < 90
+                  THEN 'val' ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT fp,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT split) AS BIGINT) AS n_splits,
+           MIN(doc_id) AS min_doc,
+           MAX(doc_id) AS max_doc
+    FROM d GROUP BY fp
+    HAVING COUNT(DISTINCT split) > 1
+    """,
+)
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage audit: content fingerprints that appear in
+    MORE THAN ONE split of the md5 80/10/10 partition — exactly the
+    eval-contamination the split must not have (near-dups that
+    straddle the boundary). One fingerprint groupBy over the corpus;
+    the leak set is by construction small, so the report is
+    driver-safe at any scale. Composes q_doc_fingerprint's key with
+    q_train_split_manifest's assignment."""
+    from timestream_travel_spark.operators.llm_text7 import md5_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    b = md5_bucket(F.col("doc_id"))
+    split = F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    fp = F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "))
+    return (
+        d.select(fp.alias("fp"), split.alias("split"), "doc_id")
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("split").cast("bigint").alias("n_splits"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .filter(F.col("n_splits") > 1)
+    )
+
+
+@query("q_ann_quantized_topk")
+def q_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 nearest neighbors computed on int8-QUANTIZED embeddings
+    (per-dimension affine codes from q_embedding_quantize's scheme,
+    reconstructed to doubles) — the memory-bounded ANN path: a
+    billion-vector index at 1/4 the bytes. Output ordering uses the
+    quantized cosine with vec_id tiebreak; pytest measures recall
+    against the full-precision q_cosine_topk (≥0.8 at 8-bit).
+    Rows-only oracle (depends on quantizer codes)."""
+    from timestream_travel_spark.functions.vectors import cosine, to_double_array
+    from timestream_travel_spark.operators.similarity import QUERY_VEC_ID, TOP_K
+
+    e = load_table(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "xf")
+    ).select("vec_id", "pos", F.col("xf").cast("double").alias("x"))
+    stats = flat.groupBy("pos").agg(F.min("x").alias("dmin"), F.max("x").alias("dmax"))
+    scale = (F.col("dmax") - F.col("dmin")) / 255.0
+    code = F.when(F.col("dmax") == F.col("dmin"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(255),
+            F.floor((F.col("x") - F.col("dmin")) / scale + 0.5).cast("bigint"),
+        )
+    )
+    deq = (F.col("dmin") + code * scale).alias("xq")
+    recon = (
+        flat.join(F.broadcast(stats), "pos")
+        .select("vec_id", "pos", deq)
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "xq"))), lambda s: s["xq"]
+            ).alias("qvec")
+        )
+    )
+    qrow = recon.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("qvec").alias("query_vec")
+    )
+    sim = F.round(cosine(F.col("qvec"), F.col("query_vec")), 4)
+    return (
+        recon.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(qrow))
+        .select("vec_id", sim.alias("cos_sim_q"))
+        .orderBy(F.desc("cos_sim_q"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
