@@ -202,3 +202,31 @@ def test_bloom_dedup_ingest_stream(spark, sf_dir, tmp_path):
     assert {r["doc_id"] for r in novel.collect()} <= kept_ids
     # bitmap state bounded
     assert spark.read.parquet(bitmap_dir).count() <= M_BITS // 64
+
+
+def test_streaming_corpus_prep_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming corpus-prep pipeline must produce row-for-row
+    the same prepared corpus as the batch expression over the same
+    input (stateless pipeline ⇒ exact parity, not just counts)."""
+    from timestream_travel_spark.streaming.corpus import (
+        corpus_prep_stream,
+        prepare_corpus,
+    )
+    from timestream_travel_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = str(tmp_path / "src")
+    docs.write.parquet(src)
+
+    dest = str(tmp_path / "prepared")
+    ckpt = str(tmp_path / "ckpt")
+    schema = docs.schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = corpus_prep_stream(stream, dest, ckpt).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    got = {tuple(r) for r in spark.read.parquet(dest).collect()}
+    want = {tuple(r) for r in prepare_corpus(docs).collect()}
+    assert got == want and len(want) > 0
+    # the gate actually drops something on the fixture
+    assert len(want) < docs.count()
