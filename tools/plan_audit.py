@@ -38,6 +38,8 @@ AUDITED = [
     "q_inverted_index",
     "q_mg_heavy_hitters",
     "q_train_split_manifest",
+    "q_unigram_logprob",
+    "q_split_leakage",
 ]
 
 
