@@ -60,6 +60,7 @@ EXTRA = [
     "q_bloom_dedup_probe",
     "q_dedup_keep_best",
     "q_contamination_ngrams",
+    "q_unigram_logprob",
 ]
 
 
