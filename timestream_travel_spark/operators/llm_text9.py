@@ -223,3 +223,82 @@ def q_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim_q"), F.asc("vec_id"))
         .limit(TOP_K)
     )
+
+
+@query(
+    "q_corpus_card",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS word
+      FROM documents
+    ),
+    total AS (SELECT COUNT(*) AS n FROM toks),
+    uni AS (SELECT word, COUNT(*) AS cnt FROM toks GROUP BY word),
+    lp AS (
+      SELECT t.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tok,
+             round(-CAST(SUM(CAST(log2(CAST(u.cnt AS DOUBLE) / tt.n) AS DECIMAL(20,8))) AS DOUBLE)
+                   / COUNT(*), 4) AS bits_per_token
+      FROM toks t JOIN uni u ON t.word = u.word CROSS JOIN total tt
+      GROUP BY t.doc_id
+    )
+    SELECT d.doc_id, d.lang, d.source,
+           CASE WHEN CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) AS INT) % 100 < 80
+                THEN 'train'
+                WHEN CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) AS INT) % 100 < 90
+                THEN 'val' ELSE 'test' END AS split,
+           lp.n_tok,
+           round((CASE WHEN length(d.text) >= 100 AND length(d.text) <= 1000 THEN 1.0 ELSE 0.0 END
+            + CASE WHEN CAST(len(regexp_extract_all(d.text, '[^\\w\\s]')) AS DOUBLE)
+                        / length(d.text) < 0.1 THEN 1.0 ELSE 0.0 END
+            + CASE WHEN CAST(len(regexp_extract_all(lower(d.text), '\\b(the|a|and|of|to|in)\\b')) AS DOUBLE)
+                        / len(regexp_split_to_array(trim(d.text), '\\s+')) > 0.05 THEN 1.0 ELSE 0.0 END
+           ) / 3.0, 4) AS quality,
+           lp.bits_per_token,
+           md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')) AS fp
+    FROM documents d JOIN lp ON d.doc_id = lp.doc_id
+    """,
+)
+def q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole preparation pipeline denormalized into one
+    per-document corpus card: split assignment, token count, quality
+    score, unigram bits/token (perplexity), and the dedup
+    fingerprint — the table a curation UI or mixture-weighting job
+    reads. One corpus scan feeds the row-local columns; the unigram
+    cross-entropy reuses the vocab join; everything else is
+    stateless expressions, so the card costs one join more than
+    q_unigram_logprob alone."""
+    from timestream_travel_spark.operators.llm_text import quality_score
+    from timestream_travel_spark.operators.llm_text7 import md5_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(doc_words("text")).alias("word"))
+    total = toks.agg(F.count(F.lit(1)).alias("n"))
+    uni = toks.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    lpv = F.log2(F.col("cnt").cast("double") / F.col("n")).cast("decimal(20,8)")
+    lp = (
+        toks.join(uni, "word")
+        .join(F.broadcast(total))
+        .select("doc_id", lpv.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tok"),
+            F.round(-(F.sum("lp").cast("double")) / F.count(F.lit(1)), 4).alias(
+                "bits_per_token"
+            ),
+        )
+    )
+    b = md5_bucket(F.col("doc_id"))
+    split = F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    base = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        split.alias("split"),
+        F.round(quality_score(F.col("text")), 4).alias("quality"),
+        F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")).alias("fp"),
+    )
+    return base.join(lp, "doc_id").select(
+        "doc_id", "lang", "source", "split", "n_tok", "quality", "bits_per_token", "fp"
+    )
