@@ -237,3 +237,38 @@ def test_connected_components_long_chain_log_rounds(spark):
     assert stats["rounds"] <= 11, (
         f"expected ~log2(500)+2 rounds with pointer doubling, took {stats['rounds']}"
     )
+
+
+def test_update_minhash_index_incremental(spark, sf_dir, tmp_path):
+    """Appending an ingest batch to the signature index must (a) skip
+    already-indexed ids, (b) make index-based candidates identical to
+    a full rebuild over the combined corpus."""
+    from timestream_travel_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_candidates_from_index,
+        update_minhash_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 4 != 0)  # overlaps old on %4==2
+    idx = str(tmp_path / "idx")
+    build_minhash_index(old, idx)
+    n_added = update_minhash_index(new, idx)
+    assert n_added == new.join(old, "doc_id", "left_anti").count()
+    # no duplicate ids in the index
+    idx_df = spark.read.parquet(idx)
+    assert idx_df.count() == idx_df.select("id").distinct().count()
+
+    combined = old.unionByName(new.join(old, "doc_id", "left_anti"))
+    idx2 = str(tmp_path / "idx2")
+    build_minhash_index(combined, idx2)
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_candidates_from_index(spark, idx).collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_candidates_from_index(spark, idx2).collect()
+    }
+    assert got == want

@@ -350,3 +350,24 @@ def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sh.select(
         "doc_id", "simhash", F.shiftright("simhash", 16).cast("int").alias("bucket")
     )
+
+
+def update_minhash_index(
+    new_docs: DataFrame, path: str, id_col: str = "doc_id", text_col: str = "text",
+    n_hashes: int = N_HASHES,
+) -> int:
+    """Incremental index maintenance: append signatures for NEW
+    documents only (ids not already indexed) — the 100 TB index is
+    never rebuilt for an ingest batch. The existing index is read
+    only for its id column (column pruning keeps the signature
+    arrays on disk); the anti-join is batch-sized; the append is a
+    parquet partition add. Returns the number of rows appended."""
+    spark = new_docs.sparkSession
+    existing_ids = spark.read.parquet(path).select(F.col("id").alias(id_col))
+    fresh = new_docs.join(existing_ids, id_col, "left_anti")
+    sigs = minhash_signatures(fresh, id_col, text_col, n_hashes).persist()
+    n = sigs.count()
+    if n:
+        sigs.write.mode("append").parquet(path)
+    sigs.unpersist()
+    return n
