@@ -1,0 +1,66 @@
+"""Registry-wide contract guards (cheap, full coverage):
+
+- every oracled query's OUTPUT COLUMN NAMES match its DuckDB oracle's
+  (the driver sorts columns by name before value-hashing, so a
+  mismatch is an automatic red row even with identical values);
+- every registry entry builds a DataFrame without executing it.
+
+Both sides stay lazy: Spark gives columns from the analyzed plan,
+DuckDB from DESCRIBE (binder only) — so even the all-pairs oracles
+cost milliseconds here.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def test_every_oracle_columns_match_spark_columns(spark, sf_dir, duck):
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    mismatches = []
+    for name, sql in oracles.items():
+        try:
+            spark_cols = sorted(qs[name](spark, sf_dir).columns)
+        except Exception as e:  # pragma: no cover - surfaced as failure
+            mismatches.append((name, f"spark build error: {e}"))
+            continue
+        try:
+            duck_cols = sorted(
+                r[0] for r in duck.execute(f"DESCRIBE {sql}").fetchall()
+            )
+        except Exception as e:
+            mismatches.append((name, f"duckdb bind error: {e}"))
+            continue
+        if spark_cols != duck_cols:
+            mismatches.append((name, f"spark={spark_cols} duck={duck_cols}"))
+    assert not mismatches, mismatches
+
+
+def test_every_registry_query_builds(spark, sf_dir):
+    broken = []
+    for name, fn in entrymod.queries().items():
+        try:
+            df = fn(spark, sf_dir)
+            assert df.columns
+        except Exception as e:
+            broken.append((name, str(e)))
+    assert not broken, broken
