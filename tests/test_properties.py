@@ -219,3 +219,25 @@ def test_tpch_broadcast_hints_only_on_bounded_inputs(spark, sf_dir, monkeypatch)
                 f"{name} forces broadcast on a scale-proportional input "
                 f"(sources {sorted(files)}, {n_rows} rows)"
             )
+
+
+def test_sample_deterministic_reproducible(spark, sf_dir):
+    """Seeded sampling: same seed ⇒ identical row set across runs;
+    fraction lands in a plausible band; a different seed diverges."""
+    li = load_table(spark, sf_dir, "lineitem")
+    key = ["l_orderkey", "l_linenumber"]
+    a = {tuple(r) for r in li.sample(fraction=0.01, seed=42).select(*key).collect()}
+    b = {tuple(r) for r in li.sample(fraction=0.01, seed=42).select(*key).collect()}
+    assert a == b
+    n = li.count()
+    assert 0 < len(a) < 0.05 * n
+    c = {tuple(r) for r in li.sample(fraction=0.01, seed=7).select(*key).collect()}
+    assert c != a
+    # and the registry entry returns exactly the seed-42 sample
+    reg = {
+        tuple(r)
+        for r in entrymod.queries()["q_sample_deterministic"](spark, sf_dir)
+        .select(*key)
+        .collect()
+    }
+    assert reg == a
