@@ -51,3 +51,64 @@ def q_applyinpandas_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trend_slope_per_user(ev).select(
         "user_id", F.round(slope * 86400, 6).alias("slope_per_day")
     )
+
+
+@query(
+    "q_mapinarrow_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tok,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def q_mapinarrow_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-NATIVE batch transform (mapInArrow — the zero-copy
+    sibling of mapInPandas): per-document token/char counts computed
+    with pyarrow.compute kernels directly on RecordBatches, no pandas
+    materialization. Completes the B.12 UDF-surface matrix (F.udf /
+    pandas_udf / applyInPandas / mapInPandas / UDTF /
+    transformWithState / mapInArrow). Oracle-checked against the
+    plain SQL equivalent, so the Arrow kernel semantics (whitespace
+    split + empty-token drop) are pinned cross-engine."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(batches):
+        for batch in batches:
+            text = batch.column("text")
+            trimmed = pc.utf8_trim_whitespace(text)
+            toks = pc.split_pattern_regex(trimmed, r"\s+")
+            # drop empty tokens (split of "" yields [""]): Arrow has no
+            # per-list filter kernel, so subtract each row's
+            # empty-string count from its list length
+            n_tok = pc.list_value_length(toks)
+            flat = pc.list_flatten(toks)
+            empty_mask = pc.equal(flat, "")
+            # per-list empties via parent indices
+            parents = pc.list_parent_indices(toks)
+            empties = pa.Table.from_arrays(
+                [parents.filter(empty_mask)], names=["p"]
+            )
+            counts = empties.group_by("p").aggregate([("p", "count")])
+            empty_per_row = dict(
+                zip(
+                    counts.column("p").to_pylist(),
+                    counts.column("p_count").to_pylist(),
+                )
+            )
+            n_tok_py = [
+                int(n) - empty_per_row.get(i, 0)
+                for i, n in enumerate(n_tok.to_pylist())
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pa.array(n_tok_py, type=pa.int64()),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                ],
+                names=["doc_id", "n_tok", "n_chars"],
+            )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInArrow(stats, schema="doc_id bigint, n_tok bigint, n_chars bigint")
