@@ -49,13 +49,15 @@ def _driver_green_keys() -> set[str]:
             if not isinstance(row, dict):
                 continue
             err = row.get("err")
+            # Fully-oracled queries are green on rows+schema+hash.
+            # Rows-only queries (err == "no_oracle") carry null
+            # rows_match/schema_match — the driver recorded only that
+            # the Spark side executed; a non-null spark_rows IS that
+            # check passing, so they count as covered (otherwise they
+            # re-consume a capped driver slot every round).
             ok = (
-                row.get("rows_match")
-                and row.get("schema_match")
-                and (row.get("hash_match") or err == "no_oracle")
-            )
-            # rows-only queries report err == "no_oracle"; they count as
-            # covered when the rows/schema check passed.
+                row.get("rows_match") and row.get("schema_match") and row.get("hash_match")
+            ) or (err == "no_oracle" and row.get("spark_rows") is not None)
             if ok:
                 green.add(name)
     return green

@@ -81,13 +81,21 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     minima: dict[str, float] = {}
+    errors: dict[str, str] = {}
 
     def record(name: str, run) -> None:
+        # Per-query fault isolation: one broken query must never turn
+        # the whole bench into a DNF — it lands in `errors` and the
+        # JSON line still prints with every healthy number.
         samples = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            run()
-            samples.append(time.perf_counter() - t0)
+        try:
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                run()
+                samples.append(time.perf_counter() - t0)
+        except Exception as exc:  # noqa: BLE001 — isolate per query
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            return
         timings[name] = round(statistics.median(samples), 3)
         minima[name] = round(min(samples), 3)
 
@@ -112,9 +120,9 @@ def main() -> None:
     )
     from timestream_travel_spark.tables import load_table
 
-    docs = load_table(spark, sf_dir, "documents")
     idx_dirs = [tempfile.mkdtemp(prefix="minhash_idx_") for _ in range(reps)]
     try:
+        docs = load_table(spark, sf_dir, "documents")
         build_iter = iter(idx_dirs)
         record("minhash_index_build", lambda: build_minhash_index(docs, next(build_iter)))
         record(
@@ -124,26 +132,30 @@ def main() -> None:
             .mode("overwrite")
             .save(),
         )
+    except Exception as exc:  # noqa: BLE001 — same isolation as record()
+        errors["minhash_index"] = f"{type(exc).__name__}: {exc}"[:500]
     finally:
         for d in idx_dirs:
             shutil.rmtree(d, ignore_errors=True)
 
     # headline total stays comparable across rounds: the index
-    # build/reuse timings are reported per-query but not summed
-    total = round(sum(timings[n] for n in HEADLINE), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "reps": reps,
-                "queries": timings,
-                "queries_min": minima,
-                "sf": sf,
-            }
-        )
-    )
+    # build/reuse timings are reported per-query but not summed.
+    # An errored headline query contributes nothing to the sum —
+    # `headline_errors` flags that the total is then an undercount.
+    total = round(sum(timings.get(n, 0.0) for n in HEADLINE), 3)
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "reps": reps,
+        "queries": timings,
+        "queries_min": minima,
+        "sf": sf,
+    }
+    if errors:
+        payload["errors"] = errors
+        payload["headline_errors"] = sorted(n for n in HEADLINE if n in errors)
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

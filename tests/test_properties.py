@@ -241,3 +241,29 @@ def test_sample_deterministic_reproducible(spark, sf_dir):
         .collect()
     }
     assert reg == a
+
+def test_ntz_time_window_pushdown(spark, sf_dir):
+    """The fixture's timestamp[us] column reads as TIMESTAMP_NTZ under
+    Spark 4; time_window_filter must push the ts bounds into the scan
+    via native NTZ literals — not depend on Catalyst unwrapping a cast
+    around the column."""
+    from timestream_travel_spark.tables import time_window_filter
+
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert dict(raw.dtypes)["ts"] == "timestamp_ntz"
+    plan = (
+        time_window_filter(raw, "ts", "2024-01-08 00:00:00", "2024-01-14 23:59:59")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    pushed = plan.split("PushedFilters")[1][:300]
+    assert "GreaterThanOrEqual(ts" in pushed and "LessThanOrEqual(ts" in pushed
+
+
+def test_events_ts_normalized_to_timestamp(spark, sf_dir):
+    """Every registry query reaches events through load_table, which
+    must hand back a plain TIMESTAMP ts — functions like unix_micros
+    reject TIMESTAMP_NTZ (the round-3 regression class)."""
+    ev = load_table(spark, sf_dir, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"

@@ -1,0 +1,121 @@
+"""LLM training-data operators, part 10: information-theoretic
+quality filtering (word-distribution entropy) and SemDeDup-style
+semantic deduplication against cluster representatives.
+
+Both stay JVM-side: entropy is two hash aggregations (word counts →
+per-doc moments), semantic dedup is a 10-row broadcast join + codegen
+vector math — no Python per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from timestream_travel_spark.functions.vectors import cosine, to_double_array
+from timestream_travel_spark.registry import query
+from timestream_travel_spark.tables import load_table
+
+# Calibrated to the synthetic fixture's cosine spread (reps' cohort
+# sits ≤ ~0.33): real corpora run this at ~0.95+.
+SEMANTIC_DUP_TAU = 0.30
+
+
+@query(
+    "q_word_entropy",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+      FROM documents
+    ), wc AS (
+      SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_words,
+           round(log2(SUM(c))
+                 - CAST(SUM(CAST(c * log2(c) AS DECIMAL(20,6))) AS DOUBLE)
+                   / SUM(c), 4) AS entropy_bits
+    FROM wc GROUP BY doc_id
+    """,
+)
+def q_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the word distribution —
+    low-entropy docs are repetitive/templated (a standard LLM-corpus
+    quality signal alongside the Gopher repetition metrics).
+
+    H = log2(N) − Σ c·log2(c) / N needs ONE pass over the word counts
+    (no p_i materialization); the c·log2(c) terms accumulate as
+    DECIMAL so partial-aggregation order can't flip the hash vs the
+    oracle. Two hash aggs total, both keyed on doc_id — at 100 TB this
+    is a shuffle of (doc_id, word) counts, never of documents."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+    wc = words.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    n = F.sum("c")
+    return wc.groupBy("doc_id").agg(
+        n.cast("bigint").alias("n_words"),
+        F.round(
+            F.log2(n)
+            - F.sum((F.col("c") * F.log2("c")).cast("decimal(20,6)")).cast("double") / n,
+            4,
+        ).alias("entropy_bits"),
+    )
+
+
+@query(
+    "q_semantic_dedup",
+    oracle=f"""
+    WITH rep AS (
+      SELECT label, min(vec_id) AS rep_id FROM embeddings GROUP BY label
+    ), r AS (
+      SELECT rep.label, rep.rep_id, e.embedding AS remb
+      FROM rep JOIN embeddings e ON e.vec_id = rep.rep_id
+    ), scored AS (
+      SELECT e.vec_id, e.label, r.rep_id,
+             round(
+               list_sum(list_transform(generate_series(1, len(e.embedding)),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(r.remb[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(r.remb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+             4) AS cos_to_rep
+      FROM embeddings e JOIN r ON e.label = r.label
+    )
+    SELECT vec_id, label, cos_to_rep,
+           (vec_id <> rep_id AND cos_to_rep >= {SEMANTIC_DUP_TAU}) AS is_dup
+    FROM scored
+    """,
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup: each vector scores against its
+    cluster's representative (min vec_id per IVF label); vectors
+    within the similarity ball (cos ≥ τ) are flagged as semantic
+    duplicates of the representative.
+
+    The scale property that matters: O(n) cosine evaluations — one
+    per vector against a k-row broadcast of representatives — never
+    the O(n²/k) within-cluster all-pairs matrix. τ is fixture-
+    calibrated (see SEMANTIC_DUP_TAU); the plan is threshold-
+    independent."""
+    e = load_table(spark, sf_dir, "embeddings")
+    rep_ids = e.groupBy("label").agg(F.min("vec_id").alias("rep_id"))
+    reps = rep_ids.join(
+        e.select(F.col("vec_id").alias("rep_id"), F.col("embedding").alias("remb")),
+        "rep_id",
+    )
+    scored = e.join(F.broadcast(reps), "label").select(
+        "vec_id",
+        "label",
+        "rep_id",
+        F.round(
+            cosine(to_double_array(F.col("embedding")), to_double_array(F.col("remb"))), 4
+        ).alias("cos_to_rep"),
+    )
+    return scored.select(
+        "vec_id",
+        "label",
+        "cos_to_rep",
+        (
+            (F.col("vec_id") != F.col("rep_id"))
+            & (F.col("cos_to_rep") >= F.lit(SEMANTIC_DUP_TAU))
+        ).alias("is_dup"),
+    )

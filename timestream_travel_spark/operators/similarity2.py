@@ -134,7 +134,14 @@ def kmeanspp_init(embeddings: DataFrame, k: int) -> list[list[float]]:
     times pick the vector farthest (1 − max cosine) from the chosen
     set — argmax instead of k-means++'s D²-weighted sample, so runs
     are reproducible without a random stream. Each pick is one
-    TakeOrdered scan; k×dim floats total reach the driver."""
+    TakeOrdered scan; k×dim floats total reach the driver.
+
+    k-scaling: this is k−1 SEQUENTIAL full-scan driver round-trips —
+    the right trade at IVF-cell counts like k≤64 (each scan is a
+    cheap argmax, no shuffle), but at k in the thousands switch to an
+    oversampling scheme (k-means‖: sample O(k) candidates per pass in
+    ~log n passes, then cluster the candidate set driver-side) so the
+    number of full scans is O(log n), not O(k)."""
     v = to_double_array(F.col("embedding"))
     first = (
         embeddings.orderBy("vec_id").limit(1).select(v.alias("e")).collect()[0]["e"]

@@ -230,8 +230,8 @@ def q_tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c_name, o_orderkey,
            strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-           round(CAST(o_totalprice AS DECIMAL(12,2)), 2) AS o_totalprice,
-           round(CAST(total_qty AS DECIMAL(12,2)), 2) AS total_qty
+           CAST(round(CAST(o_totalprice AS DECIMAL(12,2)), 2) AS DOUBLE) AS o_totalprice,
+           CAST(round(CAST(total_qty AS DECIMAL(12,2)), 2) AS DOUBLE) AS total_qty
     FROM big
     JOIN orders ON o_orderkey = l_orderkey
     JOIN customer ON c_custkey = o_custkey
@@ -259,8 +259,10 @@ def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_name",
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
-            F.round(F.col("o_totalprice").cast("decimal(12,2)"), 2).alias("o_totalprice"),
-            F.round(F.col("qty").cast("decimal(12,2)"), 2).alias("total_qty"),
+            # DOUBLE after rounding: decimal renders differently from
+            # DuckDB under the driver's value hasher (q_histogram fix)
+            F.round(F.col("o_totalprice").cast("decimal(12,2)"), 2).cast("double").alias("o_totalprice"),
+            F.round(F.col("qty").cast("decimal(12,2)"), 2).cast("double").alias("total_qty"),
         )
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)

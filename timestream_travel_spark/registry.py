@@ -88,3 +88,10 @@ def load_all() -> None:
         llm_text8,
         llm_text9,
     )
+
+    # round-4 modules register last for the same drain-oldest-first
+    # reason
+    from timestream_travel_spark.operators import (  # noqa: F401
+        analytics,
+        llm_text10,
+    )

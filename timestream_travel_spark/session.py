@@ -47,9 +47,6 @@ def get_spark(
         # granularity. maxPartitionBytes stays 128 MiB — the right
         # split at 100 TB; this knob only affects the small-file tail.
         .config("spark.sql.files.openCostInBytes", str(512 * 1024))
-        # events.parquet carries TIMESTAMP(NANOS) which Spark has no
-        # native type for; read as long and convert in tables.py.
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )

@@ -26,32 +26,51 @@ TABLES = [
 
 
 def ensure_timestamp(df: DataFrame, ts_col: str) -> DataFrame:
-    """Normalize a TIMESTAMP(NANOS) column read as long (under
-    spark.sql.legacy.parquet.nanosAsLong) to TimestampType: truncate
-    ns→us exactly like DuckDB's TIMESTAMP_NS→TIMESTAMP cast. Integer
-    `div` — double math would lose precision at 1.7e18."""
-    if dict(df.dtypes).get(ts_col) == "bigint":
+    """Normalize the fixture time column to TimestampType whatever the
+    parquet physical type was:
+
+    - timestamp[us] (Spark 4 reads it as TIMESTAMP_NTZ): cast to
+      TIMESTAMP — value-exact under the engine's UTC session timezone
+      (same wall-clock micros; DuckDB's naive timestamp agrees).
+    - legacy TIMESTAMP(NANOS) read as long (under
+      spark.sql.legacy.parquet.nanosAsLong): truncate ns→us exactly
+      like DuckDB's TIMESTAMP_NS→TIMESTAMP cast. Integer `div` —
+      double math would lose precision at 1.7e18."""
+    dtype = dict(df.dtypes).get(ts_col)
+    if dtype == "bigint":
         df = df.withColumn(ts_col, F.expr(f"timestamp_micros({ts_col} div 1000)"))
+    elif dtype == "timestamp_ntz":
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return df
 
 
 def time_window_filter(df: DataFrame, ts_col: str, lo: str, hi: str) -> DataFrame:
-    """Time-range predicate that reaches the parquet scan even when
-    ts_col is raw TIMESTAMP(NANOS) int64.
+    """Time-range predicate that reaches the parquet scan whatever
+    physical type the time column carries.
 
-    The ns→us conversion (`timestamp_micros(ts div 1000)`) is opaque
-    to pushdown, so `converted_ts BETWEEN lo AND hi` scans everything.
-    The conversion is monotonic, so the exact raw-ns equivalent is
-    ns ∈ [lo_us·1000, hi_us·1000 + 999] — pushable int64 bounds that
-    let parquet row-group stats skip data. Bounds are second-precision
-    timestamps interpreted as UTC (the engine session timezone)."""
+    - timestamp_ntz (timestamp[us] parquet under Spark 4): compare
+      against NTZ literals directly so pushdown never depends on
+      Catalyst unwrapping a cast around the column.
+    - legacy TIMESTAMP(NANOS) int64: the ns→us conversion
+      (`timestamp_micros(ts div 1000)`) is opaque to pushdown, so the
+      exact raw-ns equivalent ns ∈ [lo_us·1000, hi_us·1000 + 999] is
+      pushed instead — int64 bounds let parquet row-group stats skip
+      data. Bounds are second-precision timestamps interpreted as UTC
+      (the engine session timezone)."""
     from datetime import datetime, timezone
 
-    if dict(df.dtypes).get(ts_col) == "bigint":
+    dtype = dict(df.dtypes).get(ts_col)
+    if dtype == "bigint":
         fmt = "%Y-%m-%d %H:%M:%S"
         lo_us = int(datetime.strptime(lo, fmt).replace(tzinfo=timezone.utc).timestamp()) * 1_000_000
         hi_us = int(datetime.strptime(hi, fmt).replace(tzinfo=timezone.utc).timestamp()) * 1_000_000
         return df.filter(F.col(ts_col).between(lo_us * 1000, hi_us * 1000 + 999))
+    if dtype == "timestamp_ntz":
+        return df.filter(
+            F.col(ts_col).between(
+                F.lit(lo).cast("timestamp_ntz"), F.lit(hi).cast("timestamp_ntz")
+            )
+        )
     return df.filter(
         F.col(ts_col).between(F.lit(lo).cast("timestamp"), F.lit(hi).cast("timestamp"))
     )
@@ -60,16 +79,11 @@ def time_window_filter(df: DataFrame, ts_col: str, lo: str, hi: str) -> DataFram
 def load_events_window(spark: SparkSession, sf_dir: str, lo: str, hi: str) -> DataFrame:
     """events scan with the time window pushed to the raw column,
     then normalized to TimestampType."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     return ensure_timestamp(time_window_filter(raw, "ts", lo, hi), "ts")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS); a vanilla session
-        # (e.g. the driver's) can't scan it without this runtime conf.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = ensure_timestamp(df, "ts")
