@@ -1,0 +1,222 @@
+"""Time-series operators, part 4: the rest of the Timestream
+query-function family — rate of change (DERIVATIVE), trapezoidal
+integral (INTEGRAL), rolling z-score anomaly flags, and cross-series
+correlation — re-expressed as window/aggregate compositions.
+
+All four key on the same (user_id | day) partitionings the engine's
+other series ops use, and every double aggregate goes through exact
+DECIMAL accumulation (ops.dsum rules) so partial-aggregation order
+can never flip a hash against the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from timestream_travel_spark.ops import ts_str
+from timestream_travel_spark.registry import query
+from timestream_travel_spark.tables import load_table
+
+
+@query(
+    "q_series_derivative",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts, value,
+             lead(value) OVER w AS v1,
+             epoch_us(lead(ts) OVER w) - epoch_us(ts) AS dur_us
+      FROM events WHERE event_type = 'purchase'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           round((v1 - value) / (CAST(dur_us AS DOUBLE) / 1000000.0), 6)
+             AS rate_per_s
+    FROM s WHERE dur_us IS NOT NULL AND dur_us > 0
+    """,
+)
+def q_series_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series rate of change (Timestream DERIVATIVE): value delta
+    to the NEXT sample over elapsed seconds. One window pass on the
+    (user_id, ts) ordering every other series op already uses —
+    pipelines onto the existing exchange at scale."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dur_us = F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")
+    rate = (F.lead("value").over(w) - F.col("value")) / (
+        dur_us.cast("double") / F.lit(1e6)
+    )
+    return (
+        ev.select(
+            "user_id",
+            ts_str("ts", "ts"),
+            dur_us.alias("dur_us"),
+            F.round(rate, 6).alias("rate_per_s"),
+        )
+        .filter(F.col("dur_us").isNotNull() & (F.col("dur_us") > 0))
+        .drop("dur_us")
+    )
+
+
+@query(
+    "q_series_auc",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, value,
+             lead(value) OVER w AS v1,
+             epoch_us(lead(ts) OVER w) - epoch_us(ts) AS dur_us
+      FROM events WHERE event_type = 'purchase'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           round(CAST(SUM(CAST((value + v1) / 2.0 * (CAST(dur_us AS DOUBLE) / 1000000.0)
+                               AS DECIMAL(30,6))) AS DOUBLE), 4) AS auc,
+           CAST(COUNT(*) AS BIGINT) AS n_segments
+    FROM s WHERE dur_us IS NOT NULL AND dur_us > 0
+    GROUP BY user_id
+    """,
+)
+def q_series_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trapezoidal integral per series (Timestream INTEGRAL): each
+    adjacent sample pair contributes mean-value × elapsed-seconds;
+    segment areas accumulate as DECIMAL for order-independence. Same
+    single-window shape as the derivative."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dur_us = F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")
+    area = (F.col("value") + F.lead("value").over(w)) / F.lit(2.0) * (
+        dur_us.cast("double") / F.lit(1e6)
+    )
+    seg = ev.select("user_id", dur_us.alias("dur_us"), area.alias("area")).filter(
+        F.col("dur_us").isNotNull() & (F.col("dur_us") > 0)
+    )
+    return seg.groupBy("user_id").agg(
+        F.round(F.sum(F.col("area").cast("decimal(30,6)")).cast("double"), 4).alias("auc"),
+        F.count("*").cast("bigint").alias("n_segments"),
+    )
+
+
+ZS_WIN = 3  # ±3 rows → 7-sample rolling frame
+
+
+@query(
+    "q_rolling_zscore",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, ts, event_id, value,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(20,6))) OVER w AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value * value AS DECIMAL(30,12))) OVER w AS DOUBLE) AS s2
+      FROM events WHERE event_type = 'purchase'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN {ZS_WIN} PRECEDING AND {ZS_WIN} FOLLOWING)
+    )
+    SELECT user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           round((value - s1 / n)
+                 / sqrt((s2 - s1 * s1 / n) / (n - 1)), 4) AS z
+    FROM s
+    WHERE n >= 4 AND (s2 - s1 * s1 / n) / (n - 1) > 1e-12
+    """,
+)
+def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly signal: each sample scored against the
+    mean/std of its ±{ZS_WIN}-row neighborhood. Variance derives from
+    DECIMAL-accumulated Σx and Σx² — NOT stddev_samp, whose
+    Welford-style accumulation differs across engines in the last
+    ulp. The ORDER BY inside the frame makes the window sums exact
+    decimals, so both engines compute bit-identical doubles."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ZS_WIN, ZS_WIN)
+    )
+    n = F.count("*").over(w).cast("bigint")
+    s1 = F.sum(F.col("value").cast("decimal(20,6)")).over(w).cast("double")
+    s2 = F.sum((F.col("value") * F.col("value")).cast("decimal(30,12)")).over(w).cast(
+        "double"
+    )
+    scored = ev.select(
+        "user_id",
+        ts_str("ts", "ts"),
+        "value",
+        n.alias("n"),
+        s1.alias("s1"),
+        s2.alias("s2"),
+    )
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    return (
+        scored.filter((F.col("n") >= 4) & (var > 1e-12))
+        .select(
+            "user_id",
+            "ts",
+            F.round(
+                (F.col("value") - F.col("s1") / F.col("n")) / F.sqrt(var), 4
+            ).alias("z"),
+        )
+    )
+
+
+@query(
+    "q_series_correlation",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS d,
+             CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS DOUBLE) AS x,
+             CAST(SUM(CAST(value AS DECIMAL(20,6)))
+                  FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS y
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(20,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(20,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * y AS DECIMAL(30,8))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x * x AS DECIMAL(30,8))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y * y AS DECIMAL(30,8))) AS DOUBLE) AS syy
+      FROM daily WHERE y IS NOT NULL
+    )
+    SELECT n AS n_days,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+             AS click_purchase_corr
+    FROM m
+    """,
+)
+def q_series_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between the daily click count and the
+    daily purchase-value total (Timestream CORR over aligned series).
+    Two stacked aggregations, both through DECIMAL sums — corr()
+    built-ins accumulate co-moments in double and disagree across
+    engines in the last ulp, so the moments are assembled manually."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).cast("double").alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).cast(
+                "decimal(20,6)"
+            )
+        )
+        .cast("double")
+        .alias("y"),
+    )
+    m = daily.filter(F.col("y").isNotNull()).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("x").cast("decimal(20,6)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(20,6)")).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(30,8)")).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(30,8)")).cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(30,8)")).cast("double").alias("syy"),
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        F.col("n").alias("n_days"), F.round(corr, 6).alias("click_purchase_corr")
+    )

@@ -94,4 +94,6 @@ def load_all() -> None:
     from timestream_travel_spark.operators import (  # noqa: F401
         analytics,
         llm_text10,
+        llm_text11,
+        timeseries4,
     )
