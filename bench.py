@@ -61,6 +61,14 @@ EXTRA = [
     "q_dedup_keep_best",
     "q_contamination_ngrams",
     "q_unigram_logprob",
+    # round-4 flagships
+    "q_funnel_conversion",
+    "q_retention_cohorts",
+    "q_word_entropy",
+    "q_semantic_dedup",
+    "q_winnowing_fingerprints",
+    "q_corpus_shuffle",
+    "q_rolling_zscore",
 ]
 
 
