@@ -254,3 +254,68 @@ def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").cast("bigint").alias("n_tokens_kept"),
         )
     )
+
+
+SPAN_N = 5  # tokens per span shingle
+
+
+@query(
+    "q_duplicate_spans",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')
+               AS tokens
+      FROM documents
+    ), spans AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(tokens[i : i + {SPAN_N} - 1], ' ') AS span
+      FROM toks, unnest(generate_series(1, len(tokens) - {SPAN_N} + 1)) AS t(i)
+    ), df AS (
+      SELECT span, COUNT(*) AS n_docs FROM spans GROUP BY span
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(COUNT(*) FILTER (WHERE df.n_docs >= 2) AS BIGINT) AS n_dup_spans,
+           round(CAST(COUNT(*) FILTER (WHERE df.n_docs >= 2) AS DOUBLE)
+                 / COUNT(*), 6) AS dup_frac
+    FROM spans s JOIN df ON df.span = s.span
+    GROUP BY s.doc_id
+    """,
+)
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-corpus duplicated-span audit (the 'dedup training data'
+    diagnostic from Lee et al., ACL'22, at span granularity): a doc's
+    distinct {SPAN_N}-token spans are checked against the corpus-wide
+    span document-frequency; the duplicated fraction flags
+    boilerplate-heavy documents. Unlike q_contamination_ngrams
+    (train×bench semi-join) this is corpus×itself.
+
+    Scale: spans stay distinct-per-doc (no positional explosion
+    beyond the shingle pass), the DF table shuffles (span, count)
+    pairs, and the join back is span-partitioned — no all-pairs
+    anything. At 100 TB the span DF table is the big intermediate;
+    a frequency floor or a Bloom pre-filter (bloom.py) bounds it."""
+    d = load_table(spark, sf_dir, "documents")
+    tokens = F.split(normalized_text("text"), " ")
+    spans = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(tokens) - (SPAN_N - 1)),
+                    lambda i: F.array_join(F.slice(tokens, i, SPAN_N), " "),
+                )
+            ).alias("span"),
+        )
+        .distinct()
+    )
+    df_tab = spans.groupBy("span").agg(F.count("*").alias("n_docs"))
+    joined = spans.join(df_tab, "span")
+    return joined.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_spans"),
+        F.count(F.when(F.col("n_docs") >= 2, 1)).cast("bigint").alias("n_dup_spans"),
+        F.round(
+            F.count(F.when(F.col("n_docs") >= 2, 1)).cast("double") / F.count("*"), 6
+        ).alias("dup_frac"),
+    )

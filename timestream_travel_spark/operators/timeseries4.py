@@ -220,3 +220,99 @@ def q_series_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         F.col("n").alias("n_days"), F.round(corr, 6).alias("click_purchase_corr")
     )
+
+
+GAP_THRESHOLD_S = 86_400  # report gaps longer than a day
+
+
+@query(
+    "q_series_gaps",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, ts, lead(ts) OVER w AS nxt,
+             epoch_us(lead(ts) OVER w) - epoch_us(ts) AS dur_us
+      FROM events WHERE event_type = 'purchase'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS gap_start,
+           strftime(nxt, '%Y-%m-%d %H:%M:%S') AS gap_end,
+           round(CAST(dur_us AS DOUBLE) / 1000000.0, 3) AS gap_s
+    FROM s WHERE dur_us > {GAP_THRESHOLD_S} * 1000000::BIGINT
+    """,
+)
+def q_series_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling-gap detection: adjacent-sample intervals longer than
+    the threshold — the monitoring query behind 'is this series still
+    reporting?'. Same lead window as the derivative; emits only the
+    violating intervals, so output is alert-sized."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    dur_us = F.unix_micros(nxt) - F.unix_micros("ts")
+    return (
+        ev.select(
+            "user_id",
+            ts_str("ts", "gap_start"),
+            ts_str(nxt, "gap_end"),
+            dur_us.alias("dur_us"),
+        )
+        .filter(F.col("dur_us") > GAP_THRESHOLD_S * 1_000_000)
+        .select(
+            "user_id",
+            "gap_start",
+            "gap_end",
+            F.round(F.col("dur_us").cast("double") / F.lit(1e6), 3).alias("gap_s"),
+        )
+    )
+
+
+@query(
+    "q_ohlc_bars",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, date_trunc('day', ts) AS day, value,
+             first_value(value) OVER w AS open,
+             last_value(value) OVER w AS close
+      FROM events WHERE event_type = 'purchase'
+      WINDOW w AS (PARTITION BY user_id, date_trunc('day', ts)
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+           round(min(open), 6) AS open,
+           round(max(value), 6) AS high,
+           round(min(value), 6) AS low,
+           round(min(close), 6) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks
+    FROM s GROUP BY user_id, day
+    """,
+)
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC bars per series (the classic downsample financial
+    feeds run): open/close via first_value/last_value over the full
+    (user, day) frame — engine-portable, unlike composite-key
+    arg_min, which DuckDB lacks — then min/max/count in the same
+    keyed aggregation. Window and groupBy share the (user_id, day)
+    partitioning: one shuffle total."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    day = F.date_trunc("day", "ts")
+    w = (
+        Window.partitionBy("user_id", day)
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    s = ev.select(
+        "user_id",
+        day.alias("day"),
+        "value",
+        F.first("value").over(w).alias("open"),
+        F.last("value").over(w).alias("close"),
+    )
+    return s.groupBy("user_id", F.date_format("day", "yyyy-MM-dd").alias("day")).agg(
+        F.round(F.min("open"), 6).alias("open"),
+        F.round(F.max("value"), 6).alias("high"),
+        F.round(F.min("value"), 6).alias("low"),
+        F.round(F.min("close"), 6).alias("close"),
+        F.count("*").cast("bigint").alias("n_ticks"),
+    )
