@@ -306,3 +306,34 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
     }
     assert want, "fixture must produce attributable pairs"
     assert got == want
+
+
+def test_dedup_within_watermark_catches_restamped_retries(spark, sf_dir, tmp_path):
+    """Retried rows carry the same event_id but a LATER ts (re-stamped
+    at retry time): plain dropDuplicates([event_id, ts]) keeps both;
+    dropDuplicatesWithinWatermark([event_id]) keeps one."""
+    from pyspark.sql import functions as F
+
+    from timestream_travel_spark.streaming.jobs import (
+        read_events_stream,
+        streaming_dedup_within_watermark,
+    )
+    from timestream_travel_spark.tables import load_table
+
+    src = str(tmp_path / "restamp_src")
+    ev = load_table(spark, sf_dir, "events").limit(200)
+    retries = ev.withColumn("ts", F.col("ts") + F.expr("INTERVAL 5 MINUTES"))
+    ev.unionByName(retries).coalesce(1).write.mode("overwrite").parquet(src)
+    q = (
+        streaming_dedup_within_watermark(read_events_stream(spark, src))
+        .writeStream.format("memory")
+        .queryName("dedup_wwm_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql(
+        "SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_wwm_out"
+    ).collect()[0]
+    assert out["n"] == 200 and out["d"] == 200

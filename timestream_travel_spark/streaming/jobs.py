@@ -80,6 +80,21 @@ def streaming_dedup(stream: DataFrame, watermark: str = "30 minutes") -> DataFra
     return stream.withWatermark("ts", watermark).dropDuplicates(["event_id", "ts"])
 
 
+def streaming_dedup_within_watermark(
+    stream: DataFrame, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Dedup on event_id ALONE where retries may re-stamp the event
+    time: `dropDuplicates` needs the event-time column in its key for
+    state eviction, so two copies of the same event with different ts
+    both survive it. `dropDuplicatesWithinWatermark` evicts on the
+    watermark instead of the key, deduping pure-business-key retries
+    — the at-least-once ingest case — with state still bounded by the
+    watermark horizon."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def stream_stream_click_attribution(
     clicks: DataFrame,
     purchases: DataFrame,
