@@ -316,3 +316,49 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("close"), 6).alias("close"),
         F.count("*").cast("bigint").alias("n_ticks"),
     )
+
+
+@query(
+    "q_skewness_moments",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value * value AS DECIMAL(30,10))) AS DOUBLE) AS s2,
+             CAST(SUM(CAST(value * value * value AS DECIMAL(38,8))) AS DOUBLE) AS s3
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round(s1 / n, 6) AS mean,
+           round((s2 - s1 * s1 / n) / n, 6) AS var_pop,
+           round(((s3 - 3 * (s1 / n) * s2) / n + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+                 / pow((s2 - s1 * s1 / n) / n, 1.5), 6) AS skewness
+    FROM m
+    """,
+)
+def q_skewness_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population mean/variance/skewness per event type from raw
+    power sums (m3 identity: E[(x−μ)³] = (Σx³ − 3μΣx²)/n + 2μ³).
+    The built-in skewness() aggregates central moments in double with
+    engine-specific update order — raw DECIMAL power sums make both
+    engines derive identical doubles, the same trick as the rolling
+    z-score. One hash aggregation; five numbers per group."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    m = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(v.cast("decimal(20,6)")).cast("double").alias("s1"),
+        F.sum((v * v).cast("decimal(30,10)")).cast("double").alias("s2"),
+        F.sum((v * v * v).cast("decimal(38,8)")).cast("double").alias("s3"),
+    )
+    mu = F.col("s1") / F.col("n")
+    var_pop = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / F.col("n")
+    m3 = (F.col("s3") - 3 * mu * F.col("s2")) / F.col("n") + 2 * mu * mu * mu
+    return m.select(
+        "event_type",
+        "n",
+        F.round(mu, 6).alias("mean"),
+        F.round(var_pop, 6).alias("var_pop"),
+        F.round(m3 / F.pow(var_pop, F.lit(1.5)), 6).alias("skewness"),
+    )
