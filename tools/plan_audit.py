@@ -40,6 +40,15 @@ AUDITED = [
     "q_train_split_manifest",
     "q_unigram_logprob",
     "q_split_leakage",
+    # round 4
+    "q_funnel_conversion",
+    "q_retention_cohorts",
+    "q_winnowing_fingerprints",
+    "q_semantic_dedup",
+    "q_corpus_shuffle",
+    "q_duplicate_spans",
+    "q_rolling_zscore",
+    "q_ohlc_bars",
 ]
 
 
