@@ -123,3 +123,90 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
     )
+
+
+@query(
+    "q_scd2_intervals",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS is_change
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), changes AS (
+      SELECT user_id, event_type, ts,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+      FROM marked WHERE is_change = 1
+    )
+    SELECT user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           coalesce(strftime(next_ts, '%Y-%m-%d %H:%M:%S'), 'current') AS valid_to
+    FROM changes
+    """,
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from an event stream:
+    collapse per-user runs of the same event_type into
+    [valid_from, valid_to) intervals, open interval marked 'current' —
+    the standard warehouse dimension-history derivation (run-length
+    encoding via a change-flag window, then lead() for the closing
+    bound). Two window passes on one (user_id, ts) ordering — the
+    sort is paid once."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        (
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type"))
+        ).cast("int").alias("is_change"),
+    )
+    changes = marked.filter(F.col("is_change") == 1).select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.lead("ts").over(w).alias("next_ts"),
+    )
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.coalesce(
+            F.date_format("next_ts", "yyyy-MM-dd HH:mm:ss"), F.lit("current")
+        ).alias("valid_to"),
+    )
+
+
+@query(
+    "q_latency_percentiles",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.95), 4) AS p95,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def q_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day exact p50/p95/p99 of the value distribution — the
+    observability dashboard query. Exact sort-based percentile per
+    (day) group; at 100 TB the approx_percentile sketch twin
+    (q_percentiles) is the scan-shaped path, this is the
+    oracle-exact one."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    pct = lambda p, a: F.round(F.percentile("value", F.lit(p)), 4).alias(a)  # noqa: E731
+    return ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        pct(0.5, "p50"),
+        pct(0.95, "p95"),
+        pct(0.99, "p99"),
+    )
