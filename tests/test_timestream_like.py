@@ -170,8 +170,48 @@ def test_connector_tolerates_page_schema_drift(spark, tmp_path):
         "Rows": [{"Data": [_scalar("2024-01-02 00:00:00"), _scalar("surprise")]}],
     }))
     spark.dataSource.register(TimestreamLikeDataSource)
-    df = spark.read.format("timestream_like").option("path", str(src)).load()
+    df = spark.read.format("timestream_like").option("path", src).load()
     assert df.columns == ["time", "value"]
     rows = {r["time"]: r["value"] for r in df.collect()}
     assert rows["2024-01-01 00:00:00"] == "1.5"
     assert rows["2024-01-02 00:00:00"] == "NULL"  # missing column degraded
+
+
+def test_connector_stream_matches_batch(spark, tmp_path):
+    """readStream over the page directory equals the batch read —
+    and a page appended after the first run is picked up by a second
+    run from the same checkpoint (the live-tail contract). Parquet
+    sink: the memory sink cannot recover from a checkpoint."""
+    src, total = _write_pages(tmp_path, n_pages=3, rows_per_page=10)
+    spark.dataSource.register(TimestreamLikeDataSource)
+
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_once():
+        q = (
+            spark.readStream.format("timestream_like")
+            .option("path", src)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got1 = spark.read.parquet(out).count()
+    batch1 = (
+        spark.read.format("timestream_like").option("path", src).load().count()
+    )
+    assert got1 == batch1 == total
+
+    # append a late page; the next run from the same checkpoint
+    # reads only the delta
+    import shutil
+
+    shutil.copy(f"{src}/page-000.json", f"{src}/page-900.json")
+    run_once()
+    assert spark.read.parquet(out).count() == total + 10

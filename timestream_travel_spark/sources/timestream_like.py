@@ -33,7 +33,12 @@ import glob
 import json
 from typing import Any
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StringType, StructField, StructType
 
 NULL_STR = "NULL"  # helpers.go:5-10
@@ -115,6 +120,13 @@ class TimestreamLikeDataSource(DataSource):
     def reader(self, schema: StructType) -> "TimestreamLikeReader":
         return TimestreamLikeReader(self._pages(), schema)
 
+    def simpleStreamReader(self, schema: StructType) -> "TimestreamLikeStreamReader":
+        # spark.readStream.format('timestream_like') — live tail of
+        # the page directory; offset = pages consumed
+        return TimestreamLikeStreamReader(
+            self.options.get("path"), [f.name for f in schema.fields]
+        )
+
 
 class TimestreamLikeReader(DataSourceReader):
     def __init__(self, pages: list[str], schema: StructType) -> None:
@@ -138,3 +150,47 @@ class TimestreamLikeReader(DataSourceReader):
                 v if isinstance(v, str) else json.dumps(v, sort_keys=True)
                 for v in (decoded.get(name, NULL_STR) for name in self.fields)
             )
+
+
+class TimestreamLikeStreamReader(SimpleDataSourceStreamReader):
+    """Streaming tail of a paginated query-result directory: the
+    offset is the count of page files consumed (pages are named
+    page-NNN.json, so the sorted listing is the page order — the
+    NextToken chain of cmd/backup.go:253-258). Each microbatch decodes
+    the pages that appeared since the last offset; readBetweenOffsets
+    replays any [start, end) slice deterministically, which is what
+    makes the source exactly-once under checkpoint recovery."""
+
+    def __init__(self, path: str, fields: list[str]) -> None:
+        self.path = path
+        self.fields = fields
+
+    def initialOffset(self) -> dict:
+        return {"pages_read": 0}
+
+    def _pages(self) -> list[str]:
+        return sorted(glob.glob(f"{self.path}/page-*.json"))
+
+    def _decode(self, pages: list[str]):
+        for p in pages:
+            page = _read_page(p)
+            column_info = page["ColumnInfo"]
+            for row in page.get("Rows", []):
+                decoded = process_row(row["Data"], column_info)
+                yield tuple(
+                    v if isinstance(v, str) else json.dumps(v, sort_keys=True)
+                    for v in (decoded.get(name, NULL_STR) for name in self.fields)
+                )
+
+    def read(self, start: dict):
+        # lists, not generators: the runtime caches and (deep)copies
+        # the (rows, offset) pair for prefetch replay
+        pages = self._pages()
+        lo = start.get("pages_read", 0)
+        return list(self._decode(pages[lo:])), {"pages_read": len(pages)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        pages = self._pages()
+        return list(
+            self._decode(pages[start.get("pages_read", 0) : end.get("pages_read", 0)])
+        )
