@@ -364,3 +364,25 @@ def test_restore_as_of_point_in_time(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [isnotnull(__date" in plan or "(__date" in plan.split(
         "PartitionFilters"
     )[1][:80]
+
+
+def test_cli_query_subcommand(spark, sf_dir, tmp_path, capsys):
+    """`query` lists the registry, runs a named query, and writes
+    parquet with --dest."""
+    from timestream_travel_spark.cli import main as cli_main
+
+    assert cli_main(["query"]) == 0
+    listed = capsys.readouterr().out
+    assert "q_funnel_conversion  [oracle]" in listed
+
+    dest = str(tmp_path / "funnel_out")
+    assert (
+        cli_main(
+            ["query", "q_funnel_conversion", "--data", sf_dir, "--dest", dest, "--limit", "0"]
+        )
+        == 0
+    )
+    row = spark.read.parquet(dest).collect()[0]
+    assert row["n_view_users"] >= row["n_purchase_users"]
+
+    assert cli_main(["query", "q_nope", "--data", sf_dir]) == 2

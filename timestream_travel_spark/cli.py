@@ -80,6 +80,13 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--target-mb", type=int, default=128, help="target file size in MiB")
     c.add_argument("--partition-by", default=None, help="comma-separated partition columns")
     c.add_argument("--verbose", action="store_true")
+    q = sub.add_parser("query", help="run a named engine query against a table directory")
+    q.add_argument("name", nargs="?", default=None, help="registry query name (omit to list all)")
+    q.add_argument("--data", default=None, help="directory holding the parquet tables")
+    q.add_argument("--limit", type=int, default=20, help="rows to show (0 = just the count)")
+    q.add_argument("--dest", default=None, help="also write the full result to this parquet path")
+    q.add_argument("--explain", action="store_true", help="print the formatted physical plan instead of rows")
+    q.add_argument("--verbose", action="store_true")
     return p
 
 
@@ -143,6 +150,37 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.backup, args.dest, schema=args.schema, dedup_key=args.dedup_key
         )
         log.info("restored %d rows (%d read) -> %s", stats["rows_out"], stats["rows_in"], args.dest)
+        return 0
+
+    if args.command == "query":
+        from timestream_travel_spark import registry
+
+        registry.load_all()
+        if args.name is None:
+            for name in sorted(registry.QUERIES):
+                oracle = "oracle" if name in registry.ORACLES else "rows-only"
+                print(f"{name}  [{oracle}]")
+            return 0
+        if args.name not in registry.QUERIES:
+            log.error("unknown query %r (run `query` with no name to list)", args.name)
+            return 2
+        if not args.data:
+            log.error("--data is required to run a query")
+            return 2
+        spark = get_spark("timestream-travel-query")
+        df = registry.QUERIES[args.name](spark, args.data)
+        if args.explain:
+            print(df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            ))
+            return 0
+        if args.dest:
+            df.write.mode("overwrite").parquet(args.dest)
+            df = spark.read.parquet(args.dest)  # count the materialized result
+        n = df.count()
+        if args.limit:
+            df.show(args.limit, truncate=False)
+        log.info("%s: %d rows%s", args.name, n, f" -> {args.dest}" if args.dest else "")
         return 0
 
     if args.command == "compact":
