@@ -93,6 +93,7 @@ def load_all() -> None:
     # reason
     from timestream_travel_spark.operators import (  # noqa: F401
         analytics,
+        joins2,
         llm_text10,
         llm_text11,
         timeseries4,
