@@ -267,3 +267,17 @@ def test_events_ts_normalized_to_timestamp(spark, sf_dir):
     reject TIMESTAMP_NTZ (the round-3 regression class)."""
     ev = load_table(spark, sf_dir, "events")
     assert dict(ev.dtypes)["ts"] == "timestamp"
+
+
+def test_binned_interval_join_avoids_nested_loop(spark, sf_dir):
+    """The keyless interval join must plan as an equi-join on the time
+    bin (hash/broadcast), never BroadcastNestedLoopJoin/cartesian."""
+    qs = entrymod.queries()
+    plan = (
+        qs["q_join_interval_binned"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
