@@ -289,11 +289,13 @@ def q_series_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily OHLC bars per series (the classic downsample financial
-    feeds run): open/close via first_value/last_value over the full
-    (user, day) frame — engine-portable, unlike composite-key
-    arg_min, which DuckDB lacks — then min/max/count in the same
-    keyed aggregation. Window and groupBy share the (user_id, day)
+    """Daily OHLC bars per (user, day) via first_value/last_value
+    over the full frame — the windowed-navigation formulation, vs
+    q_ohlc_hourly (timeseries2.py) which keys (event_type, hour) and
+    extracts open/close by row_number flags inside the aggregation.
+    Both are engine-portable where composite-key arg_min is not;
+    keeping both pins the two standard physical shapes for this
+    downsample. Window and groupBy share the (user_id, day)
     partitioning: one shuffle total."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     day = F.date_trunc("day", "ts")
