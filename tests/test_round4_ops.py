@@ -170,3 +170,57 @@ def test_rolling_zscore_flags_injected_spike(spark, sf_dir):
     top = max(rows, key=lambda r: abs(r["z"]))
     assert top["ts"].startswith("2024-01-01 04")
     assert top["z"] > 1.5
+
+
+def test_binned_interval_join_matches_theta_join(spark, sf_dir):
+    """The binned rewrite returns exactly the rows of the naive
+    keyless theta join."""
+    from pyspark.sql import functions as F
+
+    from timestream_travel_spark.operators.joins2 import binned_interval_join
+    from timestream_travel_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    win = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("h"))
+        .limit(3)
+        .select(
+            F.col("h").alias("start_ts"),
+            (F.col("h") + F.expr("INTERVAL 90 MINUTES")).alias("end_ts"),
+        )
+    )
+    binned = binned_interval_join(ev, win).select("event_id", "start_ts")
+    naive = ev.alias("e").join(
+        win.alias("w"),
+        (F.col("e.ts") >= F.col("w.start_ts")) & (F.col("e.ts") < F.col("w.end_ts")),
+    ).select("event_id", "start_ts")
+    assert binned.exceptAll(naive).count() == 0
+    assert naive.exceptAll(binned).count() == 0
+
+
+def test_scd2_intervals_partition_each_user_timeline(spark, sf_dir):
+    """Per user: intervals are ordered, non-overlapping, close
+    exactly where the next opens, and exactly one is 'current'."""
+    from collections import defaultdict
+
+    qs = entrymod.queries()
+    rows = qs["q_scd2_intervals"](spark, sf_dir).collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append((r["valid_from"], r["valid_to"], r["event_type"]))
+    for ivs in by_user.values():
+        ivs.sort()
+        assert sum(1 for _, vt, _ in ivs if vt == "current") == 1
+        for (f0, t0, e0), (f1, t1, e1) in zip(ivs, ivs[1:]):
+            assert t0 == f1  # adjacent: close where the next opens
+            assert e0 != e1  # runs collapsed: adjacent intervals differ
+        assert ivs[-1][1] == "current"
+
+
+def test_duplicate_spans_fraction_bounds(spark, sf_dir):
+    qs = entrymod.queries()
+    for r in qs["q_duplicate_spans"](spark, sf_dir).collect():
+        assert 0 <= r["n_dup_spans"] <= r["n_spans"]
+        assert abs(r["dup_frac"] - round(r["n_dup_spans"] / r["n_spans"], 6)) < 1e-9
