@@ -206,3 +206,82 @@ def documents_as_blobs(documents: DataFrame) -> DataFrame:
     return documents.select(
         F.col("doc_id").alias("asset_id"), F.encode("text", "utf-8").alias("blob")
     )
+
+
+def image_feature_vector(blob: bytes, dim: int = 4) -> list[float] | None:
+    """Geometry-derived feature vector from an image header —
+    [w, h, round(w/h, 6), round(log2(w·h), 6)]. The full pixel-space
+    embedding needs a codec (decode_image — NotImplementedError in
+    this container); the Spark-side plumbing (binary → array<float>
+    through Arrow batches) is identical either way, so swapping the
+    real encoder in is a one-function change."""
+    import math
+
+    parsed = parse_image_dims(blob)
+    if parsed is None:
+        return None
+    _, w, h = parsed
+    return [float(w), float(h), round(w / h, 6), round(math.log2(w * h), 6)][:dim]
+
+
+def extract_image_features(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
+    """mapInPandas: binary image column → fixed-dim array<float>
+    feature column. Arrow-batched, one Python roundtrip per batch —
+    the multimodal embed stage shape (north star)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [image_feature_vector(bytes(b)) for b in pdf[blob_col]]
+            yield pd.DataFrame({"asset_id": pdf[id_col].astype("int64"), "features": feats})
+
+    return df.mapInPandas(run, "asset_id long, features array<double>")
+
+
+FAKE_VIDEO_MAGIC = b"FAKV"
+
+
+def synthesize_video(n_frames: int, fps: int) -> bytes:
+    """Minimal fake video container: magic + uint32 frame count +
+    uint32 fps — the deterministic stand-in for a real container
+    (no codecs here), with the same parse-then-sample dataflow."""
+    return FAKE_VIDEO_MAGIC + struct.pack(">II", n_frames, fps)
+
+
+def parse_video_meta(blob: bytes) -> tuple[int, int] | None:
+    """(n_frames, fps) from the fake container header."""
+    if len(blob) >= 12 and blob[:4] == FAKE_VIDEO_MAGIC:
+        return struct.unpack(">II", blob[4:12])
+    return None
+
+
+def decode_video_frame(blob: bytes, frame_idx: int) -> bytes:
+    """Pixel decode of one frame — codec-gated like decode_image."""
+    raise NotImplementedError("no video codec available in this environment")
+
+
+def sample_video_frames(df: DataFrame, id_col: str, blob_col: str, k: int = 3) -> DataFrame:
+    """mapInPandas: video binary → k uniformly-spaced frame indices
+    with their timestamps (frame i of n at fps → ts = i/fps). Frame
+    PIXELS stay undecodable here (decode_video_frame raises); the
+    sampling plan, schema, and batch shape are the real pipeline."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out_ids, out_idx, out_ts = [], [], []
+        for pdf in batches:
+            for aid, b in zip(pdf[id_col], pdf[blob_col]):
+                meta = parse_video_meta(bytes(b))
+                if meta is None:
+                    continue
+                n_frames, fps = meta
+                kk = min(k, n_frames)
+                for j in range(kk):
+                    idx = (j * n_frames) // kk  # uniform spacing, floor
+                    out_ids.append(int(aid))
+                    out_idx.append(idx)
+                    out_ts.append(round(idx / fps, 6))
+            yield pd.DataFrame(
+                {"asset_id": out_ids, "frame_idx": out_idx, "frame_ts_s": out_ts}
+            )
+            out_ids, out_idx, out_ts = [], [], []
+
+    return df.mapInPandas(run, "asset_id long, frame_idx int, frame_ts_s double")

@@ -119,3 +119,94 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("cos_to_rep") >= F.lit(SEMANTIC_DUP_TAU))
         ).alias("is_dup"),
     )
+
+
+@query(
+    "q_image_features",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           [CAST((n_chars % 640) + 1 AS DOUBLE),
+            CAST((n_chars % 480) + 1 AS DOUBLE),
+            round(CAST((n_chars % 640) + 1 AS DOUBLE) / ((n_chars % 480) + 1), 6),
+            round(log2(((n_chars % 640) + 1) * ((n_chars % 480) + 1)), 6)]
+             AS features
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature-extraction plumbing: synthesize a PNG per
+    doc (planted geometry), Arrow-batch the binary column through
+    extract_image_features' mapInPandas, return the feature vectors
+    the header parser produced. The oracle recomputes the planted
+    features in SQL — a hash match proves the binary→vector path is
+    real. The pixel-space encoder is the one codec-gated swap
+    (functions/multimodal.decode_image)."""
+    from timestream_travel_spark.functions.multimodal import (
+        extract_image_features,
+        synthesize_png,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"].astype("int64"),
+                    "blob": [
+                        synthesize_png((int(n) % 640) + 1, (int(n) % 480) + 1)
+                        for n in pdf["n_chars"]
+                    ],
+                }
+            )
+
+    blobs = d.select("doc_id", "n_chars").mapInPandas(synth, "asset_id long, blob binary")
+    return extract_image_features(blobs, "asset_id", "blob")
+
+
+@query(
+    "q_video_frame_sample",
+    oracle="""
+    WITH meta AS (
+      SELECT doc_id AS asset_id,
+             CAST((n_chars % 100) + 10 AS INT) AS n_frames,
+             CAST(CASE WHEN n_chars % 2 = 0 THEN 24 ELSE 30 END AS INT) AS fps
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT asset_id,
+           CAST((j * n_frames) // 3 AS INT) AS frame_idx,
+           round(CAST((j * n_frames) // 3 AS DOUBLE) / fps, 6) AS frame_ts_s
+    FROM meta, unnest(generate_series(0, 2)) AS t(j)
+    """,
+)
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: synthesize a container header
+    per doc (planted frame count + fps), mapInPandas parses it and
+    emits 3 uniformly-spaced frame indices with timestamps. Frame
+    pixels stay codec-gated (decode_video_frame raises); the oracle
+    recomputes the sample plan from the planted metadata."""
+    from timestream_travel_spark.functions.multimodal import (
+        sample_video_frames,
+        synthesize_video,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"].astype("int64"),
+                    "blob": [
+                        synthesize_video((int(n) % 100) + 10, 24 if int(n) % 2 == 0 else 30)
+                        for n in pdf["n_chars"]
+                    ],
+                }
+            )
+
+    blobs = d.select("doc_id", "n_chars").mapInPandas(synth, "asset_id long, blob binary")
+    return sample_video_frames(blobs, "asset_id", "blob", k=3)
