@@ -97,4 +97,5 @@ def load_all() -> None:
         llm_text10,
         llm_text11,
         timeseries4,
+        tpch2,
     )
