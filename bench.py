@@ -69,6 +69,10 @@ EXTRA = [
     "q_winnowing_fingerprints",
     "q_corpus_shuffle",
     "q_rolling_zscore",
+    "q_duplicate_spans",
+    "q_join_interval_binned",
+    "q_tpch_q9_product_profit",
+    "q_tpch_q21_waiting_suppliers",
 ]
 
 
