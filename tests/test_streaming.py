@@ -337,3 +337,58 @@ def test_dedup_within_watermark_catches_restamped_retries(spark, sf_dir, tmp_pat
         "SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_wwm_out"
     ).collect()[0]
     assert out["n"] == 200 and out["d"] == 200
+
+
+def test_stream_stream_outer_join_emits_unmatched(spark, sf_dir, tmp_path):
+    """LEFT OUTER stream-stream join: matched pairs equal the batch
+    join, and purchases with no click in the horizon ALSO emit (null
+    click) once the watermark passes — the inner join's silent drops
+    become explicit rows."""
+    from timestream_travel_spark.streaming.jobs import stream_stream_attribution_outer
+
+    src = _stage_events(spark, sf_dir, tmp_path)
+    schema = (
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+    )
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 2).parquet(f"{src}/bucket=*")
+    )
+    res = stream_stream_attribution_outer(
+        stream.filter(F.col("event_type") == "click"),
+        stream.filter(F.col("event_type") == "purchase"),
+    )
+    q = (
+        res.writeStream.format("memory")
+        .queryName("ssoj_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT purchase_id, click_id FROM ssoj_out").collect()
+    got_pairs = {(r["purchase_id"], r["click_id"]) for r in got if r["click_id"] is not None}
+    got_unmatched = {r["purchase_id"] for r in got if r["click_id"] is None}
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    want_pairs = {
+        (r["purchase_id"], r["click_id"])
+        for r in p.join(
+            c,
+            (p.user_id == c.c_user)
+            & (c.click_ts <= p.purchase_ts)
+            & (c.click_ts >= p.purchase_ts - F.expr("INTERVAL 1 HOUR")),
+        ).collect()
+    }
+    assert got_pairs == want_pairs
+    # every unmatched emission is genuinely matchless in batch
+    matched_purchases = {pid for pid, _ in want_pairs}
+    assert got_unmatched.isdisjoint(matched_purchases)
+    assert got_unmatched  # final watermark advance flushed some outer rows

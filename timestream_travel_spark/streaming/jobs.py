@@ -130,6 +130,37 @@ def stream_stream_click_attribution(
     ).select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")
 
 
+def stream_stream_attribution_outer(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    watermark: str = "1 hour",
+    horizon_expr: str = "INTERVAL 1 HOUR",
+) -> DataFrame:
+    """LEFT OUTER watermarked stream-stream join: like the inner
+    attribution, but purchases with NO click in the preceding hour
+    still emit — with null click columns — once the watermark passes
+    their join horizon (the engine can only then prove no match will
+    arrive). The outer side's emission is thus watermark-delayed by
+    design; state stays bounded by the same time-range conjunct."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    ).withWatermark("purchase_ts", watermark)
+    return p.join(
+        c,
+        (p.user_id == c.c_user)
+        & (c.click_ts <= p.purchase_ts)
+        & (c.click_ts >= p.purchase_ts - F.expr(horizon_expr)),
+        "left_outer",
+    ).select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")
+
+
 def read_rate_stream(spark: SparkSession, rows_per_second: int = 500) -> DataFrame:
     """Rate source shaped like the events table — the fixture-free
     demo/load-gen stream (each row: monotonically increasing event_id,
