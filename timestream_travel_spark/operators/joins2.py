@@ -94,3 +94,99 @@ def q_join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_events"),
         F.count_distinct("user_id").cast("bigint").alias("n_users"),
     )
+
+
+NEAREST_HORIZON_S = 1800  # ±30 minutes
+
+
+@query(
+    "q_join_asof_nearest",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+    ), before AS (
+      SELECT p.event_id AS purchase_id, c.event_id AS cid, c.ts AS cts,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY c.ts DESC, c.event_id DESC) AS rn
+      FROM p JOIN c ON c.user_id = p.user_id
+       AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL {NEAREST_HORIZON_S} SECOND
+    ), after AS (
+      SELECT p.event_id AS purchase_id, c.event_id AS cid, c.ts AS cts,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY c.ts ASC, c.event_id ASC) AS rn
+      FROM p JOIN c ON c.user_id = p.user_id
+       AND c.ts > p.ts AND c.ts <= p.ts + INTERVAL {NEAREST_HORIZON_S} SECOND
+    )
+    SELECT p.event_id AS purchase_id,
+           CASE WHEN b.cid IS NOT NULL AND (a.cid IS NULL OR
+                     epoch_us(p.ts) - epoch_us(b.cts) <= epoch_us(a.cts) - epoch_us(p.ts))
+                THEN b.cid ELSE a.cid END AS nearest_click_id,
+           CASE WHEN b.cid IS NOT NULL AND (a.cid IS NULL OR
+                     epoch_us(p.ts) - epoch_us(b.cts) <= epoch_us(a.cts) - epoch_us(p.ts))
+                THEN epoch_us(p.ts) - epoch_us(b.cts)
+                ELSE epoch_us(a.cts) - epoch_us(p.ts) END AS gap_us
+    FROM p
+    LEFT JOIN before b ON b.purchase_id = p.event_id AND b.rn = 1
+    LEFT JOIN after a ON a.purchase_id = p.event_id AND a.rn = 1
+    WHERE b.cid IS NOT NULL OR a.cid IS NOT NULL
+    """,
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-in-time join (the as-of join's bidirectional sibling):
+    each purchase pairs with its CLOSEST click within ±{NEAREST_HORIZON_S}s,
+    earlier side winning ties. The oracle states the per-purchase
+    row_number formulation; the Spark plan is the union+window trick
+    (one (user_id, ts) sort, LOCF struct for the last click, backfill
+    struct for the next) — linear in rows, never per-purchase range
+    joins. Same shape as q_join_asof/q_interpolate_linear, so at
+    100 TB it pipelines onto the series exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window as W
+
+    u = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        # clicks sort before purchases at equal ts: an equal-ts click
+        # is "before" (matches the oracle's c.ts <= p.ts)
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("kind"),
+    )
+    w_prev = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_next = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    click_struct = F.when(
+        F.col("kind") == 0, F.struct(F.col("ts"), F.col("event_id"))
+    )
+    enriched = u.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "kind",
+        F.last(click_struct, ignorenulls=True).over(w_prev).alias("prev_c"),
+        F.first(click_struct, ignorenulls=True).over(w_next).alias("next_c"),
+    ).filter(F.col("kind") == 1)
+    gap_prev = F.unix_micros("ts") - F.unix_micros("prev_c.ts")
+    gap_next = F.unix_micros("next_c.ts") - F.unix_micros("ts")
+    h_us = NEAREST_HORIZON_S * 1_000_000
+    prev_ok = F.col("prev_c").isNotNull() & (gap_prev <= h_us)
+    next_ok = F.col("next_c").isNotNull() & (gap_next <= h_us)
+    use_prev = prev_ok & (~next_ok | (gap_prev <= gap_next))
+    return (
+        enriched.filter(prev_ok | next_ok)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.when(use_prev, F.col("prev_c.event_id"))
+            .otherwise(F.col("next_c.event_id"))
+            .alias("nearest_click_id"),
+            F.when(use_prev, gap_prev).otherwise(gap_next).alias("gap_us"),
+        )
+    )
