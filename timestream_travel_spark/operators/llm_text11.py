@@ -319,3 +319,70 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("n_docs") >= 2, 1)).cast("double") / F.count("*"), 6
         ).alias("dup_frac"),
     )
+
+
+PIPE_BUDGET = 20_000  # tokens per source in the e2e pipeline
+
+
+@query(
+    "q_corpus_pipeline_e2e",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source, lang, text,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents
+    ), deduped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM scored WHERE n_tok BETWEEN 20 AND 5000
+      ) WHERE rn = 1
+    ), admitted AS (
+      SELECT * FROM (
+        SELECT *, SUM(n_tok) OVER (PARTITION BY source
+                                   ORDER BY md5('mix1' || CAST(doc_id AS VARCHAR)), doc_id)
+                    AS cum_tok
+        FROM deduped
+      ) WHERE cum_tok <= {PIPE_BUDGET}
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM admitted GROUP BY source
+    """,
+)
+def q_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-build capstone: quality gate (token-length band) →
+    exact dedup keep-first (normalized-text md5, the q_dedup_exact
+    rule) → per-source token-budget admission (md5 priority prefix
+    sum) → per-source dataset-card stats. One composition of the
+    engine's own stages, oracle-checked end-to-end — the proof that
+    the pieces compose without driver round-trips: the whole pipeline
+    is ONE lazy plan (scan → window dedup on fp → window prefix-sum
+    on source → rollup)."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim("text"), r"\s+"))
+    fp = F.md5(normalized_text("text"))
+    scored = d.select("doc_id", "source", "lang", n_tok.alias("n_tok"), fp.alias("fp"))
+    quality = scored.filter(F.col("n_tok").between(20, 5000))
+    w_dedup = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = (
+        quality.withColumn("rn", F.row_number().over(w_dedup))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    pri = F.md5(F.concat(F.lit("mix1"), F.col("doc_id").cast("string")))
+    w_budget = (
+        Window.partitionBy("source")
+        .orderBy(pri, "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    admitted = deduped.withColumn("cum_tok", F.sum("n_tok").over(w_budget)).filter(
+        F.col("cum_tok") <= PIPE_BUDGET
+    )
+    return admitted.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.count_distinct("lang").cast("bigint").alias("n_langs"),
+    )
