@@ -49,6 +49,11 @@ AUDITED = [
     "q_duplicate_spans",
     "q_rolling_zscore",
     "q_ohlc_bars",
+    "q_join_interval_binned",
+    "q_join_asof_nearest",
+    "q_tpch_q9_product_profit",
+    "q_tpch_q21_waiting_suppliers",
+    "q_corpus_pipeline_e2e",
 ]
 
 
@@ -59,7 +64,20 @@ def audit(plan: str) -> list[str]:
         notes.append(f"✅ filter pushdown: {[p for p in pushed if p.strip()][0][:100]}")
     schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     if schemas:
-        widths = [len(s.split(",")) for s in schemas]
+        # count top-level fields only: commas inside type arguments
+        # (decimal(12,4), map<...,...>) are not field separators
+        def nfields(s: str) -> int:
+            depth, n = 0, 1 if s else 0
+            for ch in s:
+                if ch in "(<":
+                    depth += 1
+                elif ch in ")>":
+                    depth -= 1
+                elif ch == "," and depth == 0:
+                    n += 1
+            return n
+
+        widths = [nfields(s) for s in schemas]
         notes.append(f"✅ column pruning: scan reads {widths} column(s) per source")
     if "BroadcastHashJoin" in plan:
         notes.append("✅ broadcast join present (no fact-side shuffle)")
