@@ -99,3 +99,8 @@ def load_all() -> None:
         timeseries4,
         tpch2,
     )
+
+    # round-4 second-wave modules — same drain-oldest-first ordering
+    from timestream_travel_spark.operators import (  # noqa: F401
+        timeseries5,
+    )
