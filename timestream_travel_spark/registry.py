@@ -102,5 +102,6 @@ def load_all() -> None:
 
     # round-4 second-wave modules — same drain-oldest-first ordering
     from timestream_travel_spark.operators import (  # noqa: F401
+        relational6,
         timeseries5,
     )
