@@ -102,6 +102,7 @@ def load_all() -> None:
 
     # round-4 second-wave modules — same drain-oldest-first ordering
     from timestream_travel_spark.operators import (  # noqa: F401
+        llm_text12,
         relational6,
         timeseries5,
     )
