@@ -73,6 +73,10 @@ EXTRA = [
     "q_join_interval_binned",
     "q_tpch_q9_product_profit",
     "q_tpch_q21_waiting_suppliers",
+    # round-4 second wave
+    "q_ewma_batch",          # grouped-map recurrence (applyInPandas)
+    "q_merge_upsert",        # full-outer MERGE join phase
+    "q_dsir_importance",     # explode + broadcast distribution join
 ]
 
 

@@ -1,0 +1,137 @@
+"""Graph analytics over aggregated relational data: weighted
+PageRank on the nation-to-nation trade network.
+
+Companion to the FastSV connected components in dedup2.py — together
+they cover the two standard iterative-graph shapes: CC over a
+billion-edge similarity graph (edge-parallel, log-diameter rounds)
+and centrality over an AGGREGATED graph whose node set is bounded
+(here: 25 nations), where the 100 TB work is the edge extraction and
+the iterations are a driver-coordinated loop over broadcast-sized
+state, exactly like the k-means Lloyd loop in similarity2.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from timestream_travel_spark.registry import query
+from timestream_travel_spark.tables import load_table
+
+N_NATIONS = 25  # TPC-H nation is a constant-size dimension
+DAMPING = 0.85
+TELEPORT = 0.15 / N_NATIONS  # identical literal both engines
+PR_ITERS = 5
+
+
+def _pagerank_sql() -> str:
+    """Chained-CTE oracle: p0 = 1/N, then PR_ITERS exact steps.
+    Every incoming-mass sum accumulates in DECIMAL(24,15) and every
+    iterate is quantized to DECIMAL(20,12), so the fixpoint walk is
+    order-independent and bit-identical on both engines."""
+    base = f"""
+    WITH e AS (
+      SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                  AS DOUBLE) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY s.s_nationkey, c.c_nationkey
+    ), outw AS (
+      SELECT src, CAST(SUM(CAST(w AS DECIMAL(24,4))) AS DOUBLE) AS tw
+      FROM e GROUP BY src
+    ), en AS (
+      SELECT e.src, e.dst, e.w / outw.tw AS frac
+      FROM e JOIN outw ON e.src = outw.src
+    ), p0 AS (
+      SELECT n_nationkey AS node, CAST(1.0 / {N_NATIONS} AS DOUBLE) AS p
+      FROM nation
+    )"""
+    prev = "p0"
+    steps = []
+    for i in range(1, PR_ITERS + 1):
+        steps.append(f""", p{i} AS (
+      SELECT n.node,
+             CAST(CAST({TELEPORT!r} + {DAMPING} * COALESCE(m.mass, 0.0)
+                  AS DECIMAL(20,12)) AS DOUBLE) AS p
+      FROM (SELECT node FROM p0) n
+      LEFT JOIN (
+        SELECT en.dst AS node,
+               CAST(SUM(CAST({prev}.p * en.frac AS DECIMAL(24,15))) AS DOUBLE)
+                 AS mass
+        FROM en JOIN {prev} ON en.src = {prev}.node
+        GROUP BY en.dst
+      ) m ON n.node = m.node
+    )""")
+        prev = f"p{i}"
+    return (
+        base
+        + "".join(steps)
+        + f"""
+    SELECT na.n_name AS nation, round({prev}.p, 10) AS pagerank
+    FROM {prev} JOIN nation na ON {prev}.node = na.n_nationkey
+    """
+    )
+
+
+@query("q_nation_pagerank", oracle=_pagerank_sql())
+def q_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (damping 0.85, 5 synchronous iterations)
+    over the nation trade graph: edge (supplier nation → customer
+    nation) weighted by lineitem revenue — 'which economies sit at
+    the center of the order flow'.
+
+    Scale split: the expensive stage is the edge extraction — the
+    same fact-fact shuffle as TPC-H Q7 — which reduces 100 TB of
+    lineitem to ≤ 25×25 weighted edges. The iterations then run on
+    that bounded table as chained DataFrame joins: each step's
+    incoming-mass sums accumulate in DECIMAL(24,15) and each iterate
+    quantizes to DECIMAL(20,12) (both engines), so five rounds of
+    FP arithmetic stay bit-identical. Dangling-node mass is dropped
+    (teleport-only), the common simplification; TPC-H's trade graph
+    has no dangling nations."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    su = load_table(spark, sf_dir, "supplier")
+    cu = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    e = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(su, li.l_suppkey == su.s_suppkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.sum(rev).cast("double").alias("w"))
+    )
+    outw = e.groupBy("src").agg(
+        F.sum(F.col("w").cast("decimal(24,4)")).cast("double").alias("tw")
+    )
+    en = e.join(outw, "src").select("src", "dst", (F.col("w") / F.col("tw")).alias("frac"))
+
+    nodes = na.select(F.col("n_nationkey").alias("node"))
+    p = nodes.select("node", F.lit(1.0 / N_NATIONS).alias("p"))
+    for _ in range(PR_ITERS):
+        mass = (
+            en.join(p, en.src == p.node)
+            .groupBy(F.col("dst").alias("mnode"))
+            .agg(
+                F.sum((F.col("p") * F.col("frac")).cast("decimal(24,15)"))
+                .cast("double")
+                .alias("mass")
+            )
+        )
+        p = nodes.join(mass, nodes.node == mass.mnode, "left").select(
+            "node",
+            (F.lit(TELEPORT) + F.lit(DAMPING) * F.coalesce("mass", F.lit(0.0)))
+            .cast("decimal(20,12)")
+            .cast("double")
+            .alias("p"),
+        )
+    return p.join(F.broadcast(na), p.node == na.n_nationkey).select(
+        F.col("n_name").alias("nation"), F.round("p", 10).alias("pagerank")
+    )

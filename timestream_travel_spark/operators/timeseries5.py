@@ -26,33 +26,37 @@ EWMA_ALPHA = 0.3  # smoothing factor; decay 1-alpha
 _EWMA_SCHEMA = "user_id bigint, ts string, event_id bigint, ewma double"
 
 
-def _ewma_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Per-series EWMA recurrence s_t = s_{t-1}*(1-a) + a*x_t, seeded
-    s_1 = x_1. The multiply-add is written EXACTLY as the oracle's SQL
-    (`prev * 0.7 + 0.3 * x`) so both engines walk the same IEEE-754
-    op sequence and produce bit-identical doubles."""
-    pdf = pdf.sort_values(["ts", "event_id"])
-    vals = pdf["value"].to_list()
-    out = []
-    prev = 0.0
-    for i, x in enumerate(vals):
-        prev = x if i == 0 else prev * 0.7 + 0.3 * x
-        out.append(prev)
-    return pd.DataFrame(
-        {
-            "user_id": pdf["user_id"],
-            "ts": pdf["ts"].dt.strftime("%Y-%m-%d %H:%M:%S"),
-            "event_id": pdf["event_id"],
-            # raw doubles out, NO rounding anywhere: the recurrence is
-            # bit-identical on both engines (same IEEE op sequence),
-            # while round() itself is NOT cross-engine stable at
-            # shortest-repr half boundaries (Spark rounds the decimal
-            # shortest form, DuckDB the scaled binary) — with 2-decimal
-            # inputs the recurrence lands on such halves often enough
-            # to flip hashes
-            "ewma": out,
-        }
-    )
+def _ewma_partition(batches):
+    """Partition-wise EWMA: rows arrive hash-partitioned by user_id
+    and sorted (user_id, ts, event_id), so each series is a
+    contiguous run; carry (user, prev) across Arrow batch boundaries.
+    The recurrence s_t = s_{t-1}*(1-a) + a*x_t (seed s_1 = x_1) is
+    written EXACTLY as the oracle's SQL (`prev * 0.7 + 0.3 * x`) so
+    both engines walk the same IEEE-754 op sequence and produce
+    bit-identical doubles.
+
+    raw doubles out, NO rounding anywhere: the recurrence matches
+    bit-for-bit, while round() itself is NOT cross-engine stable at
+    shortest-repr half boundaries (Spark rounds the decimal shortest
+    form, DuckDB the scaled binary) — with 2-decimal inputs the
+    recurrence lands on such halves often enough to flip hashes."""
+    cur_user, prev = None, 0.0
+    for pdf in batches:
+        users = pdf["user_id"].to_list()
+        vals = pdf["value"].to_list()
+        out = []
+        for u, x in zip(users, vals):
+            prev = x if u != cur_user else prev * 0.7 + 0.3 * x
+            cur_user = u
+            out.append(prev)
+        yield pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "ts": pdf["ts"].dt.strftime("%Y-%m-%d %H:%M:%S"),
+                "event_id": pdf["event_id"],
+                "ewma": out,
+            }
+        )
 
 
 @query(
@@ -81,17 +85,22 @@ def q_ewma_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     A general first-order recurrence has no closed JVM-window form
     that survives long series (the closed form needs (1-a)^-i factors
-    that overflow past ~700 samples), so this is the canonical
-    grouped-map shape: `applyInPandas` keyed by series, sequential
-    O(len) walk inside each group, all series in parallel. At 100 TB
-    that is one shuffle on user_id and O(1) state per series — the
-    same cost profile as any windowed series op. The oracle is a
-    DuckDB recursive CTE walking the identical recurrence."""
+    that overflow past ~700 samples), so it must run as a sequential
+    walk per series. NOT `applyInPandas`, though: with millions of
+    short series that pays per-GROUP Python/pandas overhead (measured
+    5.7 s at sf0.1 — the slowest query in the bench). The
+    many-small-groups shape is repartition(user_id) +
+    sortWithinPartitions + `mapInPandas` with (user, prev) carried
+    across Arrow batch boundaries: one Python call per BATCH (~10k
+    rows), not per series, same one-shuffle cost profile and O(1)
+    state. The oracle is a DuckDB recursive CTE walking the identical
+    recurrence."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     return (
         ev.select("user_id", "ts", "event_id", "value")
-        .groupBy("user_id")
-        .applyInPandas(_ewma_group, _EWMA_SCHEMA)
+        .repartition("user_id")
+        .sortWithinPartitions("user_id", "ts", "event_id")
+        .mapInPandas(_ewma_partition, _EWMA_SCHEMA)
     )
 
 

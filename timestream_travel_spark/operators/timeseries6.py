@@ -1,0 +1,111 @@
+"""Time-series operators, part 6: classical decomposition — the
+trend / seasonal / residual split (STL-family, moving-average
+variant) over the hourly event series.
+
+The reference's source engine (Amazon Timestream) leaves
+decomposition to clients; a replacement analytics engine should do it
+in-plan. The formulation is the textbook additive decomposition:
+centered moving-average trend, seasonal = per-phase mean of the
+detrended series, residual = remainder.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from timestream_travel_spark.registry import query
+from timestream_travel_spark.tables import load_table
+
+TREND_HALF = 12  # ±12 hours → 25-point centered moving average
+
+
+@query(
+    "q_seasonal_decompose",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*) AS v
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ), t AS (
+      SELECT event_type, h, v,
+             CAST(SUM(CAST(v AS DECIMAL(24,10))) OVER w AS DOUBLE)
+               / COUNT(*) OVER w AS trend
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN {TREND_HALF} PRECEDING AND {TREND_HALF} FOLLOWING)
+    ), d AS (
+      SELECT event_type, h, v, trend, v - trend AS detr,
+             CAST(hour(h) AS INT) AS hod
+      FROM t
+    ), s AS (
+      SELECT event_type, hod,
+             CAST(SUM(CAST(detr AS DECIMAL(24,10))) AS DOUBLE) / COUNT(*)
+               AS seasonal
+      FROM d GROUP BY event_type, hod
+    )
+    SELECT d.event_type, strftime(d.h, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+           round(d.v, 6) AS v, round(d.trend, 6) AS trend,
+           round(s.seasonal, 6) AS seasonal,
+           round(d.detr - s.seasonal, 6) AS resid
+    FROM d JOIN s ON d.event_type = s.event_type AND d.hod = s.hod
+    """,
+)
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of the hourly mean-value
+    series per event type: trend = {2 * TREND_HALF + 1}-point centered
+    moving average, seasonal = hour-of-day mean of the detrended
+    series, residual = what's left. The moving-average variant of
+    STL — the loess refinement is a client-side polish; the heavy
+    lifting (bucketing, windows, phase means) is what the engine owes.
+
+    Scale shape: raw events reduce to an hourly grid FIRST (one
+    aggregation — at 100 TB this is the big shuffle, everything after
+    runs on |types|×|hours| rows), then one window and one phase
+    aggregation, all partitioned by event_type. Every mean divides a
+    DECIMAL-accumulated sum, so partial-agg order can't flip the
+    hash."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(20,6)")).cast("double") / F.count("*")).alias(
+            "v"
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-TREND_HALF, TREND_HALF)
+    )
+    t = hourly.select(
+        "event_type",
+        "h",
+        "v",
+        (
+            F.sum(F.col("v").cast("decimal(24,10)")).over(w).cast("double")
+            / F.count("*").over(w)
+        ).alias("trend"),
+    )
+    d = t.select(
+        "event_type",
+        "h",
+        "v",
+        "trend",
+        (F.col("v") - F.col("trend")).alias("detr"),
+        F.hour("h").cast("int").alias("hod"),
+    )
+    s = d.groupBy("event_type", "hod").agg(
+        (
+            F.sum(F.col("detr").cast("decimal(24,10)")).cast("double") / F.count("*")
+        ).alias("seasonal")
+    )
+    return d.join(s, ["event_type", "hod"]).select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+        F.round("v", 6).alias("v"),
+        F.round("trend", 6).alias("trend"),
+        F.round("seasonal", 6).alias("seasonal"),
+        F.round(F.col("detr") - F.col("seasonal"), 6).alias("resid"),
+    )

@@ -102,7 +102,9 @@ def load_all() -> None:
 
     # round-4 second-wave modules — same drain-oldest-first ordering
     from timestream_travel_spark.operators import (  # noqa: F401
+        graph,
         llm_text12,
         relational6,
         timeseries5,
+        timeseries6,
     )

@@ -54,6 +54,13 @@ AUDITED = [
     "q_tpch_q9_product_profit",
     "q_tpch_q21_waiting_suppliers",
     "q_corpus_pipeline_e2e",
+    "q_ewma_batch",
+    "q_mad_anomaly",
+    "q_lttb_downsample",
+    "q_series_trend_native",
+    "q_merge_upsert",
+    "q_window_count_distinct",
+    "q_dsir_importance",
 ]
 
 
