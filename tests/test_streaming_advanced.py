@@ -230,3 +230,69 @@ def test_streaming_corpus_prep_matches_batch(spark, sf_dir, tmp_path):
     assert got == want and len(want) > 0
     # the gate actually drops something on the fixture
     assert len(want) < docs.count()
+
+
+def test_streaming_trending_mg_state(spark, sf_dir, tmp_path):
+    """Trending-terms summary across micro-batches: after replaying
+    the corpus in parts, the persistent Misra-Gries state (≤ k rows)
+    contains every true heavy token with the n/(k+1) merged-summary
+    error bound, and never overestimates."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from timestream_travel_spark.operators.llm_text6 import doc_words
+    from timestream_travel_spark.streaming.trending import (
+        MG_STATE_K,
+        trending_sink,
+        trending_topk,
+    )
+    from timestream_travel_spark.tables import load_table
+
+    src = tmp_path / "src"
+    state_dir = str(tmp_path / "mg_state")
+    os.makedirs(src)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = "doc_id bigint, text string"
+    # two separate replays exercise merge-with-existing-state
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(2).write.mode(
+        "overwrite"
+    ).parquet(str(src / "b1"))
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(2).write.mode(
+        "overwrite"
+    ).parquet(str(src / "b2"))
+
+    for i, part in enumerate(("b1", "b2")):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / part))
+        )
+        q = trending_sink(
+            stream, state_dir, str(tmp_path / f"ckpt{i}")
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    state = spark.read.parquet(state_dir)
+    est = {r["word"]: r["cnt"] for r in state.collect()}
+    assert len(est) <= MG_STATE_K
+
+    truth_rows = (
+        docs.select(F.explode(doc_words("text")).alias("word"))
+        .groupBy("word")
+        .count()
+        .collect()
+    )
+    truth = {r["word"]: r["count"] for r in truth_rows}
+    n = sum(truth.values())
+    bound = n / (MG_STATE_K + 1)
+    for word, e in est.items():
+        assert e <= truth[word], f"{word} overestimated"
+        assert truth[word] - e <= bound
+    for word, c in truth.items():
+        if c > bound:
+            assert word in est, f"heavy token {word} missing from summary"
+
+    top = trending_topk(spark, state_dir, 5).collect()
+    assert len(top) == 5 and top[0]["cnt"] >= top[-1]["cnt"]

@@ -104,6 +104,7 @@ def load_all() -> None:
     from timestream_travel_spark.operators import (  # noqa: F401
         graph,
         llm_text12,
+        llm_text13,
         relational6,
         timeseries5,
         timeseries6,
