@@ -109,3 +109,78 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("seasonal", 6).alias("seasonal"),
         F.round(F.col("detr") - F.col("seasonal"), 6).alias("resid"),
     )
+
+
+@query(
+    "q_rolling_median",
+    oracle="""
+    SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, event_id,
+           round(quantile_cont(value, 0.5) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 6) AS med7
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-sample median smoother per series — the robust
+    sibling of the moving average (one outlier cannot move it), the
+    classic pre-filter before anomaly thresholds. Exact percentile as
+    a WINDOW aggregate over a +/-3-row frame: per-frame sort of <=7
+    values, no materialized self-join, same single user_id exchange
+    as every other series window."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, 3)
+    )
+    return ev.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "event_id",
+        F.round(F.percentile("value", 0.5).over(w), 6).alias("med7"),
+    )
+
+
+ROLL_DAYS = 7  # trailing window, inclusive
+
+
+@query(
+    "q_rolling_active_users",
+    oracle=f"""
+    WITH daily AS (
+      SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events
+    ), spine AS (
+      SELECT DISTINCT d FROM daily
+    )
+    SELECT strftime(s.d, '%Y-%m-%d') AS day,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS wau
+    FROM spine s
+    JOIN daily a
+      ON a.d <= s.d AND a.d > s.d - INTERVAL {ROLL_DAYS} DAY
+    GROUP BY s.d
+    """,
+)
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing {ROLL_DAYS}-day distinct active users per day (the
+    WAU curve) — the rolling-DISTINCT aggregate no window frame can
+    express (distinct state is not subtractable as the frame slides).
+    The scalable rewrite: reduce raw events to DISTINCT (day, user)
+    FIRST — at 100 TB that single aggregation is the only
+    corpus-sized shuffle, collapsing each user's daily activity to
+    one row — then range-join the bounded daily-pairs table to the
+    day spine (|days| x avg-DAU x {ROLL_DAYS} rows) and count
+    distinct per spine day."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.select(
+        F.date_trunc("day", "ts").alias("d"), "user_id"
+    ).distinct()
+    spine = daily.select(F.col("d").alias("sd")).distinct()
+    j = spine.join(
+        daily,
+        (F.col("d") <= F.col("sd"))
+        & (F.col("d") > F.col("sd") - F.expr(f"INTERVAL {ROLL_DAYS} DAY")),
+    )
+    return j.groupBy(F.date_format("sd", "yyyy-MM-dd").alias("day")).agg(
+        F.countDistinct("user_id").cast("bigint").alias("wau")
+    )
