@@ -296,3 +296,63 @@ def test_streaming_trending_mg_state(spark, sf_dir, tmp_path):
 
     top = trending_topk(spark, state_dir, 5).collect()
     assert len(top) == 5 and top[0]["cnt"] >= top[-1]["cnt"]
+
+
+def test_stream_static_join_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static enrichment: replaying the stream through the
+    static-dim join yields exactly the batch join's per-window tier
+    aggregates for every closed window."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from timestream_travel_spark.streaming.jobs import (
+        stream_static_enriched_counts,
+        user_tier_dim,
+    )
+    from timestream_travel_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = user_tier_dim(ev)
+
+    src = str(tmp_path / "src")
+    ev.orderBy("ts").coalesce(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_static_enriched_counts(stream, dim)
+        .writeStream.format("memory")
+        .queryName("tier_counts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = (
+        ev.join(dim, "user_id")
+        .groupBy(F.window("ts", "1 day").alias("w"), "tier")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(20,4)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "tier", "n_events", "sum_value")
+    )
+    got = {
+        (r["window_start"], r["tier"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM tier_counts").collect()
+    }
+    want = {
+        (r["window_start"], r["tier"]): (r["n_events"], r["sum_value"])
+        for r in batch.collect()
+    }
+    assert got, "no closed windows emitted"
+    for k, v in got.items():
+        assert want[k] == v
+    assert len(got) >= 0.9 * len(want)

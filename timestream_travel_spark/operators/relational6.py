@@ -208,3 +208,35 @@ def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r") == 1)
         .select("user_id", F.col("event_type").alias("mode_type"), "n")
     )
+
+
+@query(
+    "q_lateral_topk",
+    oracle="""
+    SELECT n.n_name, t.c_name, round(t.c_acctbal, 2) AS c_acctbal
+    FROM nation n,
+    LATERAL (SELECT c_name, c_acctbal FROM customer c
+             WHERE c.c_nationkey = n.n_nationkey
+             ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+    """,
+)
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (SQL:1999 lateral derived table):
+    per outer row, an ordered-and-limited inner scan - 'top-2
+    customers per nation' phrased the way analysts write it. Catalyst
+    decorrelates this into the same window-rank plan the DataFrame
+    top-k-per-group query builds by hand (q_window_topk_per_group is
+    the API twin); DuckDB runs the identical statement, pinning the
+    decorrelation semantics cross-engine."""
+    from timestream_travel_spark.tables import load_tables
+
+    load_tables(spark, sf_dir, ["nation", "customer"])
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_name, round(t.c_acctbal, 2) AS c_acctbal
+        FROM nation n,
+        LATERAL (SELECT c_name, c_acctbal FROM customer c
+                 WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        """
+    )

@@ -213,3 +213,43 @@ def write_gzip_json_stream(result: DataFrame, dest: str, checkpoint: str):
         .foreachBatch(sink)
         .option("checkpointLocation", checkpoint)
     )
+
+
+def user_tier_dim(events_batch: DataFrame) -> DataFrame:
+    """Static enrichment dimension derived once, batch-side: each
+    user's lifetime purchase total bucketed into spend tiers. In
+    production this is the warehouse dim table the stream joins
+    against."""
+    tiers = (
+        events_batch.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(F.col("value").cast("decimal(20,4)")).cast("double").alias("spend"))
+    )
+    return tiers.select(
+        "user_id",
+        F.when(F.col("spend") >= 1000, "gold")
+        .when(F.col("spend") >= 300, "silver")
+        .otherwise("bronze")
+        .alias("tier"),
+    )
+
+
+def stream_static_enriched_counts(
+    stream: DataFrame, dim: DataFrame, window: str = "1 day"
+) -> DataFrame:
+    """Stream-static join + windowed aggregate: every micro-batch
+    joins against the STATIC dim (no watermark needed on the static
+    side — it is re-read per batch, and Spark broadcasts it when
+    small), then counts per (window, tier). The canonical enrichment
+    topology: at scale the static side is a warehouse dim refreshed
+    out-of-band; stream state is only the open windows."""
+    return (
+        stream.withWatermark("ts", "10 minutes")
+        .join(dim, "user_id")
+        .groupBy(F.window("ts", window).alias("w"), "tier")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(20,4)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "tier", "n_events", "sum_value")
+    )
