@@ -240,3 +240,49 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
         """
     )
+
+
+@query(
+    "q_nullsafe_join",
+    oracle="""
+    WITH labeled AS (
+      SELECT c_custkey, nullif(c_nationkey % 5, 4) AS seg
+      FROM customer
+    ), dim AS (
+      SELECT nullif(j, 4) AS seg,
+             CASE WHEN nullif(j, 4) IS NULL THEN 'unassigned'
+                  ELSE 'segment_' || CAST(j AS VARCHAR) END AS seg_name
+      FROM unnest(generate_series(0, 4)) AS t(j)
+    )
+    SELECT d.seg_name, CAST(COUNT(l.c_custkey) AS BIGINT) AS n_customers
+    FROM labeled l JOIN dim d ON l.seg IS NOT DISTINCT FROM d.seg
+    GROUP BY d.seg_name
+    """,
+)
+def q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (Spark `<=>` == SQL IS NOT DISTINCT FROM):
+    customers carry a nullable segment key (every 5th bucket is
+    unassigned → NULL) and the dim carries a NULL row for it; the
+    null-safe predicate pairs them where a plain `=` would silently
+    drop every unassigned customer. Catalyst plans `<=>` as a HASH
+    join key (null-safe equality is still hashable) — no fallback to
+    nested-loop, which is what makes the idiom usable on a 100 TB
+    fact side."""
+    cust = load_table(spark, sf_dir, "customer")
+    labeled = cust.select(
+        "c_custkey", F.nullif(F.col("c_nationkey") % 5, F.lit(4)).alias("seg")
+    )
+    dim = (
+        spark.range(5)
+        .select(F.nullif(F.col("id"), F.lit(4)).alias("seg"), F.col("id"))
+        .select(
+            "seg",
+            F.when(F.col("seg").isNull(), "unassigned")
+            .otherwise(F.concat(F.lit("segment_"), F.col("id").cast("string")))
+            .alias("seg_name"),
+        )
+    )
+    j = labeled.join(F.broadcast(dim), labeled.seg.eqNullSafe(dim.seg))
+    return j.groupBy("seg_name").agg(
+        F.count("c_custkey").cast("bigint").alias("n_customers")
+    )

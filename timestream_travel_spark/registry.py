@@ -106,6 +106,7 @@ def load_all() -> None:
         llm_text12,
         llm_text13,
         relational6,
+        similarity3,
         timeseries5,
         timeseries6,
     )
