@@ -74,9 +74,12 @@ EXTRA = [
     "q_tpch_q9_product_profit",
     "q_tpch_q21_waiting_suppliers",
     # round-4 second wave
-    "q_ewma_batch",          # grouped-map recurrence (applyInPandas)
+    "q_ewma_batch",          # per-key recurrence (mapInPandas, carry state)
     "q_merge_upsert",        # full-outer MERGE join phase
     "q_dsir_importance",     # explode + broadcast distribution join
+    "q_nation_pagerank",     # Q7-shaped edge extraction + bounded iteration
+    "q_seasonal_decompose",  # hourly-grid reduce + windows
+    "q_rolling_active_users",  # distinct-reduce + day-spine range join
 ]
 
 

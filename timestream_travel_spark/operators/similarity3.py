@@ -140,7 +140,14 @@ def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", F.lit(r).alias("rank"), "mmr")
         )
         selected = selected.unionByName(pick)
-    out = selected.select("rank", "vec_id", F.round("mmr", 4).alias("mmr")).orderBy(
-        "rank"
+    # materialize the K-row selection (parameter-sized, the k-means
+    # centroid-collect rule) so pool/pw can be unpersisted without
+    # handing the caller a plan that rescans the corpus per round
+    rows = (
+        selected.select("rank", "vec_id", F.round("mmr", 4).alias("mmr"))
+        .orderBy("rank")
+        .collect()
     )
-    return out
+    pool.unpersist()
+    pw.unpersist()
+    return spark.createDataFrame(rows, "rank int, vec_id bigint, mmr double")
