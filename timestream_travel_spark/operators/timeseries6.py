@@ -184,3 +184,50 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy(F.date_format("sd", "yyyy-MM-dd").alias("day")).agg(
         F.countDistinct("user_id").cast("bigint").alias("wau")
     )
+
+
+@query(
+    "q_session_window_builtin",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+             AS session_end_bound,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def q_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch `F.session_window` — the BUILT-IN dynamic-gap
+    sessionizer, pinned cross-engine against the manual lag+cumsum
+    rewrite (q_sessionize) re-derived under the built-in's exact
+    semantics: micro-precision gaps, a >= 30 min gap starts a new
+    session (window ends are exclusive), and the reported session end
+    is last-event + gap. Having both formulations green proves the
+    built-in and the portable rewrite agree row-for-row - the same
+    twin discipline as OHLC's two shapes. One exchange: session
+    assignment and the aggregate share the user_id partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id").agg(
+        F.count("*").cast("bigint").alias("n_events")
+    )
+    return g.select(
+        "user_id",
+        F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("sw.end", "yyyy-MM-dd HH:mm:ss").alias("session_end_bound"),
+        "n_events",
+    )
