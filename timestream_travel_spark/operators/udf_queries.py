@@ -4,6 +4,7 @@ verify the Python path end-to-end."""
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -112,3 +113,54 @@ def q_mapinarrow_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return d.mapInArrow(stats, schema="doc_id bigint, n_tok bigint, n_chars bigint")
+
+
+@query(
+    "q_pandas_udf_grouped_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(sqrt(CAST(SUM(CAST(value * value AS DECIMAL(30,10))) AS DOUBLE)
+                      / COUNT(*)), 6) AS rms
+    FROM events GROUP BY event_type
+    """,
+)
+def q_pandas_udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF — the last cell of the B.12 matrix
+    (scalar pandas_udf / applyInPandas / mapInPandas / mapInArrow /
+    UDTF / transformWithState already have queries): per-type root
+    mean square computed in Python, hash-matched against the SQL
+    aggregate.
+
+    The parity trick is applying the engine's own oracle-stability
+    rule INSIDE the UDF: each x² quantizes to DECIMAL(30,10) exactly
+    as Spark's double→decimal cast does (shortest-repr string →
+    half-up), and Python's arbitrary-precision Decimal sum IS the
+    decimal accumulation — so the Python aggregate and the two SQL
+    engines produce the same double to the last bit. Arrow ships one
+    batch per group partition; the aggregate output is |types| rows."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def rms_agg(v: pd.Series) -> float:
+        q = Decimal(1).scaleb(-10)
+        total = Decimal(0)
+        for x in v:
+            # mirror Spark's cast(value*value AS DECIMAL(30,10)):
+            # double product -> shortest decimal repr -> half-up
+            total += Decimal(repr(x * x)).quantize(q, rounding=ROUND_HALF_UP)
+        return (float(total) / len(v)) ** 0.5
+
+    @pandas_udf("long")
+    def n_agg(v: pd.Series) -> int:
+        # grouped-agg UDFs cannot mix with JVM aggregates in one
+        # groupBy, so the row count is a (trivial) pandas agg too
+        return len(v)
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        n_agg("value").alias("n"),
+        F.round(rms_agg("value"), 6).alias("rms"),
+    )
