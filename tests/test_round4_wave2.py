@@ -198,3 +198,27 @@ def test_kl_drift_near_zero_on_hash_split(spark, sf_dir):
     assert row.n_train_tok + row.n_val_tok > 0
     assert 0.0 <= row.kl_train_val_bits < 0.5
     assert 0.0 <= row.kl_val_train_bits < 0.5
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_nullsafe_join_is_hash_join(spark, sf_dir):
+    """<=> must plan as a HASH join key (docstring claim): a
+    nested-loop fallback would be unusable on a 100 TB fact side."""
+    from timestream_travel_spark.operators.relational6 import q_nullsafe_join
+
+    plan = _plan(q_nullsafe_join(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan
+
+
+def test_ewma_single_exchange_and_pushdown(spark, sf_dir):
+    """The recurrence costs exactly one shuffle (the user_id
+    repartition) and the purchase filter reaches the scan."""
+    from timestream_travel_spark.operators.timeseries5 import q_ewma_batch
+
+    plan = _plan(q_ewma_batch(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+    assert "EqualTo(event_type,purchase)" in plan
