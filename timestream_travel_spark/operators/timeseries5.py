@@ -337,3 +337,89 @@ def q_series_trend_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cov * cov / (det_x * det_y), 6).alias("r2"),
         )
     )
+
+
+HW_ALPHA = 0.5  # level smoothing
+HW_BETA = 0.3  # trend smoothing
+
+_HOLT_SCHEMA = "user_id bigint, ts string, event_id bigint, level double, trend double, forecast double"
+
+
+def _holt_partition(batches):
+    """Holt double-exponential smoothing (level + linear trend),
+    partition-wise with (user, level, trend) carried across Arrow
+    batches — the same carry-state shape as _ewma_partition. Seeds:
+    l_1 = x_1, b_1 = 0. Update order written EXACTLY as the oracle's
+    recursive CTE:
+        l = 0.5*x + 0.5*(l_prev + b_prev)
+        b = 0.3*(l - l_prev) + 0.7*b_prev
+    so both engines produce bit-identical doubles (no rounding
+    anywhere — the q_ewma_batch lesson)."""
+    cur_user, lv, tr = None, 0.0, 0.0
+    for pdf in batches:
+        users = pdf["user_id"].to_list()
+        vals = pdf["value"].to_list()
+        levels, trends, fcasts = [], [], []
+        for u, x in zip(users, vals):
+            if u != cur_user:
+                lv, tr = x, 0.0
+            else:
+                prev = lv
+                lv = 0.5 * x + 0.5 * (lv + tr)
+                tr = 0.3 * (lv - prev) + 0.7 * tr
+            cur_user = u
+            levels.append(lv)
+            trends.append(tr)
+            fcasts.append(lv + tr)
+        yield pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "ts": pdf["ts"].dt.strftime("%Y-%m-%d %H:%M:%S"),
+                "event_id": pdf["event_id"],
+                "level": levels,
+                "trend": trends,
+                "forecast": fcasts,
+            }
+        )
+
+
+@query(
+    "q_holt_smoothing",
+    oracle="""
+    WITH RECURSIVE s AS (
+      SELECT user_id, ts, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events WHERE event_type = 'purchase'
+    ), r AS (
+      SELECT user_id, ts, event_id, rn,
+             value AS lv, CAST(0.0 AS DOUBLE) AS tr
+      FROM s WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.ts, s.event_id, s.rn,
+             0.5 * s.value + 0.5 * (r.lv + r.tr),
+             0.3 * ((0.5 * s.value + 0.5 * (r.lv + r.tr)) - r.lv) + 0.7 * r.tr
+      FROM s JOIN r ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, event_id,
+           lv AS level, tr AS trend, lv + tr AS forecast
+    FROM r
+    """,
+)
+def q_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing per series: EWMA's
+    trend-aware big sibling — level tracks the signal, trend tracks
+    its drift, level+trend is the one-step forecast (the lightweight
+    per-series forecaster a monitoring engine runs on every metric).
+
+    Same scale shape as q_ewma_batch: repartition(user_id) +
+    sortWithinPartitions + mapInPandas with two carried scalars per
+    series; one shuffle, one Python call per Arrow batch, O(1) state.
+    Oracle: recursive CTE carrying (level, trend) through the
+    identical IEEE op sequence; compared unrounded."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return (
+        ev.select("user_id", "ts", "event_id", "value")
+        .repartition("user_id")
+        .sortWithinPartitions("user_id", "ts", "event_id")
+        .mapInPandas(_holt_partition, _HOLT_SCHEMA)
+    )
