@@ -231,3 +231,96 @@ def q_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("sw.end", "yyyy-MM-dd HH:mm:ss").alias("session_end_bound"),
         "n_events",
     )
+
+
+ACTIVE_WIN_MIN = 30  # each event opens a 30-minute activity interval
+
+
+@query(
+    "q_covered_time",
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id, ts AS s, ts + INTERVAL {ACTIVE_WIN_MIN} MINUTE AS e
+      FROM events
+    ), flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  OR max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ), islands AS (
+      SELECT user_id, s, e,
+             SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM flagged
+    ), merged AS (
+      SELECT user_id, island, min(s) AS ms, max(e) AS me
+      FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(epoch_us(me) - epoch_us(ms)) // 1000000 AS BIGINT)
+             AS covered_s
+    FROM merged GROUP BY user_id
+    """,
+)
+def q_covered_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total covered time per user after merging overlapping activity
+    intervals (each event opens a {ACTIVE_WIN_MIN}-minute window) —
+    the gaps-and-islands interval-union aggregate behind uptime and
+    usage-billing queries, where naive duration sums double-count
+    overlaps.
+
+    The island rewrite: an interval starts a new island exactly when
+    its start exceeds the running max of all previous ends; islands
+    are then a running sum of those flags. Two window passes and two
+    aggregations ALL on the user_id partitioning — one exchange, and
+    the merged-interval table entering the final sum is
+    |islands| ≤ |events| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr(f"INTERVAL {ACTIVE_WIN_MIN} MINUTE")).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_max_e = F.max("e").over(w_prev)
+    flagged = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e), 1)
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    islands = flagged.select(
+        "user_id", "s", "e", F.sum("new_island").over(w_run).alias("island")
+    )
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    # integer `div`, not `/`: float division then bigint cast differs
+    # cross-engine at .5 (Spark truncates, DuckDB rounds)
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_intervals"),
+            F.sum(F.unix_micros("me") - F.unix_micros("ms")).alias("us"),
+        )
+        .select(
+            "user_id",
+            "n_intervals",
+            F.expr("us div 1000000").cast("bigint").alias("covered_s"),
+        )
+    )

@@ -62,8 +62,19 @@ def _cache_path(sf_dir: str, name: str) -> str:
     return os.path.join(CACHE_DIR, tag, f"{name}.json.gz")
 
 
-def _cache_read(sf_dir: str, name: str, fingerprint: str):
-    """→ (cols, normalized_rows) or None. Stale fingerprints miss."""
+def _oracle_sql_md5(sql: str) -> str:
+    import hashlib
+
+    return hashlib.md5(sql.encode()).hexdigest()
+
+
+def _cache_read(sf_dir: str, name: str, fingerprint: str, sql: str):
+    """→ (cols, normalized_rows) or None. Stale fixture fingerprints
+    miss; so do entries cached under a DIFFERENT oracle SQL (editing
+    a query's oracle must invalidate its cache — the round-4 lesson:
+    a failed compare once poisoned the cache for the fixed SQL).
+    Legacy entries without the sql_md5 field stay valid so the
+    expensive sf0.1 all-pairs oracles are not mass-recomputed."""
     import gzip
     import json
 
@@ -74,17 +85,29 @@ def _cache_read(sf_dir: str, name: str, fingerprint: str):
         blob = json.load(fh)
     if blob.get("fingerprint") != fingerprint:
         return None
+    if "sql_md5" in blob and blob["sql_md5"] != _oracle_sql_md5(sql):
+        return None
     return blob["cols"], [tuple(r) for r in blob["rows"]]
 
 
-def _cache_write(sf_dir: str, name: str, fingerprint: str, cols, norm_rows) -> None:
+def _cache_write(
+    sf_dir: str, name: str, fingerprint: str, sql: str, cols, norm_rows
+) -> None:
     import gzip
     import json
 
     p = _cache_path(sf_dir, name)
     os.makedirs(os.path.dirname(p), exist_ok=True)
     with gzip.open(p, "wt") as fh:
-        json.dump({"fingerprint": fingerprint, "cols": cols, "rows": norm_rows}, fh)
+        json.dump(
+            {
+                "fingerprint": fingerprint,
+                "sql_md5": _oracle_sql_md5(sql),
+                "cols": cols,
+                "rows": norm_rows,
+            },
+            fh,
+        )
 
 
 def main() -> int:
@@ -123,7 +146,9 @@ def main() -> int:
             print(f"rows {name}: {len(s_rows)} rows (no oracle) [{time.perf_counter()-t0:.1f}s]")
             n_rowsonly += 1
             continue
-        cached = None if no_cache else _cache_read(sf_dir, name, fingerprint)
+        cached = (
+            None if no_cache else _cache_read(sf_dir, name, fingerprint, oracles[name])
+        )
         if cached is not None:
             d_cols, nd = cached
             d_rows = nd  # already normalized
@@ -140,7 +165,7 @@ def main() -> int:
             nd = normalize(d_rows, d_cols)
             tag = ""
             if write_cache:
-                _cache_write(sf_dir, name, fingerprint, d_cols, nd)
+                _cache_write(sf_dir, name, fingerprint, oracles[name], d_cols, nd)
         ok = True
         if sorted(s_cols) != sorted(d_cols):
             print(f"FAIL {name}: columns differ spark={sorted(s_cols)} duck={sorted(d_cols)}")
