@@ -222,3 +222,18 @@ def test_ewma_single_exchange_and_pushdown(spark, sf_dir):
     plan = _plan(q_ewma_batch(spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
     assert "EqualTo(event_type,purchase)" in plan
+
+
+def test_hll_intersection_close_to_exact(spark, sf_dir):
+    """Inclusion-exclusion HLL estimate lands within 15% of the exact
+    INTERSECT count (HLL relative error ~1.6% at default lgK; three
+    estimates compound)."""
+    from timestream_travel_spark.operators.relational6 import (
+        q_distinct_intersection,
+        q_hll_intersection_est,
+    )
+
+    exact = q_distinct_intersection(spark, sf_dir).collect()[0].n_both
+    est = q_hll_intersection_est(spark, sf_dir).collect()[0].n_both_est
+    assert exact > 0
+    assert abs(est - exact) <= max(3, 0.15 * exact), (est, exact)

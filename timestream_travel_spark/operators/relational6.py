@@ -286,3 +286,66 @@ def q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("seg_name").agg(
         F.count("c_custkey").cast("bigint").alias("n_customers")
     )
+
+
+@query(
+    "q_distinct_intersection",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_both
+    FROM (
+      SELECT user_id FROM events WHERE event_type = 'click'
+      INTERSECT
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+    )
+    """,
+)
+def q_distinct_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-set intersection cardinality (users who both
+    clicked AND purchased) via INTERSECT of the two distinct key
+    sets - the oracle twin of q_hll_intersection_est. Each side
+    reduces to distinct user_ids BEFORE the intersect, so the set op
+    runs on |users| rows, not |events|."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return clicks.intersect(buys).agg(
+        F.count("*").cast("bigint").alias("n_both")
+    )
+
+
+@query("q_hll_intersection_est")
+def q_hll_intersection_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct intersection by HLL inclusion-exclusion:
+    |A∩B| ≈ est(A) + est(B) − est(A∪B), from three mergeable
+    sketches built in ONE pass over events (conditional sketch aggs).
+    The 100 TB story: sketches are constant-size, mergeable across
+    partitions and across DAYS — a daily sketch table answers any
+    period's intersection without rescanning events (the same
+    incremental-cardinality motivation as q_hll_sketch_union).
+    Rows-only (sketch binaries are engine-specific); pytest bounds
+    the estimate against the exact INTERSECT twin."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    sk = ev.agg(
+        F.hll_sketch_agg(
+            F.when(F.col("event_type") == "click", F.col("user_id"))
+        ).alias("sk_a"),
+        F.hll_sketch_agg(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("sk_b"),
+        F.hll_sketch_agg("user_id").alias("sk_u"),
+    )
+    est = sk.select(
+        F.round(F.hll_sketch_estimate("sk_a"), 0).cast("bigint").alias("n_click_est"),
+        F.round(F.hll_sketch_estimate("sk_b"), 0).cast("bigint").alias("n_purchase_est"),
+        F.round(F.hll_sketch_estimate("sk_u"), 0).cast("bigint").alias("n_union_est"),
+    )
+    return est.select(
+        "n_click_est",
+        "n_purchase_est",
+        "n_union_est",
+        (F.col("n_click_est") + F.col("n_purchase_est") - F.col("n_union_est"))
+        .cast("bigint")
+        .alias("n_both_est"),
+    )
