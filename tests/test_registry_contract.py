@@ -55,6 +55,30 @@ def test_every_oracle_columns_match_spark_columns(spark, sf_dir, duck):
     assert not mismatches, mismatches
 
 
+def test_every_oracled_query_output_is_atomic(spark, sf_dir):
+    """The external checker canonicalizes results with pandas
+    sort_values, which cannot hash array/map/struct cells (TypeError:
+    unhashable type) — so an oracled query with a non-atomic output
+    column can NEVER turn green and burns a capped driver slot every
+    round. Stringify collections at the output boundary instead
+    (array_join / to_json), as q_inverted_index and q_image_features
+    do."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    qs = entrymod.queries()
+    offenders = []
+    for name in entrymod.oracle_sql():
+        schema = qs[name](spark, sf_dir).schema
+        bad = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if bad:
+            offenders.append((name, bad))
+    assert not offenders, offenders
+
+
 def test_every_registry_query_builds(spark, sf_dir):
     broken = []
     for name, fn in entrymod.queries().items():

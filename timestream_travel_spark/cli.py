@@ -170,9 +170,10 @@ def main(argv: list[str] | None = None) -> int:
         spark = get_spark("timestream-travel-query")
         df = registry.QUERIES[args.name](spark, args.data)
         if args.explain:
-            print(df._sc._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "formatted"
-            ))
+            # Public API (prints the formatted plan to stdout) — the
+            # py4j internals route breaks under Spark Connect and
+            # across Spark versions.
+            df.explain(mode="formatted")
             return 0
         if args.dest:
             df.write.mode("overwrite").parquet(args.dest)

@@ -125,11 +125,12 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_image_features",
     oracle="""
     SELECT doc_id AS asset_id,
-           [CAST((n_chars % 640) + 1 AS DOUBLE),
-            CAST((n_chars % 480) + 1 AS DOUBLE),
-            round(CAST((n_chars % 640) + 1 AS DOUBLE) / ((n_chars % 480) + 1), 6),
-            round(log2(((n_chars % 640) + 1) * ((n_chars % 480) + 1)), 6)]
-             AS features
+           CAST((n_chars % 640) + 1 AS DOUBLE) AS f_width,
+           CAST((n_chars % 480) + 1 AS DOUBLE) AS f_height,
+           round(CAST((n_chars % 640) + 1 AS DOUBLE) / ((n_chars % 480) + 1), 6)
+             AS f_aspect,
+           round(log2(((n_chars % 640) + 1) * ((n_chars % 480) + 1)), 6)
+             AS f_log2_area
     FROM documents WHERE doc_id < 200
     """,
 )
@@ -140,7 +141,11 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     the header parser produced. The oracle recomputes the planted
     features in SQL — a hash match proves the binary→vector path is
     real. The pixel-space encoder is the one codec-gated swap
-    (functions/multimodal.decode_image)."""
+    (functions/multimodal.decode_image). The vector is projected to
+    scalar f_* columns at the output boundary: the external checker
+    canonicalizes via pandas sort_values, which cannot hash array
+    cells (the array form stays available via
+    functions.multimodal.extract_image_features)."""
     from timestream_travel_spark.functions.multimodal import (
         extract_image_features,
         synthesize_png,
@@ -163,7 +168,14 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     blobs = d.select("doc_id", "n_chars").mapInPandas(synth, "asset_id long, blob binary")
-    return extract_image_features(blobs, "asset_id", "blob")
+    feats = extract_image_features(blobs, "asset_id", "blob")
+    return feats.select(
+        "asset_id",
+        F.col("features")[0].alias("f_width"),
+        F.col("features")[1].alias("f_height"),
+        F.col("features")[2].alias("f_aspect"),
+        F.col("features")[3].alias("f_log2_area"),
+    )
 
 
 @query(

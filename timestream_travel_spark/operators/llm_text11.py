@@ -76,6 +76,12 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     output size."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     tokens = F.split(normalized_text("text"), " ")
+    # Docs shorter than the k-gram width yield NO grams. Without this
+    # filter F.sequence(1, size - (k-1)) would see start > stop and
+    # default to step -1 (a DESCENDING sequence → slice() at invalid
+    # positions), where the oracle's generate_series yields an empty
+    # set — a latent cross-engine divergence for short docs.
+    d = d.filter(F.size(tokens) >= WIN_K)
     v = lambda t: (  # noqa: E731
         F.length(t) * WIN_B + F.ascii(t) * 31 + F.ascii(F.reverse(t))
     ).cast("bigint")
@@ -298,6 +304,10 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     a frequency floor or a Bloom pre-filter (bloom.py) bounds it."""
     d = load_table(spark, sf_dir, "documents")
     tokens = F.split(normalized_text("text"), " ")
+    # Same short-doc guard as q_winnowing_fingerprints: keep
+    # F.sequence from descending (step -1) when size(tokens) < SPAN_N,
+    # mirroring the oracle's empty generate_series.
+    d = d.filter(F.size(tokens) >= SPAN_N)
     spans = (
         d.select(
             "doc_id",

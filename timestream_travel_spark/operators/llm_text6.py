@@ -71,10 +71,17 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shuffle width; joined here unhashed so the DuckDB oracle can mirror
 # the join exactly).
 def _shingles(words: Column, n: int = 5) -> Column:
-    return F.transform(
-        F.sequence(F.lit(1), F.size(words) - (n - 1)),
-        lambda i: F.array_join(F.slice(words, i, n), " "),
-    )
+    # Short inputs (< n words) yield NO shingles — without the guard,
+    # F.sequence(1, size-(n-1)) with start > stop defaults to step -1
+    # (descending) and slices at invalid positions, while the oracle's
+    # range() yields an empty set.
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 @query(
@@ -271,7 +278,7 @@ def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT word, CAST(COUNT(*) AS BIGINT) AS df,
-           (list_sort(list(doc_id)))[1:8] AS postings
+           array_to_string((list_sort(list(doc_id)))[1:8], ',') AS postings
     FROM dw GROUP BY word HAVING COUNT(*) >= 10
     """,
 )
@@ -283,14 +290,18 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting prefix bound the output row size, which is what keeps a
     full-corpus index build memory-safe per reducer at 100 TB (full
     posting lists would instead go to a (term, bucket) two-level
-    layout)."""
+    layout). Postings emit as a comma-joined string at the output
+    boundary: the external checker canonicalizes via pandas
+    sort_values, which cannot hash array cells."""
     d = load_table(spark, sf_dir, "documents")
     dw = d.select("doc_id", F.explode(doc_words("text")).alias("word")).distinct()
     return (
         dw.groupBy("word")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("df"),
-            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 8).alias("postings"),
+            F.array_join(
+                F.slice(F.sort_array(F.collect_list("doc_id")), 1, 8), ","
+            ).alias("postings"),
         )
         .filter(F.col("df") >= 10)
     )

@@ -32,7 +32,7 @@ from timestream_travel_spark.tables import load_table
     )
     SELECT user_id,
            strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
-           round((v1 - value) / (CAST(dur_us AS DOUBLE) / 1000000.0), 6)
+           (v1 - value) / (CAST(dur_us AS DOUBLE) / 1000000.0)
              AS rate_per_s
     FROM s WHERE dur_us IS NOT NULL AND dur_us > 0
     """,
@@ -41,7 +41,14 @@ def q_series_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series rate of change (Timestream DERIVATIVE): value delta
     to the NEXT sample over elapsed seconds. One window pass on the
     (user_id, ts) ordering every other series op already uses —
-    pipelines onto the existing exchange at scale."""
+    pipelines onto the existing exchange at scale.
+
+    The rate is emitted as the RAW IEEE-754 quotient (like
+    q_ewma_batch / q_holt_smoothing): both engines evaluate the same
+    double subtraction and division on identical inputs, so the bits
+    match exactly, whereas round(x, 6) on a double is not
+    cross-engine stable at decimal half boundaries (Spark rounds the
+    exact BigDecimal expansion HALF_UP; DuckDB rounds in binary)."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     dur_us = F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")
@@ -53,7 +60,7 @@ def q_series_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             ts_str("ts", "ts"),
             dur_us.alias("dur_us"),
-            F.round(rate, 6).alias("rate_per_s"),
+            rate.alias("rate_per_s"),
         )
         .filter(F.col("dur_us").isNotNull() & (F.col("dur_us") > 0))
         .drop("dur_us")
