@@ -80,6 +80,17 @@ EXTRA = [
     "q_nation_pagerank",     # Q7-shaped edge extraction + bounded iteration
     "q_seasonal_decompose",  # hourly-grid reduce + windows
     "q_rolling_active_users",  # distinct-reduce + day-spine range join
+    # round-5: r4 second-wave flagships joining the timed set so the
+    # whole declared TPC-H family has per-round numbers
+    "q_lateral_topk",
+    "q_window_count_distinct",
+    "q_mode_per_group",
+    "q_tpch_q2_min_cost_supplier",
+    "q_tpch_q4_order_priority",
+    "q_tpch_q11_important_stock",
+    "q_tpch_q12_shipmode",
+    "q_tpch_q16_parts_suppliers",
+    "q_tpch_q20_part_promotion",
 ]
 
 

@@ -215,6 +215,48 @@ def test_ann_ivf_kmeanspp_recall_and_spread(spark, sf_dir):
     assert c1 == c2 and len({tuple(c) for c in c1}) == 4
 
 
+def test_ann_ivf_kmeanspar_recall_and_spread(spark, sf_dir):
+    """k-means‖-shape seeding: recall holds vs brute force, the init
+    is deterministic, produces k distinct centers, and its minimum
+    pairwise spread is within 2× of the sequential farthest-point
+    init's — while costing O(passes) scans instead of k−1."""
+    import __spark_entry__ as entrymod
+
+    from timestream_travel_spark.operators.similarity2 import (
+        kmeans_parallel_init,
+        kmeanspp_init,
+    )
+
+    qs = entrymod.queries()
+    exact = [r["vec_id"] for r in qs["q_cosine_topk"](spark, sf_dir).collect()]
+    approx = [r["vec_id"] for r in qs["q_ann_ivf_kmeanspar_topk"](spark, sf_dir).collect()]
+    assert len(approx) == 10
+    recall = len(set(exact) & set(approx)) / len(exact)
+    assert recall >= 0.3, f"kmeans‖-IVF recall too low: {recall}"
+
+    e = load_table(spark, sf_dir, "embeddings")
+    c1 = kmeans_parallel_init(e, 4)
+    c2 = kmeans_parallel_init(e, 4)
+    assert c1 == c2 and len({tuple(c) for c in c1}) == 4
+
+    def py_cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / ((sum(x * x for x in a) ** 0.5) * (sum(x * x for x in b) ** 0.5))
+
+    def min_spread(cents):
+        return min(
+            1 - py_cos(a, b)
+            for i, a in enumerate(cents)
+            for b in cents[i + 1 :]
+        )
+
+    seq = kmeanspp_init(e, 4)
+    assert min_spread(c1) >= 0.5 * min_spread(seq), (
+        f"k-means‖ seed spread {min_spread(c1):.4f} collapsed vs "
+        f"sequential {min_spread(seq):.4f}"
+    )
+
+
 def test_connected_components_long_chain_log_rounds(spark):
     """Pointer-doubling contract: a 500-node path (diameter 499) must
     converge in ~log2 rounds — plain min-label propagation would need

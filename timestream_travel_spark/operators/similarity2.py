@@ -159,6 +159,61 @@ def kmeanspp_init(embeddings: DataFrame, k: int) -> list[list[float]]:
     return cents
 
 
+def kmeans_parallel_init(
+    embeddings: DataFrame, k: int, oversample: int | None = None, passes: int = 2
+) -> list[list[float]]:
+    """Deterministic k-means‖-shape seeding (Bahmani et al.,
+    VLDB'12, public): replaces kmeanspp_init's k−1 SEQUENTIAL
+    full-scan driver round-trips with `passes` scans that each
+    TakeOrdered the ℓ = oversample (default 2k) rows FARTHEST from
+    the current candidate set — a deterministic stand-in for the
+    paper's D²-proportional sample with the same
+    oversample-then-reduce structure, reproducible without a random
+    stream — then reduces the ≤ 1 + passes·ℓ candidates to k centers
+    DRIVER-SIDE by greedy farthest-point over the candidate matrix
+    (candidate-pool-sized work, no Spark jobs).
+
+    Scan count is O(passes), independent of k: the seeding that
+    still works when k reaches IVF-at-scale cell counts (k ≈ √n in
+    the thousands), where kmeanspp_init's k−1 scans do not. Each
+    pass's comparison set grows by ℓ, so keep passes small (2–3 —
+    the paper's own guidance is O(log n) rounds but ~5 suffices)."""
+    if oversample is None:
+        oversample = 2 * k
+    v = to_double_array(F.col("embedding"))
+    first = embeddings.orderBy("vec_id").limit(1).select(v.alias("e")).collect()[0]["e"]
+    cands: list[list[float]] = [list(first)]
+    for _ in range(passes):
+        sims = F.array(*[cosine(v, query_vector_lit(c)) for c in cands])
+        far = (
+            embeddings.select("vec_id", v.alias("e"), (1 - F.array_max(sims)).alias("d"))
+            .orderBy(F.desc("d"), F.asc("vec_id"))
+            .limit(oversample)
+            .collect()
+        )
+        cands.extend(list(r["e"]) for r in far)
+
+    def py_cos(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return dot / (na * nb) if na and nb else 0.0
+
+    cents = [cands[0]]
+    chosen = {0}
+    while len(cents) < k and len(chosen) < len(cands):
+        best_i, best_d = -1, -1.0
+        for i, c in enumerate(cands):
+            if i in chosen:
+                continue
+            d = min(1 - py_cos(c, ch) for ch in cents)
+            if d > best_d:
+                best_i, best_d = i, d
+        chosen.add(best_i)
+        cents.append(cands[best_i])
+    return cents
+
+
 def train_kmeans_centroids(
     embeddings: DataFrame, k: int = 8, iters: int = 3, init: str = "first"
 ) -> list[list[float]]:
@@ -170,9 +225,13 @@ def train_kmeans_centroids(
     100 TB (iters × one scan each).
 
     init: 'first' = first k vectors by vec_id; 'farthest' =
-    deterministic k-means++-style spread seeding (kmeanspp_init)."""
+    deterministic k-means++-style spread seeding (kmeanspp_init,
+    k−1 scans); 'parallel' = k-means‖-shape oversampled seeding
+    (kmeans_parallel_init, O(passes) scans — the large-k path)."""
     if init == "farthest":
         cents = kmeanspp_init(embeddings, k)
+    elif init == "parallel":
+        cents = kmeans_parallel_init(embeddings, k)
     else:
         rows = (
             embeddings.orderBy("vec_id").limit(k)
@@ -228,6 +287,16 @@ def q_ann_ivf_kmeanspp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeding before Lloyd — better-spread cells than first-k init.
     Rows-only oracle; pytest bounds recall vs brute force."""
     return _ivf_topk(spark, sf_dir, init="farthest")
+
+
+@query("q_ann_ivf_kmeanspar_topk")
+def q_ann_ivf_kmeanspar_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN seeded by the k-means‖-shape init (O(passes) full
+    scans instead of k−1 — the seeding that scales to thousands of
+    IVF cells) before Lloyd. Rows-only oracle; pytest bounds recall
+    vs brute force and asserts the seed spread matches the
+    sequential farthest-point init."""
+    return _ivf_topk(spark, sf_dir, init="parallel")
 
 
 @query("q_ann_ivf_kmeans_topk")
