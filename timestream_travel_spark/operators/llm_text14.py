@@ -1,0 +1,262 @@
+"""LLM training-data operators, part 14 (round 5): corpus-law
+diagnostics and mixture plumbing — Zipf rank-frequency slope,
+CCNet-style perplexity terciles, tokenizer fertility, and packing
+efficiency.
+
+Every query is DuckDB-oracled; float discipline follows the
+repo-wide rules (exact-integer ratios emitted as raw double
+divisions; log-space terms quantized to DECIMAL before summation —
+the q_unigram_logprob pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from timestream_travel_spark.operators.llm_text6 import doc_words
+from timestream_travel_spark.operators.llm_text7 import CHUNK_TOKENS, doc_offsets
+from timestream_travel_spark.registry import query
+from timestream_travel_spark.tables import load_table
+
+ZIPF_TOP = 100
+
+
+@query(
+    "q_zipf_slope",
+    oracle=f"""
+    WITH w AS (
+      SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                x -> x <> '')) AS word
+      FROM documents
+    ), top AS (
+      SELECT word, COUNT(*) AS cnt FROM w GROUP BY word
+      ORDER BY cnt DESC, word LIMIT {ZIPF_TOP}
+    ), ranked AS (
+      SELECT CAST(log2(row_number() OVER (ORDER BY cnt DESC, word)) AS DECIMAL(20,8)) AS x,
+             CAST(log2(cnt) AS DECIMAL(20,8)) AS y
+      FROM top
+    ), sums AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(30,8))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(30,8))) AS DOUBLE) AS sxx
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_top,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS zipf_slope
+    FROM sums
+    """,
+)
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus: least-squares slope of
+    log2(count) vs log2(rank) for the top {ZIPF_TOP} words (a natural
+    corpus scores ≈ −1; synthetic or template-heavy corpora drift
+    off it — a cheap corpus-health diagnostic). The word count is the
+    only corpus-sized aggregation (map-side combined); ranking and
+    regression run on the fixed {ZIPF_TOP}-row table. Log terms and
+    their products are quantized to DECIMAL before summation so the
+    regression sums are order-independent; the slope is one double
+    expression mirrored exactly in the oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    top = (
+        d.select(F.explode(doc_words("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(ZIPF_TOP)
+    )
+    rw = Window.orderBy(F.desc("cnt"), F.asc("word"))
+    ranked = top.select(
+        F.log2(F.row_number().over(rw)).cast("decimal(20,8)").alias("x"),
+        F.log2("cnt").cast("decimal(20,8)").alias("y"),
+    )
+    xd, yd = F.col("x").cast("double"), F.col("y").cast("double")
+    sums = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum((xd * yd).cast("decimal(30,8)")).cast("double").alias("sxy"),
+        F.sum((xd * xd).cast("decimal(30,8)")).cast("double").alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    return sums.select(
+        n.cast("bigint").alias("n_top"),
+        ((n * sxy - sx * sy) / (n * sxx - sx * sx)).alias("zipf_slope"),
+    )
+
+
+@query(
+    "q_perplexity_buckets",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS word
+      FROM documents
+    ),
+    total AS (SELECT COUNT(*) AS n FROM toks),
+    uni AS (SELECT word, COUNT(*) AS cnt FROM toks GROUP BY word),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(log2(CAST(u.cnt AS DOUBLE) / tt.n) AS DECIMAL(20,8)) AS lp
+      FROM toks t JOIN uni u ON t.word = u.word CROSS JOIN total tt
+    ),
+    bpt AS (
+      SELECT doc_id,
+             round(-CAST(SUM(lp) AS DOUBLE) / COUNT(*), 4) AS bits_per_token
+      FROM scored GROUP BY doc_id
+    ),
+    bucketed AS (
+      SELECT d.lang, b.bits_per_token,
+             ntile(3) OVER (PARTITION BY d.lang
+                            ORDER BY b.bits_per_token, b.doc_id) AS tercile
+      FROM bpt b JOIN documents d ON d.doc_id = b.doc_id
+    )
+    SELECT lang,
+           CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+             AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round(CAST(SUM(CAST(bits_per_token AS DECIMAL(20,4))) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_bits_per_token
+    FROM bucketed GROUP BY lang, tercile
+    """,
+)
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al., LREC 2020,
+    public): split each language's documents into head / middle /
+    tail terciles of unigram cross-entropy (the q_unigram_logprob
+    score standing in for the LM perplexity) — the standard recipe
+    for perplexity-stratified sampling of web corpora. The per-doc
+    score is one vocab join + doc agg; the ntile window runs on the
+    doc-count-sized score table partitioned by lang, with a doc_id
+    tiebreak so tercile boundaries are deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(doc_words("text")).alias("word"))
+    total = toks.agg(F.count(F.lit(1)).alias("n"))
+    uni = toks.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    lp = F.log2(F.col("cnt").cast("double") / F.col("n")).cast("decimal(20,8)")
+    bpt = (
+        toks.join(uni, "word")
+        .join(F.broadcast(total))
+        .select("doc_id", lp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(-(F.sum("lp").cast("double")) / F.count(F.lit(1)), 4).alias(
+                "bits_per_token"
+            )
+        )
+    )
+    w = Window.partitionBy("lang").orderBy("bits_per_token", "doc_id")
+    bucketed = bpt.join(d.select("doc_id", "lang"), "doc_id").select(
+        "lang", "bits_per_token", F.ntile(3).over(w).alias("tercile")
+    )
+    bucket = (
+        F.when(F.col("tercile") == 1, "head")
+        .when(F.col("tercile") == 2, "middle")
+        .otherwise("tail")
+    )
+    return bucketed.groupBy("lang", "tercile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(
+            F.sum(F.col("bits_per_token").cast("decimal(20,4)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_bits_per_token"),
+    ).select("lang", bucket.alias("bucket"), "n_docs", "avg_bits_per_token")
+
+
+@query(
+    "q_token_fertility",
+    oracle="""
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                    x -> x <> ''))) AS BIGINT) AS n_words,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_chars) AS DOUBLE)
+             / SUM(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                   x -> x <> ''))) AS chars_per_word
+    FROM documents GROUP BY lang, source
+    """,
+)
+def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility proxy per (lang, source): characters per
+    whitespace token — the compression-rate planning number for
+    token-budget estimates (a BPE tokenizer's bytes-per-token tracks
+    this). Pure integer sums with one final double division — no
+    float accumulation anywhere; one map-side-combined groupBy."""
+    d = load_table(spark, sf_dir, "documents")
+    n_words = F.size(doc_words("text"))
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(n_words).cast("bigint").alias("n_words"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.sum(n_words)).alias("chars_per_word"),
+    )
+
+
+@query(
+    "q_packing_stats",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''))
+               AS n_tok
+      FROM documents
+    ),
+    nz AS (SELECT * FROM d WHERE n_tok > 0),
+    c AS (
+      SELECT doc_id, n_tok,
+             COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM nz
+    ),
+    spans AS (
+      SELECT n_tok,
+             CAST(off // {CHUNK_TOKENS} AS BIGINT) AS first_chunk,
+             CAST((off + n_tok - 1) // {CHUNK_TOKENS} AS BIGINT) AS last_chunk
+      FROM c
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN last_chunk > first_chunk THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_split_docs,
+           CAST(SUM(CASE WHEN last_chunk > first_chunk THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS split_frac,
+           CAST(MAX(last_chunk) + 1 AS BIGINT) AS n_chunks,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_tok) AS DOUBLE)
+             / ((MAX(last_chunk) + 1) * {CHUNK_TOKENS}) AS fill_frac
+    FROM spans
+    """,
+)
+def q_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency audit of the q_pack_sequences layout: how
+    many documents straddle a {CHUNK_TOKENS}-token training-sequence
+    boundary (their loss windows see a mid-document cut), and the
+    fill fraction of the chunked corpus. Shares doc_offsets()'s
+    two-phase distributed prefix sum — no global window — and
+    reduces to one integer-only aggregate row."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.size(doc_words("text")).alias("n_tok"))
+    off = doc_offsets(toks)
+    spans = off.select(
+        "n_tok",
+        F.floor(F.col("off") / CHUNK_TOKENS).cast("bigint").alias("first_chunk"),
+        F.floor((F.col("off") + F.col("n_tok") - 1) / CHUNK_TOKENS)
+        .cast("bigint")
+        .alias("last_chunk"),
+    )
+    is_split = F.when(F.col("last_chunk") > F.col("first_chunk"), 1).otherwise(0)
+    return spans.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(is_split).cast("bigint").alias("n_split_docs"),
+        (F.sum(is_split).cast("double") / F.count(F.lit(1))).alias("split_frac"),
+        (F.max("last_chunk") + 1).cast("bigint").alias("n_chunks"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        (
+            F.sum("n_tok").cast("double")
+            / ((F.max("last_chunk") + 1) * CHUNK_TOKENS)
+        ).alias("fill_frac"),
+    )

@@ -1,0 +1,270 @@
+"""Time-series operators, part 7 (round 5): change detection and
+series diagnostics — one-sided CUSUM change-point alarms, lag-1
+autocorrelation, day-over-day top movers, and a weighted median.
+
+Same series model as timeseries3–6 (events partitioned by user_id,
+ordered (ts, event_id)); every double aggregate goes through exact
+DECIMAL accumulation (ops.dsum rules) and every recurrence walks the
+identical IEEE-754 op sequence as its DuckDB oracle so hashes match
+bit-for-bit (the q_ewma_batch discipline).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from timestream_travel_spark.registry import query
+from timestream_travel_spark.tables import load_table
+
+# CUSUM drift reference (target + slack) and alarm threshold for the
+# purchase-value series (mean ≈ 52): accumulate positive drift above
+# 60, alarm when the accumulated excursion passes 150.
+CUSUM_REF = 60.0
+CUSUM_H = 150.0
+
+_CUSUM_SCHEMA = "user_id bigint, ts string, event_id bigint, cusum double, alarm boolean"
+
+
+def _cusum_partition(batches):
+    """Partition-wise one-sided CUSUM: rows arrive hash-partitioned
+    by user_id and sorted (user_id, ts, event_id); carry (user, s)
+    across Arrow batch boundaries. The recurrence
+    s_t = max(0, s_{t-1} + x_t − CUSUM_REF) is written exactly as the
+    oracle's `greatest(0.0, cusum + value - 60.0)` so both engines
+    walk the same IEEE-754 sequence — raw doubles out, no rounding
+    (the q_ewma_batch bit-stability rule)."""
+    cur_user, s = None, 0.0
+    for pdf in batches:
+        users = pdf["user_id"].to_list()
+        vals = pdf["value"].to_list()
+        out = []
+        for u, x in zip(users, vals):
+            if u != cur_user:
+                s = 0.0
+            s = max(0.0, s + float(x) - CUSUM_REF)
+            cur_user = u
+            out.append(s)
+        yield pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "ts": pdf["ts"].dt.strftime("%Y-%m-%d %H:%M:%S"),
+                "event_id": pdf["event_id"],
+                "cusum": out,
+                "alarm": [v > CUSUM_H for v in out],
+            }
+        )
+
+
+@query(
+    "q_cusum_changepoints",
+    oracle=f"""
+    WITH RECURSIVE s AS (
+      SELECT user_id, ts, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events WHERE event_type = 'purchase'
+    ), r AS (
+      SELECT user_id, ts, event_id, rn,
+             greatest(0.0, 0.0 + value - {CUSUM_REF}) AS cusum
+      FROM s WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.ts, s.event_id, s.rn,
+             greatest(0.0, r.cusum + s.value - {CUSUM_REF})
+      FROM s JOIN r ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, event_id,
+           cusum, cusum > {CUSUM_H} AS alarm
+    FROM r
+    """,
+)
+def q_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change-point detection per series (Page 1954,
+    public): accumulate positive drift above a reference level, alarm
+    when the cumulative excursion crosses the decision threshold —
+    the classical upward-shift detector for metric streams.
+
+    Like EWMA, the recurrence is inherently sequential per series, so
+    it runs as repartition(user_id) + sortWithinPartitions +
+    mapInPandas with (user, s) carried across Arrow batches: one
+    Python call per ~10k-row batch, one shuffle, O(1) state per
+    series — the high-cardinality recurrence shape (SCALING.md)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return (
+        ev.select("user_id", "ts", "event_id", "value")
+        .repartition("user_id")
+        .sortWithinPartitions("user_id", "ts", "event_id")
+        .mapInPandas(_cusum_partition, _CUSUM_SCHEMA)
+    )
+
+
+AC_MIN_N = 10  # minimum lag-pairs per series
+
+
+@query(
+    "q_autocorr_lag1",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id, value AS x, lead(value) OVER w AS y
+      FROM events WHERE event_type = 'purchase'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sums AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(20,4))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(20,4))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * y AS DECIMAL(30,8))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x * x AS DECIMAL(30,8))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y * y AS DECIMAL(30,8))) AS DOUBLE) AS syy
+      FROM p WHERE y IS NOT NULL
+      GROUP BY user_id HAVING COUNT(*) >= {AC_MIN_N}
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
+           (n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS acf1
+    FROM sums
+    WHERE (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+    """,
+)
+def q_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation per series (the first ACF coefficient —
+    the standard is-this-series-white diagnostic): Pearson r between
+    (x_t, x_{t+1}) pairs. All six sufficient statistics accumulate as
+    exact DECIMALs (2-decimal inputs → 4/8-decimal products are
+    exact), so partial aggregation cannot reorder float error; the
+    final r is one double expression written identically to the
+    oracle — bit-stable without rounding. One window + one groupBy on
+    the series partitioning."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = ev.select(
+        "user_id",
+        F.col("value").alias("x"),
+        F.lead("value").over(w).alias("y"),
+    ).filter(F.col("y").isNotNull())
+    sums = (
+        p.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(F.col("x").cast("decimal(20,4)")).cast("double").alias("sx"),
+            F.sum(F.col("y").cast("decimal(20,4)")).cast("double").alias("sy"),
+            F.sum((F.col("x") * F.col("y")).cast("decimal(30,8)")).cast("double").alias("sxy"),
+            F.sum((F.col("x") * F.col("x")).cast("decimal(30,8)")).cast("double").alias("sxx"),
+            F.sum((F.col("y") * F.col("y")).cast("decimal(30,8)")).cast("double").alias("syy"),
+        )
+        .filter(F.col("n") >= AC_MIN_N)
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    den2 = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    return sums.filter(den2 > 0).select(
+        "user_id",
+        n.cast("bigint").alias("n_pairs"),
+        ((n * sxy - sx * sy) / F.sqrt(den2)).alias("acf1"),
+    )
+
+
+TOP_MOVERS_K = 20
+
+
+@query(
+    "q_top_movers",
+    oracle=f"""
+    WITH daily AS (
+      SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS day_sum
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, date_trunc('day', ts)
+    ), lagged AS (
+      SELECT user_id, day, day_sum,
+             lag(day_sum) OVER (PARTITION BY user_id ORDER BY day) AS prev_sum
+      FROM daily
+    )
+    SELECT user_id, day, prev_sum, day_sum,
+           (day_sum - prev_sum) / abs(prev_sum) AS pct_change
+    FROM lagged
+    WHERE prev_sum IS NOT NULL AND prev_sum <> 0
+    ORDER BY abs((day_sum - prev_sum) / abs(prev_sum)) DESC, user_id, day
+    LIMIT {TOP_MOVERS_K}
+    """,
+)
+def q_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day top movers: per-series daily totals (exact
+    DECIMAL sums), previous-active-day delta via lag, top {TOP_MOVERS_K}
+    by absolute relative change with a deterministic (user, day)
+    tiebreak. The daily reduce is the only corpus-sized shuffle; the
+    lag window rides the same (user_id) partitioning; the top-k is a
+    TakeOrdered, never a global sort materialization."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = ev.groupBy(
+        "user_id", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(20,4)")).cast("double").alias("day_sum"))
+    w = Window.partitionBy("user_id").orderBy("day")
+    lagged = daily.withColumn("prev_sum", F.lag("day_sum").over(w)).filter(
+        F.col("prev_sum").isNotNull() & (F.col("prev_sum") != 0)
+    )
+    pct = (F.col("day_sum") - F.col("prev_sum")) / F.abs(F.col("prev_sum"))
+    return (
+        lagged.select("user_id", "day", "prev_sum", "day_sum", pct.alias("pct_change"))
+        .orderBy(F.abs(F.col("pct_change")).desc(), F.asc("user_id"), F.asc("day"))
+        .limit(TOP_MOVERS_K)
+    )
+
+
+@query(
+    "q_weighted_median",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, l_extendedprice,
+             SUM(CAST(l_quantity AS DECIMAL(20,4))) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             SUM(CAST(l_quantity AS DECIMAL(20,4))) OVER (
+               PARTITION BY l_returnflag) AS tot
+      FROM lineitem
+    ), med AS (
+      SELECT l_returnflag, MIN(l_extendedprice) AS weighted_median_price
+      FROM c WHERE 2 * cw >= tot GROUP BY l_returnflag
+    ), totals AS (
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS total_qty
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT m.l_returnflag, m.weighted_median_price, t.total_qty
+    FROM med m JOIN totals t ON m.l_returnflag = t.l_returnflag
+    """,
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (50th weighted percentile): the
+    quantity-weighted median extended price per return flag — the
+    first cumulative-weight crossing of half the group total. The
+    cumulative weight runs as an exact DECIMAL window sum on a fully
+    deterministic ordering, so the crossing row (and hence the
+    answer) is engine-independent; the crossing test `2·cw ≥ tot`
+    stays in DECIMAL (no float half-total). One window + two
+    group-sized aggregates, all keyed on l_returnflag."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qdec = F.col("l_quantity").cast("decimal(20,4)")
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("l_returnflag")
+    c = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum(qdec).over(w).alias("cw"),
+        F.sum(qdec).over(wtot).alias("tot"),
+    )
+    med = (
+        c.filter(F.lit(2) * F.col("cw") >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(F.min("l_extendedprice").alias("weighted_median_price"))
+    )
+    totals = li.groupBy("l_returnflag").agg(
+        F.sum(qdec).cast("double").alias("total_qty")
+    )
+    return med.join(totals, "l_returnflag")

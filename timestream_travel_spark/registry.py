@@ -110,3 +110,9 @@ def load_all() -> None:
         timeseries5,
         timeseries6,
     )
+
+    # round-5 modules
+    from timestream_travel_spark.operators import (  # noqa: F401
+        llm_text14,
+        timeseries7,
+    )
