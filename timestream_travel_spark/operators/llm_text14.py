@@ -260,3 +260,99 @@ def q_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / ((F.max("last_chunk") + 1) * CHUNK_TOKENS)
         ).alias("fill_frac"),
     )
+
+
+CDC_MOD = 16  # expected passage length = CDC_MOD words
+
+
+@query(
+    "q_cdc_passage_dedup",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS ws
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, i AS pos, ws[i] AS word,
+             CASE WHEN CAST('0x' || substr(md5(ws[i]), 1, 4) AS INT) % {CDC_MOD} = 0
+                  THEN 1 ELSE 0 END AS boundary
+      FROM w, unnest(generate_series(1, len(ws))) AS t(i)
+    ), pid AS (
+      SELECT doc_id, pos, word,
+             COALESCE(SUM(boundary) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS passage_id
+      FROM pos
+    ), passages AS (
+      SELECT doc_id, passage_id,
+             md5(string_agg(word, ' ' ORDER BY pos)) AS fp
+      FROM pid GROUP BY doc_id, passage_id
+    ), df AS (
+      SELECT fp, COUNT(DISTINCT doc_id) AS n_docs FROM passages GROUP BY fp
+    )
+    SELECT p.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_passages,
+           CAST(COUNT(*) FILTER (WHERE df.n_docs >= 2) AS BIGINT) AS n_dup_passages,
+           CAST(COUNT(*) FILTER (WHERE df.n_docs >= 2) AS DOUBLE) / COUNT(*)
+             AS dup_frac
+    FROM passages p JOIN df ON df.fp = p.fp
+    GROUP BY p.doc_id
+    """,
+)
+def q_cdc_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking for passage-level dedup (the
+    FastCDC/rolling-divider idea at word granularity, public): a word
+    whose md5 lands in bucket 0 of {CDC_MOD} closes the current
+    passage, so passage BOUNDARIES are content-anchored — an edit
+    shifts at most its own passage, where fixed-width n-gram windows
+    shift every downstream shingle. Expected passage length is
+    {CDC_MOD} words (geometric), bounding fingerprint count at
+    corpus_words/{CDC_MOD}.
+
+    Scale shape: one posexplode partitioned by doc_id, a prefix-sum
+    window on that same partitioning, passage reassembly as a grouped
+    sort-collect, then a fingerprint-keyed DF join — the
+    q_duplicate_spans topology with content-defined instead of
+    sliding spans (no positional blowup; spans never overlap)."""
+    from timestream_travel_spark.operators.llm_text7 import md5_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    pos = d.select(
+        "doc_id", F.posexplode(doc_words("text")).alias("pos0", "word")
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        "word",
+        F.when(md5_bucket(F.col("word"), CDC_MOD) == 0, 1).otherwise(0).alias("boundary"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pid = pos.select(
+        "doc_id",
+        "pos",
+        "word",
+        F.coalesce(F.sum("boundary").over(w), F.lit(0)).alias("passage_id"),
+    )
+    passages = pid.groupBy("doc_id", "passage_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s.getField("word"),
+                ),
+                " ",
+            )
+        ).alias("fp")
+    )
+    df_tab = passages.groupBy("fp").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    joined = passages.join(df_tab, "fp")
+    is_dup = F.when(F.col("n_docs") >= 2, 1).otherwise(0)
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_passages"),
+        F.sum(is_dup).cast("bigint").alias("n_dup_passages"),
+        (F.sum(is_dup).cast("double") / F.count(F.lit(1))).alias("dup_frac"),
+    )

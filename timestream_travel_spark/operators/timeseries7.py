@@ -224,16 +224,10 @@ def q_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(CAST(l_quantity AS DECIMAL(20,4))) OVER (
                PARTITION BY l_returnflag) AS tot
       FROM lineitem
-    ), med AS (
-      SELECT l_returnflag, MIN(l_extendedprice) AS weighted_median_price
-      FROM c WHERE 2 * cw >= tot GROUP BY l_returnflag
-    ), totals AS (
-      SELECT l_returnflag,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS total_qty
-      FROM lineitem GROUP BY l_returnflag
     )
-    SELECT m.l_returnflag, m.weighted_median_price, t.total_qty
-    FROM med m JOIN totals t ON m.l_returnflag = t.l_returnflag
+    SELECT l_returnflag, MIN(l_extendedprice) AS weighted_median_price,
+           CAST(MAX(tot) AS DOUBLE) AS total_qty
+    FROM c WHERE 2 * cw >= tot GROUP BY l_returnflag
     """,
 )
 def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -243,8 +237,10 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative weight runs as an exact DECIMAL window sum on a fully
     deterministic ordering, so the crossing row (and hence the
     answer) is engine-independent; the crossing test `2·cw ≥ tot`
-    stays in DECIMAL (no float half-total). One window + two
-    group-sized aggregates, all keyed on l_returnflag."""
+    stays in DECIMAL (no float half-total). ONE lineitem scan: the
+    group total rides the same window pass (full-frame sum on the cw
+    partitioning — no extra exchange), so the final agg needs no
+    join back to a separate totals scan."""
     li = load_table(spark, sf_dir, "lineitem")
     qdec = F.col("l_quantity").cast("decimal(20,4)")
     w = (
@@ -259,12 +255,11 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(qdec).over(w).alias("cw"),
         F.sum(qdec).over(wtot).alias("tot"),
     )
-    med = (
+    return (
         c.filter(F.lit(2) * F.col("cw") >= F.col("tot"))
         .groupBy("l_returnflag")
-        .agg(F.min("l_extendedprice").alias("weighted_median_price"))
+        .agg(
+            F.min("l_extendedprice").alias("weighted_median_price"),
+            F.max("tot").cast("double").alias("total_qty"),
+        )
     )
-    totals = li.groupBy("l_returnflag").agg(
-        F.sum(qdec).cast("double").alias("total_qty")
-    )
-    return med.join(totals, "l_returnflag")

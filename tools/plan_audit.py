@@ -61,6 +61,15 @@ AUDITED = [
     "q_merge_upsert",
     "q_window_count_distinct",
     "q_dsir_importance",
+    # round 5
+    "q_cusum_changepoints",
+    "q_autocorr_lag1",
+    "q_top_movers",
+    "q_weighted_median",
+    "q_zipf_slope",
+    "q_perplexity_buckets",
+    "q_token_fertility",
+    "q_packing_stats",
 ]
 
 
