@@ -356,3 +356,39 @@ def test_stream_static_join_matches_batch(spark, sf_dir, tmp_path):
     for k, v in got.items():
         assert want[k] == v
     assert len(got) >= 0.9 * len(want)
+
+
+def test_streaming_cusum_matches_batch_operator(spark, sf_dir, tmp_path):
+    """Streaming CUSUM replay equals the batch q_cusum_changepoints
+    operator value-for-value on the purchase series (same IEEE
+    recurrence, state carried across micro-batches)."""
+    from timestream_travel_spark.operators.timeseries7 import q_cusum_changepoints
+    from timestream_travel_spark.streaming.cusum import streaming_cusum
+
+    src = _stage_ordered(spark, sf_dir, tmp_path)
+    stream = (
+        spark.readStream.schema(
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_cusum(stream.filter(F.col("event_type") == "purchase"))
+        .writeStream.format("memory")
+        .queryName("cusum_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["event_id"]: (r["cusum"], r["alarm"])
+        for r in spark.sql("SELECT * FROM cusum_out").collect()
+    }
+    want = {
+        r["event_id"]: (r["cusum"], r["alarm"])
+        for r in q_cusum_changepoints(spark, sf_dir).collect()
+    }
+    assert len(got) == len(want) > 0
+    assert got == want  # bit-identical doubles, not approx
