@@ -335,3 +335,61 @@ def test_quantized_ann_recall(spark, sf_dir):
     exact = {r["vec_id"] for r in qs["q_cosine_topk"](spark, sf_dir).collect()}
     quant = {r["vec_id"] for r in qs["q_ann_quantized_topk"](spark, sf_dir).collect()}
     assert len(exact & quant) / len(exact) >= 0.8
+
+
+def _bpe_reference_batched(words: list[str], n_merges: int, batch: int) -> list[tuple]:
+    """Pure-Python replay of the batched variant: per round take the
+    top symbol-disjoint `batch` pairs from one count pass, apply all
+    in a single left-to-right sweep."""
+    vocab = Counter(words)
+    state = {w: tuple(w) for w in vocab if len(w) >= 2}
+    merges: list[tuple] = []
+    while len(merges) < n_merges and state:
+        pair_counts: Counter = Counter()
+        for w, syms in state.items():
+            f = vocab[w]
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] += f
+        if not pair_counts:
+            break
+        ranked = sorted(pair_counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        want = min(batch, n_merges - len(merges))
+        selected, used = [], set()
+        for (p1, p2), cnt in ranked[: want * 4]:
+            if len(selected) >= want:
+                break
+            if {p1, p2, p1 + p2} & used:
+                continue
+            selected.append((p1, p2, cnt))
+            used |= {p1, p2, p1 + p2}
+        if not selected:
+            break
+        for p1, p2, cnt in selected:
+            merges.append((len(merges) + 1, p1, p2, p1 + p2, cnt))
+        fuse = {(p1, p2): p1 + p2 for p1, p2, _ in selected}
+        nxt = {}
+        for w, syms in state.items():
+            acc = [syms[0]]
+            for x in syms[1:]:
+                m = fuse.get((acc[-1], x))
+                if m is not None:
+                    acc[-1] = m
+                else:
+                    acc.append(x)
+            if len(acc) >= 2:
+                nxt[w] = tuple(acc)
+        state = nxt
+    return merges
+
+
+def test_bpe_batched_merges_match_python_reference(spark, sf_dir):
+    """batch=2 halves the round count; the merge table matches a pure
+    Python replay of the same batched algorithm, and batch=1 stays
+    exactly the classical loop."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = _words(spark, sf_dir)
+    assert bpe_merge_table(docs, n_merges=4, batch=1) == _bpe_reference(words, 4)
+    got = bpe_merge_table(docs, n_merges=4, batch=2)
+    want = _bpe_reference_batched(words, n_merges=4, batch=2)
+    assert got == want
+    assert len(got) == 4

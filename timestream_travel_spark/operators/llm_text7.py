@@ -243,7 +243,9 @@ def q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_MERGES = 4
 
 
-def bpe_merge_table(docs: DataFrame, n_merges: int = BPE_MERGES) -> list[tuple]:
+def bpe_merge_table(
+    docs: DataFrame, n_merges: int = BPE_MERGES, batch: int = 1
+) -> list[tuple]:
     """Train the first `n_merges` BPE merges over the corpus in the
     classical word-frequency formulation (Sennrich et al. 2016,
     public): the distributed state is the DISTINCT word table with
@@ -258,7 +260,21 @@ def bpe_merge_table(docs: DataFrame, n_merges: int = BPE_MERGES) -> list[tuple]:
     k-means-loop shape. At 100 TB the word-frequency table is the
     tokenizer-training working set (millions of rows, not trillions):
     one corpus-sized aggregation up front, vocab-sized work per
-    round."""
+    round.
+
+    batch > 1 is the round-count lever for real vocabularies (the
+    SCALING.md item): each round selects up to `batch`
+    SYMBOL-DISJOINT pairs from the one pair-count aggregation and
+    applies them in a single fold pass. Disjointness (no shared p1/p2
+    and no selected pair equal to another's merged symbol) makes the
+    batched application equal to applying those merges sequentially,
+    and the recorded counts — the pre-batch counts — are exact for
+    each selected pair because merging a disjoint pair cannot create
+    or destroy its occurrences. The trade vs classical BPE: a new
+    pair involving a just-merged symbol cannot win until the NEXT
+    round, so batch=k divides the round count by ~k at the cost of a
+    slightly different (still deterministic) merge order. batch=1 is
+    exactly the classical loop."""
     syms = (
         docs.select(F.explode(doc_words("text")).alias("w"))
         .groupBy("w")
@@ -270,7 +286,7 @@ def bpe_merge_table(docs: DataFrame, n_merges: int = BPE_MERGES) -> list[tuple]:
     syms = syms.filter(F.size("a") >= 2).persist()
     syms.count()
     merges: list[tuple] = []
-    for rank in range(1, n_merges + 1):
+    while len(merges) < n_merges:
         pairs = syms.select(
             F.explode(
                 F.transform(
@@ -283,27 +299,53 @@ def bpe_merge_table(docs: DataFrame, n_merges: int = BPE_MERGES) -> list[tuple]:
             ).alias("p"),
             "freq",
         )
+        want = min(batch, n_merges - len(merges))
+        # over-fetch so disjoint filtering can skip conflicting pairs;
+        # the fetch is pair-rank-sized, never corpus-sized
         top = (
             pairs.groupBy("p")
             .agg(F.sum("freq").alias("cnt"))
             .orderBy(F.desc("cnt"), F.asc("p.p1"), F.asc("p.p2"))
-            .head(1)
+            .head(want * 4)
         )
         if not top:
             break
-        (p1, p2), cnt = top[0]["p"], top[0]["cnt"]
-        merges.append((rank, p1, p2, p1 + p2, int(cnt)))
-        # left-to-right greedy merge fold: if last(acc)==p1 and x==p2,
-        # fuse; else append. Pure expression tree — no UDF.
+        selected: list[tuple[str, str, int]] = []
+        used: set[str] = set()
+        for row in top:
+            (p1, p2), cnt = row["p"], row["cnt"]
+            if len(selected) >= want:
+                break
+            if {p1, p2, p1 + p2} & used:
+                continue
+            selected.append((p1, p2, int(cnt)))
+            used |= {p1, p2, p1 + p2}
+        if not selected:
+            break
+        for p1, p2, cnt in selected:
+            merges.append((len(merges) + 1, p1, p2, p1 + p2, cnt))
+
+        # left-to-right greedy merge fold applying every selected
+        # (disjoint) pair in one pass: if last(acc)==p1_i and x==p2_i,
+        # fuse pair i; else append. Pure expression tree — no UDF.
+        def make_step(sel):
+            def step(acc, x):
+                expr = F.concat(acc, F.array(x))
+                for p1, p2, _ in reversed(sel):
+                    expr = F.when(
+                        (F.element_at(acc, -1) == p1) & (x == p2),
+                        F.concat(
+                            F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(p1 + p2))
+                        ),
+                    ).otherwise(expr)
+                return expr
+
+            return step
+
         fold = F.aggregate(
             F.slice(F.col("a"), 2, F.greatest(F.size("a") - 1, F.lit(0))),
             F.slice(F.col("a"), 1, 1),
-            lambda acc, x: F.when(
-                (F.element_at(acc, -1) == p1) & (x == p2),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(p1 + p2))
-                ),
-            ).otherwise(F.concat(acc, F.array(x))),
+            make_step(tuple(selected)),
         )
         nxt = syms.select(fold.alias("a"), "freq").filter(F.size("a") >= 2).persist()
         nxt.count()
