@@ -281,3 +281,90 @@ def test_binned_interval_join_avoids_nested_loop(spark, sf_dir):
     )
     assert "NestedLoop" not in plan and "Cartesian" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_weighted_median_matches_python_reference(spark, sf_dir):
+    """Weighted median = first value whose cumulative weight crosses
+    half the total, on the same deterministic ordering — replayed in
+    pure Python from the collected fixture."""
+    qs = entrymod.queries()
+    got = {
+        r["l_returnflag"]: (r["weighted_median_price"], r["total_qty"])
+        for r in qs["q_weighted_median"](spark, sf_dir).collect()
+    }
+    rows = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_extendedprice", "l_quantity", "l_orderkey", "l_linenumber")
+        .collect()
+    )
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for r in rows:
+        groups[r["l_returnflag"]].append(
+            (r["l_extendedprice"], r["l_orderkey"], r["l_linenumber"], r["l_quantity"])
+        )
+    for flag, rs in groups.items():
+        rs.sort()
+        total = sum(q for _, _, _, q in rs)
+        acc = 0.0
+        for price, _, _, q in rs:
+            acc += q
+            if 2 * acc >= total:
+                break
+        assert got[flag][0] == price, flag
+        assert abs(got[flag][1] - total) < 1e-6, flag
+
+
+def test_cdc_passages_match_python_replay(spark, sf_dir):
+    """CDC passage stats replayed in pure Python (md5 divider rule)
+    for a doc sample: passage counts and dup fractions agree, and
+    boundaries are content-anchored (word-local)."""
+    import hashlib
+    import re as _re
+
+    from timestream_travel_spark.operators.llm_text14 import CDC_MOD
+
+    qs = entrymod.queries()
+    got = {
+        r["doc_id"]: (r["n_passages"], r["n_dup_passages"])
+        for r in qs["q_cdc_passage_dedup"](spark, sf_dir).collect()
+    }
+
+    def passages_of(text: str) -> list[str]:
+        words = [w for w in _re.split(r"\s+", text.strip()) if w]
+        out, cur = [], []
+        for w in words:
+            cur.append(w)
+            if int(hashlib.md5(w.encode()).hexdigest()[:4], 16) % CDC_MOD == 0:
+                out.append(" ".join(cur))
+                cur = []
+        if cur:
+            out.append(" ".join(cur))
+        return out
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    fp_docs: dict[str, set[int]] = {}
+    per_doc: dict[int, list[str]] = {}
+    for r in docs:
+        ps = passages_of(r["text"])
+        per_doc[r["doc_id"]] = ps
+        for p in ps:
+            fp_docs.setdefault(p, set()).add(r["doc_id"])
+    for doc_id, ps in per_doc.items():
+        n_dup = sum(1 for p in set(ps) if len(fp_docs[p]) >= 2)
+        # query counts distinct (doc, passage_id) groups; identical
+        # passages within a doc have distinct passage_ids
+        n_dup_all = sum(1 for p in ps if len(fp_docs[p]) >= 2)
+        assert got[doc_id][0] == len(ps), doc_id
+        assert got[doc_id][1] == n_dup_all, (doc_id, n_dup, n_dup_all)
+
+
+def test_autocorr_is_bounded(spark, sf_dir):
+    """Pearson lag-1 autocorrelation must land in [-1, 1] (+ float
+    eps) for every series."""
+    qs = entrymod.queries()
+    rows = qs["q_autocorr_lag1"](spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        assert -1.0 - 1e-9 <= r["acf1"] <= 1.0 + 1e-9, r
