@@ -246,3 +246,47 @@ def test_hll_intersection_close_to_exact(spark, dirname):
     est = q_hll_intersection_est(spark, sf).collect()[0].n_both_est
     assert exact > 0
     assert abs(est - exact) <= max(3, 0.15 * exact), (est, exact)
+
+
+def test_lttb_true_matches_python_replay(spark, sf_dir):
+    """True LTTB (previous-selected-point anchor): exact match with a
+    pure-Python replay per series; one point per bucket; both series
+    endpoints preserved."""
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    got = entrymod.queries()["q_lttb_true"](spark, sf_dir).collect()
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .filter("event_type = 'purchase'")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    pdf = pd.DataFrame([r.asDict() for r in rows])
+    want = set()
+    for uid, g in pdf.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        wk = g["ts"].dt.to_period("W-SUN").dt.start_time
+        buckets = [grp.index.to_list() for _, grp in g.groupby(wk, sort=True)]
+        xs = g["ts"].astype("int64").to_numpy() / 1e9
+        ys = g["value"].to_numpy()
+        chosen = [buckets[0][0]]
+        for i in range(1, len(buckets) - 1):
+            nxt = buckets[i + 1]
+            cx, cy = xs[nxt].mean(), ys[nxt].mean()
+            ax, ay = xs[chosen[-1]], ys[chosen[-1]]
+            best, best_area = None, -1.0
+            for j in buckets[i]:
+                area = abs((ax - cx) * (ys[j] - ay) - (ax - xs[j]) * (cy - ay))
+                if area > best_area:
+                    best, best_area = j, area
+            chosen.append(best)
+        if len(buckets) > 1:
+            chosen.append(buckets[-1][-1])
+        for j in chosen:
+            want.add((uid, int(g.iloc[j]["event_id"])))
+        # endpoints survive
+        assert (uid, int(g.iloc[buckets[0][0]]["event_id"])) in want
+        assert (uid, int(g.iloc[buckets[-1][-1]]["event_id"])) in want
+    assert {(r["user_id"], r["event_id"]) for r in got} == want

@@ -263,3 +263,63 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("tot").cast("double").alias("total_qty"),
         )
     )
+
+
+def _lttb_true_series(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    """True LTTB (Steinarsson 2013) for ONE series, sequential by
+    construction: the triangle anchor is the previously SELECTED
+    point, not the prior bucket's centroid."""
+    import pandas as pd
+
+    pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    wk = pdf["ts"].dt.to_period("W-SUN").dt.start_time
+    buckets = [g.index.to_list() for _, g in pdf.groupby(wk, sort=True)]
+    xs = pdf["ts"].astype("int64").to_numpy() / 1e9
+    ys = pdf["value"].to_numpy()
+    if len(buckets) == 0:
+        return pdf.iloc[0:0][["user_id", "ts", "event_id", "value"]]
+    chosen = [buckets[0][0]]  # first point of first bucket
+    for i in range(1, len(buckets) - 1):
+        nxt = buckets[i + 1]
+        cx, cy = xs[nxt].mean(), ys[nxt].mean()
+        ax, ay = xs[chosen[-1]], ys[chosen[-1]]
+        best, best_area = None, -1.0
+        for j in buckets[i]:
+            area = abs((ax - cx) * (ys[j] - ay) - (ax - xs[j]) * (cy - ay))
+            if area > best_area:
+                best, best_area = j, area
+        chosen.append(best)
+    if len(buckets) > 1:
+        chosen.append(buckets[-1][-1])  # last point of last bucket
+    out = pdf.iloc[chosen]
+    return pd.DataFrame(
+        {
+            "user_id": out["user_id"].astype("int64"),
+            "ts": out["ts"].dt.strftime("%Y-%m-%d %H:%M:%S"),
+            "event_id": out["event_id"].astype("int64"),
+            "value": out["value"].round(6),
+        }
+    )
+
+
+@query("q_lttb_true")
+def q_lttb_true(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True LTTB plot downsampling (previous-SELECTED-point anchor —
+    the exact Steinarsson 2013 recurrence, sequential per series), the
+    fidelity twin of q_lttb_downsample's parallel centroid-anchor
+    variant. Runs as applyInPandas per series: unlike the EWMA-family
+    recurrences (millions of tiny groups → mapInPandas carry-state),
+    plot downsampling is invoked for the bounded set of series a
+    dashboard draws, so per-group pandas overhead is the right trade
+    for the simpler whole-series walk. Rows-only (sequential anchor
+    has no SQL form); pytest replays the identical algorithm in pure
+    Python and pins one-point-per-bucket + endpoint preservation."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id", "value")
+    )
+    return ev.groupBy("user_id").applyInPandas(
+        lambda pdf: _lttb_true_series(pdf),
+        "user_id bigint, ts string, event_id bigint, value double",
+    )
