@@ -70,6 +70,8 @@ AUDITED = [
     "q_perplexity_buckets",
     "q_token_fertility",
     "q_packing_stats",
+    "q_cdc_passage_dedup",
+    "q_lttb_true",
 ]
 
 
