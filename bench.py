@@ -91,6 +91,13 @@ EXTRA = [
     "q_tpch_q12_shipmode",
     "q_tpch_q16_parts_suppliers",
     "q_tpch_q20_part_promotion",
+    # round-5 flagships
+    "q_cusum_changepoints",   # mapInPandas carry-state recurrence
+    "q_autocorr_lag1",        # decimal sufficient statistics
+    "q_weighted_median",      # single-scan cumulative-weight window
+    "q_cdc_passage_dedup",    # content-defined chunking + DF join
+    "q_perplexity_buckets",   # vocab join + per-lang ntile
+    "q_lttb_true",            # sequential per-series applyInPandas
 ]
 
 

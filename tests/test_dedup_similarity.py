@@ -314,3 +314,49 @@ def test_update_minhash_index_incremental(spark, sf_dir, tmp_path):
         for r in minhash_candidates_from_index(spark, idx2).collect()
     }
     assert got == want
+
+
+def test_connected_components_random_graph_matches_union_find(spark):
+    """FastSV labels on a 3000-edge random graph (mixed component
+    shapes/sizes) match a pure-Python union-find exactly — the
+    generic-topology complement of the chain/clique fixtures."""
+    import random
+
+    from timestream_travel_spark.operators.dedup2 import connected_components
+
+    rng = random.Random(7)
+    n = 2000
+    edge_list = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(3000)
+    ]
+    edge_list = [(a + 1, b + 1) for a, b in edge_list if a != b]
+
+    parent = list(range(n + 1))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {v for e in edge_list for v in e}
+    # union-find roots are not necessarily component minima after path
+    # compression ordering; normalize via min per root
+    comp_min: dict[int, int] = {}
+    for v in nodes:
+        r = find(v)
+        comp_min[r] = min(comp_min.get(r, v), v)
+    want = {v: comp_min[find(v)] for v in nodes}
+
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    stats: dict = {}
+    got = {
+        r["node"]: r["cluster"]
+        for r in connected_components(edges, max_iter=20, stats=stats).collect()
+    }
+    assert got == want
+    assert stats["rounds"] <= 8, stats
