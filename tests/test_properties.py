@@ -368,3 +368,22 @@ def test_autocorr_is_bounded(spark, sf_dir):
     assert rows
     for r in rows:
         assert -1.0 - 1e-9 <= r["acf1"] <= 1.0 + 1e-9, r
+
+
+def test_weighted_sample_is_pps_biased_and_deterministic(spark, sf_dir):
+    """A-ES sampling: deterministic across runs, exactly k rows with
+    dense ranks, and the sampled mean weight exceeds the corpus mean
+    (probability-proportional-to-size bias)."""
+    qs = entrymod.queries()
+    a = qs["q_weighted_sample"](spark, sf_dir).collect()
+    b = qs["q_weighted_sample"](spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) == 50
+    assert sorted(r["sample_rank"] for r in a) == list(range(1, 51))
+    corpus_mean = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.avg("n_chars"))
+        .collect()[0][0]
+    )
+    sample_mean = sum(r["n_chars"] for r in a) / len(a)
+    assert sample_mean > corpus_mean, (sample_mean, corpus_mean)

@@ -62,12 +62,13 @@ def test_every_oracled_query_output_is_atomic(spark, sf_dir):
     column can NEVER turn green and burns a capped driver slot every
     round. Stringify collections at the output boundary instead
     (array_join / to_json), as q_inverted_index and q_image_features
-    do."""
+    do. Applies to EVERY registry query — the driver collects
+    rows-only results through the same canonicalizer."""
     from pyspark.sql.types import ArrayType, MapType, StructType
 
     qs = entrymod.queries()
     offenders = []
-    for name in entrymod.oracle_sql():
+    for name in qs:
         schema = qs[name](spark, sf_dir).schema
         bad = [
             f.name

@@ -356,3 +356,56 @@ def q_cdc_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(is_dup).cast("bigint").alias("n_dup_passages"),
         (F.sum(is_dup).cast("double") / F.count(F.lit(1))).alias("dup_frac"),
     )
+
+
+WS_K = 50  # weighted-sample size
+
+
+@query(
+    "q_weighted_sample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 1)
+                     / 4294967296.0) / n_chars AS DECIMAL(20,8)) AS k
+      FROM documents WHERE n_chars > 0
+    ), top AS (
+      SELECT * FROM keyed ORDER BY k DESC, doc_id LIMIT {WS_K}
+    )
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(row_number() OVER (ORDER BY k DESC, doc_id) AS BIGINT) AS sample_rank
+    FROM top
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis A-ES, IPL 2006, public): each row draws
+    u ∈ (0,1] from md5(doc_id) — reproducible on every engine, run,
+    and partition layout, unlike rand() — and the top {WS_K} rows by
+    key ln(u)/weight are a probability-proportional-to-size sample
+    (ln is monotone in the paper's u^(1/w)). The key is quantized to
+    DECIMAL(20,8) on both engines so the one libm call cannot flip a
+    boundary rank. This is the sampler the kmeans‖-style seeding and
+    mixture builders need at scale: one scan + TakeOrdered top-k, no
+    global sort, no driver randomness."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+            "bigint"
+        )
+        + 1
+    ) / F.lit(4294967296.0)
+    k = (F.log(u) / F.col("n_chars")).cast("decimal(20,8)")
+    top = (
+        d.select("doc_id", "lang", "n_chars", k.alias("k"))
+        .orderBy(F.desc("k"), F.asc("doc_id"))
+        .limit(WS_K)
+    )
+    # rank window runs on the already-limited WS_K rows — bounded
+    w = Window.orderBy(F.desc("k"), F.asc("doc_id"))
+    return top.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.row_number().over(w).cast("bigint").alias("sample_rank"),
+    )
