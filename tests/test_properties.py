@@ -387,3 +387,38 @@ def test_weighted_sample_is_pps_biased_and_deterministic(spark, sf_dir):
     )
     sample_mean = sum(r["n_chars"] for r in a) / len(a)
     assert sample_mean > corpus_mean, (sample_mean, corpus_mean)
+
+
+def test_runtime_bloom_filter_reaches_fact_scan(spark, sf_dir):
+    """Spark's runtime row-level filtering (InjectRuntimeFilter): a
+    selective dim side of a SHUFFLE join injects a bloom filter
+    (`might_contain`) on the fact side, cutting shuffled fact rows to
+    near the join's output size. Local fixtures sit under the default
+    10 GB application-side threshold, so the test lowers it to prove
+    the engine's plans take the filter when scan sizes warrant it —
+    which at 100 TB they do with the DEFAULT thresholds."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:1500]
+        # and the filtered join still computes the right thing
+        assert j.collect()[0]["count"] > 0
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
