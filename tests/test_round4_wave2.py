@@ -256,10 +256,13 @@ def test_lttb_true_matches_python_replay(spark, sf_dir):
 
     import __spark_entry__ as entrymod
 
+    from timestream_travel_spark.operators.timeseries7 import LTTB_SERIES_CAP
+
     got = entrymod.queries()["q_lttb_true"](spark, sf_dir).collect()
     rows = (
         load_table(spark, sf_dir, "events")
         .filter("event_type = 'purchase'")
+        .filter(f"user_id < {LTTB_SERIES_CAP}")
         .select("user_id", "ts", "event_id", "value")
         .collect()
     )

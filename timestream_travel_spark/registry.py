@@ -114,5 +114,6 @@ def load_all() -> None:
     # round-5 modules
     from timestream_travel_spark.operators import (  # noqa: F401
         llm_text14,
+        relational7,
         timeseries7,
     )
