@@ -62,9 +62,21 @@ def connected_components(
 
     `stats`, when given, receives {"rounds": n} for convergence
     assertions."""
+    # Symmetrize in ONE pass over `edges` (explode both directions
+    # per row). The union-of-two-projections form reads the edges
+    # lineage twice — when edges is an expensive unpersisted pipeline
+    # (LSH candidates → exact verify), that doubles the dominant cost
+    # of the whole clustering job.
     sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                    F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
         .distinct()
         .persist()
     )
