@@ -392,3 +392,45 @@ def test_streaming_cusum_matches_batch_operator(spark, sf_dir, tmp_path):
     }
     assert len(got) == len(want) > 0
     assert got == want  # bit-identical doubles, not approx
+
+
+def test_streaming_minhash_index_matches_batch(spark, sf_dir, tmp_path):
+    """An index maintained incrementally by the stream (3 file drops,
+    foreachBatch appends) yields EXACTLY the candidate pairs of the
+    batch-built index — the dedup index never needs a full rebuild."""
+    from timestream_travel_spark.operators.dedup import (
+        minhash_candidates,
+        minhash_candidates_from_index,
+    )
+    from timestream_travel_spark.streaming.index_maintain import (
+        maintain_minhash_index,
+    )
+
+    src = str(tmp_path / "docs_src")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.withColumn("bucket", (F.col("doc_id") % 3).cast("int")).write.partitionBy(
+        "bucket"
+    ).mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/bucket=*")
+    )
+    idx = str(tmp_path / "sig_idx")
+    q = maintain_minhash_index(stream, idx, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    from_stream_index = {
+        (r["doc_a"], r["doc_b"], r["est_jaccard"])
+        for r in minhash_candidates_from_index(spark, idx).collect()
+    }
+    direct = {
+        (r["doc_a"], r["doc_b"], r["est_jaccard"])
+        for r in minhash_candidates(docs).collect()
+    }
+    assert from_stream_index == direct
+    # every doc got exactly one signature row
+    assert spark.read.parquet(idx).count() == docs.count()

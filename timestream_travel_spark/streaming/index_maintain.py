@@ -1,0 +1,54 @@
+"""Streaming MinHash-index maintenance: keep the persisted dedup
+signature index (operators/dedup.build_minhash_index) current as
+documents arrive, so near-dup candidate generation never re-shingles
+the corpus.
+
+Each micro-batch computes signatures for ITS documents only and
+appends them to the parquet index — incremental cost is
+O(batch), not O(corpus), and the index stays byte-compatible with
+`minhash_candidates_from_index`. foreachBatch (not a streaming sink
+directly) because signature computation reuses the batch expression
+pipeline unchanged — the same pattern as streaming/jobs.py's gzip
+sink and streaming/ingest.py's Bloom update.
+
+At 100 TB this is the ingestion-side half of the dedup story: the
+corpus-sized shingle+minhash pass amortizes over arrival instead of
+re-running per dedup job, and LSH candidate generation reads the
+index (bucket equi-join) at query time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from timestream_travel_spark.operators.dedup import N_HASHES, minhash_signatures
+
+
+def maintain_minhash_index(
+    stream: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = N_HASHES,
+):
+    """Start the maintenance query: append per-batch signatures to
+    the parquet index. Exactly-once per micro-batch via the
+    checkpoint; replayed batches overwrite by epoch directory
+    semantics of the parquet append + checkpoint dedup."""
+
+    def update(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            minhash_signatures(batch_df, id_col, text_col, n_hashes)
+            .write.mode("append")
+            .parquet(index_path)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(update)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
