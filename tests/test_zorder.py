@@ -66,3 +66,23 @@ def test_morton_key_is_monotone_in_quadrants(spark):
     ).select("x", "y", morton_key(F.col("x"), F.col("y"), bits=1).alias("z"))
     got = {(r["x"], r["y"]): r["z"] for r in df.collect()}
     assert got == {(0, 0): 0, (1, 0): 1, (0, 1): 2, (1, 1): 3}
+
+
+def test_zorder_cli_roundtrip(spark, sf_dir, tmp_path):
+    """`zorder` CLI subcommand: rewrites a parquet directory along the
+    Morton curve with identical data."""
+    from timestream_travel_spark.cli import main as cli_main
+
+    src = str(tmp_path / "src")
+    load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts").write.parquet(src)
+    dest = str(tmp_path / "z")
+    rc = cli_main([
+        "zorder", "--src", src, "--dest", dest,
+        "--cols", "user_id,ts", "--rows-per-file", "500",
+    ])
+    assert rc == 0
+    back = spark.read.parquet(dest)
+    assert back.count() == spark.read.parquet(src).count()
+    assert sorted(back.columns) == ["event_id", "ts", "user_id"]
+    # bad --cols rejected
+    assert cli_main(["zorder", "--src", src, "--dest", dest, "--cols", "user_id"]) == 2

@@ -80,6 +80,15 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--target-mb", type=int, default=128, help="target file size in MiB")
     c.add_argument("--partition-by", default=None, help="comma-separated partition columns")
     c.add_argument("--verbose", action="store_true")
+    z = sub.add_parser(
+        "zorder",
+        help="rewrite parquet along a 2-dim Morton curve for multi-dim data skipping",
+    )
+    z.add_argument("--src", required=True, help="source parquet directory")
+    z.add_argument("--dest", required=True, help="z-ordered output directory")
+    z.add_argument("--cols", required=True, help="two comma-separated layout columns, e.g. user_id,ts")
+    z.add_argument("--rows-per-file", type=int, default=100_000, help="rows per output file")
+    z.add_argument("--verbose", action="store_true")
     q = sub.add_parser("query", help="run a named engine query against a table directory")
     q.add_argument("name", nargs="?", default=None, help="registry query name (omit to list all)")
     q.add_argument("--data", default=None, help="directory holding the parquet tables")
@@ -182,6 +191,25 @@ def main(argv: list[str] | None = None) -> int:
         if args.limit:
             df.show(args.limit, truncate=False)
         log.info("%s: %d rows%s", args.name, n, f" -> {args.dest}" if args.dest else "")
+        return 0
+
+    if args.command == "zorder":
+        from timestream_travel_spark.pipeline.zorder import write_zordered
+
+        cols = [c.strip() for c in args.cols.split(",") if c.strip()]
+        if len(cols) != 2:
+            log.error("--cols needs exactly two columns, got %r", args.cols)
+            return 2
+        spark = get_spark("timestream-travel-zorder")
+        n = write_zordered(
+            spark.read.parquet(args.src),
+            args.dest,
+            cols[0],
+            cols[1],
+            rows_per_file=args.rows_per_file,
+        )
+        log.info("z-ordered %s by (%s, %s) into %d files at %s",
+                 args.src, cols[0], cols[1], n, args.dest)
         return 0
 
     if args.command == "compact":
