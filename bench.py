@@ -98,6 +98,12 @@ EXTRA = [
     "q_cdc_passage_dedup",    # content-defined chunking + DF join
     "q_perplexity_buckets",   # vocab join + per-lang ntile
     "q_lttb_true",            # sequential per-series applyInPandas
+    # round-5 second wave
+    "q_bm25_topk",            # tokenize + pruned postings + broadcast stats
+    "q_triangle_count",       # fact-scan edge extraction + bounded self-joins
+    "q_kalman_filter",        # adaptive-gain recurrence (mapInPandas)
+    "q_holt_winters",         # aggregate-then-iterate seasonal smoothing
+    "q_sax_symbols",          # two-pass decimal moments + symbol map
 ]
 
 

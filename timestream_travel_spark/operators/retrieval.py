@@ -1,0 +1,133 @@
+"""Keyword retrieval over the documents corpus: BM25 ranking.
+
+Rounds out the text-analysis family (tf-idf top terms in llm_text8,
+inverted index in llm_text6) with the scoring function an actual
+search / training-data-curation stack runs: Okapi BM25 (Robertson &
+Walker, SIGIR'94 — public formula). The reference's domain ships raw
+SQL to a hosted engine (cmd/backup.go:240-257); document scoring is
+the natural extension of its text surface at corpus scale.
+
+100 TB shape: one corpus scan tokenizes and filters to the query
+terms BEFORE the shuffle (the per-(doc,term) aggregate only carries
+query-term postings, not the whole vocabulary); corpus statistics
+(N, avgdl) and per-term document frequencies are broadcast-sized
+one-row / |query|-row aggregates. Final top-k is a
+TakeOrderedAndProject, no global sort materialization.
+
+Hash-stability: ln() is not guaranteed identically rounded across
+engines, so idf quantizes through DECIMAL(20,8) (the repo's
+q_unigram_logprob rule); per-term partial scores quantize through
+DECIMAL(20,8) and decimal-sum so the per-doc total is
+order-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from timestream_travel_spark.registry import query
+from timestream_travel_spark.tables import load_table
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+QUERY_TERMS = ("join", "vector", "stream")
+TOP_K = 20
+
+_TERMS_SQL = "'" + "', '".join(QUERY_TERMS) + "'"
+
+_BM25_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS ws
+  FROM documents
+), stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(len(ws)) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM toks
+), tf AS (
+  SELECT doc_id, w AS term, COUNT(*) AS tf, any_value(dl) AS dl
+  FROM (SELECT doc_id, unnest(ws) AS w, len(ws) AS dl FROM toks)
+  WHERE w IN ({_TERMS_SQL})
+  GROUP BY doc_id, w
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), idf AS (
+  SELECT term,
+         CAST(ln((stats.n_docs - df + 0.5) / (df + 0.5) + 1.0)
+              AS DECIMAL(20,8)) AS idf
+  FROM df, stats
+), scored AS (
+  SELECT tf.doc_id,
+         CAST(SUM(CAST(
+           CAST(idf.idf AS DOUBLE)
+           * (tf.tf * ({BM25_K1} + 1.0))
+           / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * tf.dl / stats.avgdl))
+           AS DECIMAL(20,8))) AS DOUBLE) AS score
+  FROM tf JOIN idf ON tf.term = idf.term, stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, score FROM scored
+ORDER BY score DESC, doc_id
+LIMIT {TOP_K}
+"""
+
+
+@query("q_bm25_topk", oracle=_BM25_ORACLE)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k retrieval for a fixed keyword query.
+
+    Plan: one documents scan → tokenize (lower + non-alnum split) →
+    explode filtered to QUERY_TERMS (postings pruned before any
+    shuffle) → per-(doc, term) tf agg → broadcast the |query|-row df
+    table and the 1-row (N, avgdl) stats → decimal-summed per-doc
+    score → top-k with doc_id tiebreak.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != ""
+        ).alias("ws"),
+    )
+    stats = toks.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum(F.size("ws")).cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        toks.select(
+            "doc_id", F.size("ws").alias("dl"), F.explode("ws").alias("term")
+        )
+        .filter(F.col("term").isin(*QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"), F.any_value("dl").alias("dl"))
+    )
+    df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = df_tbl.crossJoin(F.broadcast(stats.select("n_docs"))).select(
+        "term",
+        F.log(
+            (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        .cast("decimal(20,8)")
+        .alias("idf"),
+    )
+    part = (
+        F.col("idf").cast("double")
+        * (F.col("tf") * F.lit(BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(BM25_K1)
+            * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl"))
+        )
+    ).cast("decimal(20,8)")
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .select("doc_id", part.alias("part"))
+        .groupBy("doc_id")
+        .agg(F.sum("part").cast("double").alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), "doc_id").limit(TOP_K)

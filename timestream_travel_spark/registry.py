@@ -117,3 +117,12 @@ def load_all() -> None:
         relational7,
         timeseries7,
     )
+
+    # round-5 second-wave modules — registered last so the driver's
+    # capped unverified-first window drains the older backlog before
+    # spending slots on these
+    from timestream_travel_spark.operators import (  # noqa: F401
+        graph2,
+        retrieval,
+        timeseries8,
+    )

@@ -3,6 +3,10 @@ queries() entry on Spark and its oracle_sql() on DuckDB at a given
 SF, compare row-count + column names + order-insensitive values.
 
 Usage: python tools/oracle_check.py [sf_dir] [query_name ...]
+       [--strict] [--no-cache] [--write-cache]
+
+--strict compares floats repr-exact (the driver's hash semantics)
+and bypasses the lenient-normalized cache.
 """
 
 from __future__ import annotations
@@ -20,8 +24,14 @@ from timestream_travel_spark import get_spark
 from timestream_travel_spark.tables import TABLES
 
 
-def normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
-    """Sort columns by name, round floats, stringify, sort rows."""
+def normalize(rows: list[tuple], cols: list[str], strict: bool = False) -> list[tuple]:
+    """Sort columns by name, round floats, stringify, sort rows.
+
+    strict=True mirrors the driver's hash semantics: floats compare
+    repr-exact (bit-for-bit doubles), no 12-sig-digit fold and no
+    -0.0/0.0 fold — the fold is how q_series_derivative's ulp-level
+    round-half divergence passed this gate in r4 while the driver's
+    exact hash caught it."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
 
     def norm_val(v):
@@ -30,6 +40,8 @@ def normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
         if isinstance(v, float):
             if math.isnan(v):
                 return "nan"
+            if strict:
+                return repr(v)
             if v == 0.0:
                 return "0"  # fold -0.0 and 0.0 together
             return f"{v:.12g}"
@@ -114,7 +126,12 @@ def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     flags = {a for a in sys.argv[1:] if a.startswith("--")}
     write_cache = "--write-cache" in flags
-    no_cache = "--no-cache" in flags
+    strict = "--strict" in flags
+    # cached rows are stored pre-normalized with the lenient fold, so
+    # a strict run must recompute every oracle from DuckDB
+    no_cache = "--no-cache" in flags or strict
+    if strict:
+        write_cache = False
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
@@ -162,8 +179,8 @@ def main() -> int:
                 print(f"FAIL {name}: duckdb error: {e}")
                 n_fail += 1
                 continue
-            nd = normalize(d_rows, d_cols)
-            tag = ""
+            nd = normalize(d_rows, d_cols, strict=strict)
+            tag = " (strict)" if strict else ""
             if write_cache:
                 _cache_write(sf_dir, name, fingerprint, oracles[name], d_cols, nd)
         ok = True
@@ -174,7 +191,7 @@ def main() -> int:
             print(f"FAIL {name}: rowcount spark={len(s_rows)} duck={len(d_rows)}")
             ok = False
         else:
-            ns = normalize(s_rows, s_cols)
+            ns = normalize(s_rows, s_cols, strict=strict)
             if ns != nd:
                 diffs = [(a, b) for a, b in zip(ns, nd) if a != b][:3]
                 print(f"FAIL {name}: values differ, first diffs: {diffs}")
