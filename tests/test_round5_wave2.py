@@ -129,3 +129,86 @@ def test_sax_symbols_shape(spark, sf_dir):
 
     for r in rows:
         assert re.fullmatch(r"[abcd]{1,4}", r.sax), r
+
+
+def test_dtw_identity_and_symmetry():
+    import numpy as np
+
+    from timestream_travel_spark.operators.similarity4 import dtw_distance
+
+    rng = np.random.default_rng(7)
+    s = rng.normal(size=50)
+    t = rng.normal(size=47)
+    assert dtw_distance(s, s, band=5) == 0.0
+    assert abs(dtw_distance(s, t, 10) - dtw_distance(t, s, 10)) < 1e-9
+    # DTW is never larger than the aligned L1 distance on equal-length
+    # series (the diagonal path is one admissible warping)
+    u = rng.normal(size=50)
+    assert dtw_distance(s, u, 5) <= float(np.abs(s - u).sum()) + 1e-9
+
+
+def test_dtw_matches_naive_dp():
+    """The banded vectorized DP equals a naive unbanded full-matrix
+    DP when the band covers the whole matrix."""
+    import numpy as np
+
+    from timestream_travel_spark.operators.similarity4 import dtw_distance
+
+    rng = np.random.default_rng(11)
+    xs = rng.normal(size=30)
+    ys = rng.normal(size=26)
+
+    n, m = len(xs), len(ys)
+    dp = np.full((n + 1, m + 1), np.inf)
+    dp[0, 0] = 0.0
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            c = abs(xs[i - 1] - ys[j - 1])
+            dp[i, j] = c + min(dp[i - 1, j], dp[i, j - 1], dp[i - 1, j - 1])
+    assert abs(dtw_distance(xs, ys, band=1000) - dp[n, m]) < 1e-9
+
+
+def test_dtw_pairs_operator(spark, sf_dir):
+    from timestream_travel_spark.operators.similarity4 import (
+        DTW_TOP_USERS,
+        q_dtw_pairs,
+    )
+
+    rows = q_dtw_pairs(spark, sf_dir).collect()
+    assert len(rows) == DTW_TOP_USERS * (DTW_TOP_USERS - 1) // 2
+    for r in rows:
+        assert r.user_a < r.user_b
+        assert r.dtw >= 0.0
+
+
+def test_xcorr_lags_shape(spark, sf_dir):
+    from timestream_travel_spark.operators.timeseries8 import (
+        XCORR_MAX_LAG,
+        q_xcorr_lags,
+    )
+
+    rows = q_xcorr_lags(spark, sf_dir).collect()
+    lags = [r.lag for r in rows]
+    assert lags == sorted(lags)
+    assert all(-XCORR_MAX_LAG <= l <= XCORR_MAX_LAG for l in lags)
+    assert all(-1.0 <= r.xcorr <= 1.0 for r in rows)
+
+
+def test_pmi_bounds(spark, sf_dir):
+    """PMI is bounded above by ln(N / max(df_a, df_b)) <= ln(N) and
+    pairs meet the min-support floor."""
+    import math
+
+    from timestream_travel_spark.operators.retrieval import (
+        PMI_MIN_PAIRS,
+        q_pmi_cooccurrence,
+    )
+    from timestream_travel_spark.tables import load_table
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    rows = q_pmi_cooccurrence(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_ab >= PMI_MIN_PAIRS
+        assert r.term_a < r.term_b
+        assert r.pmi <= math.log(n_docs) + 1e-6

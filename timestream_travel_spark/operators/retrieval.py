@@ -131,3 +131,104 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("part").cast("double").alias("score"))
     )
     return scored.orderBy(F.desc("score"), "doc_id").limit(TOP_K)
+
+
+# ------------------------------------------------------ PMI co-occurrence
+
+PMI_MIN_PAIRS = 20  # minimum co-occurring docs for a pair to score
+PMI_TOP_K = 30
+
+
+_PMI_ORACLE = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, w AS term
+  FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> x <> '')) AS w
+    FROM documents
+  )
+), n_docs AS (
+  SELECT COUNT(DISTINCT doc_id) AS n FROM toks
+), tc AS (
+  SELECT term, COUNT(*) AS df FROM toks GROUP BY term
+), pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b, COUNT(*) AS n_ab
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term
+  HAVING COUNT(*) >= {PMI_MIN_PAIRS}
+)
+SELECT p.term_a, p.term_b, p.n_ab,
+       CAST(CAST(ln(CAST(p.n_ab AS DOUBLE) * n_docs.n
+                    / (CAST(ta.df AS DOUBLE) * tb.df))
+                 AS DECIMAL(20,8)) AS DOUBLE) AS pmi
+FROM pairs p
+JOIN tc ta ON p.term_a = ta.term
+JOIN tc tb ON p.term_b = tb.term
+CROSS JOIN n_docs
+ORDER BY pmi DESC, term_a, term_b
+LIMIT {PMI_TOP_K}
+"""
+
+
+@query("q_pmi_cooccurrence", oracle=_PMI_ORACLE)
+def q_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top document-level token-pair PMI (pointwise mutual
+    information, Church & Hanks CL'90 — public formula): which terms
+    co-occur in the same documents more than independence predicts.
+    The collocation/phrase-mining primitive of a corpus pipeline.
+
+    Plan: one documents scan → per-doc DISTINCT term set → within-doc
+    self-join (term_a < term_b) → pair counts with a min-support
+    HAVING → two broadcast joins against the term-frequency table →
+    decimal-quantized ln ratio → top-k. 100 TB shape: the within-doc
+    self-join is quadratic in per-doc DISTINCT vocabulary, so at
+    scale the standard pruning applies FIRST (restrict to a top-V
+    frequency vocabulary and/or min-df floor, both one broadcast
+    semi-join); the min-support HAVING keeps the pair table sparse.
+    ln() quantizes through DECIMAL(20,8) (the q_unigram_logprob rule).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != ""
+            )
+        ).alias("term"),
+    ).distinct()
+    n_docs = toks.agg(F.count_distinct("doc_id").alias("n"))
+    tc = toks.groupBy("term").agg(F.count("*").alias("df"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.term") < F.col("b.term")),
+        )
+        .groupBy(
+            F.col("a.term").alias("term_a"), F.col("b.term").alias("term_b")
+        )
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= PMI_MIN_PAIRS)
+    )
+    ta = tc.select(F.col("term").alias("term_a"), F.col("df").alias("df_a"))
+    tb = tc.select(F.col("term").alias("term_b"), F.col("df").alias("df_b"))
+    pmi = (
+        F.log(
+            F.col("n_ab").cast("double")
+            * F.col("n")
+            / (F.col("df_a").cast("double") * F.col("df_b"))
+        )
+        .cast("decimal(20,8)")
+        .cast("double")
+    )
+    return (
+        pairs.join(F.broadcast(ta), "term_a")
+        .join(F.broadcast(tb), "term_b")
+        .crossJoin(F.broadcast(n_docs))
+        .select("term_a", "term_b", "n_ab", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "term_a", "term_b")
+        .limit(PMI_TOP_K)
+    )

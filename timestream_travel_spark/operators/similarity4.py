@@ -1,0 +1,130 @@
+"""Series similarity, part 4: banded Dynamic Time Warping between
+selected series pairs.
+
+DTW (Sakoe & Chiba, IEEE TASSP'78 — public algorithm) is the
+standard elastic distance for time series: it aligns two series
+allowing local time stretches, where Euclidean distance demands
+index-aligned samples. Together with SAX (timeseries8) it gives the
+engine the two classic series-mining primitives: symbolic indexing
+to FIND candidate pairs cheaply, elastic distance to VERIFY them.
+
+100 TB shape: DTW is O(n·w) per pair with a Sakoe-Chiba band of
+width w, so it must NEVER run all-pairs — exactly like the exact-
+Jaccard verifier (dedup.py), it is the candidate-gated second stage:
+a bounded pair list (here: the K longest series, K(K-1)/2 pairs;
+in production: LSH/SAX-bucket candidates) joined to the per-series
+rows, then one applyInPandas per pair. No oracle — DuckDB has no DTW
+and the DP is not SQL-expressible at reasonable cost; correctness is
+pinned by a pure-Python replay parity test plus metric-property
+tests (identity, symmetry) in tests/test_round5_wave2.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from timestream_travel_spark.registry import query
+from timestream_travel_spark.tables import load_table
+
+DTW_TOP_USERS = 6  # pairs drawn from the K longest purchase series
+DTW_BAND = 24  # Sakoe-Chiba band half-width (hours)
+
+_DTW_SCHEMA = "user_a bigint, user_b bigint, n_a int, n_b int, dtw double"
+
+
+def dtw_distance(xs: np.ndarray, ys: np.ndarray, band: int) -> float:
+    """Banded DTW with absolute-difference local cost. The band is
+    widened to cover the length difference so a path always exists.
+    Vectorized over the inner index: each DP row is computed with
+    numpy mins over the shifted previous row."""
+    n, m = len(xs), len(ys)
+    w = max(band, abs(n - m) + 1)
+    inf = np.inf
+    prev = np.full(m + 1, inf)
+    prev[0] = 0.0
+    for i in range(1, n + 1):
+        cur = np.full(m + 1, inf)
+        lo, hi = max(1, i - w), min(m, i + w)
+        cost = np.abs(xs[i - 1] - ys[lo - 1 : hi])
+        # cur[j] = cost + min(prev[j], prev[j-1], cur[j-1]); the
+        # cur[j-1] term is a running min, so do the two prev-based
+        # candidates vectorized and sweep the horizontal step once
+        best = np.minimum(prev[lo:hi + 1], prev[lo - 1 : hi])
+        run = inf
+        seg = cur[lo : hi + 1]
+        for k in range(hi - lo + 1):
+            run = cost[k] + min(best[k], run)
+            seg[k] = run
+        prev = cur
+    return float(prev[m])
+
+
+def _dtw_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    ua = int(pdf["user_a"].iloc[0])
+    ub = int(pdf["user_b"].iloc[0])
+    sa = pdf[pdf["role"] == "a"].sort_values("h")["x"].to_numpy()
+    sb = pdf[pdf["role"] == "b"].sort_values("h")["x"].to_numpy()
+    d = dtw_distance(sa, sb, DTW_BAND)
+    return pd.DataFrame(
+        {
+            "user_a": [ua],
+            "user_b": [ub],
+            "n_a": [len(sa)],
+            "n_b": [len(sb)],
+            "dtw": [d],
+        }
+    )
+
+
+@query("q_dtw_pairs")
+def q_dtw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded DTW distance between every pair of the K longest
+    hourly purchase-value series.
+
+    Plan: one events scan → per-(user, hour) decimal-mean series →
+    top-K longest series (broadcast, deterministic count/user_id
+    order) → K(K-1)/2 pair list → pair-tagged union of both members'
+    rows → applyInPandas DP per pair (O(n·w) each, O(w) rows of
+    state). Candidate-gated by construction; swap the top-K selector
+    for SAX-bucket or LSH candidates at scale.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(
+            "user_id",
+            F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("h"),
+        )
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(20,4)")).cast("double")
+                / F.count("*")
+            ).alias("x")
+        )
+    )
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "user_id")
+        .limit(DTW_TOP_USERS)
+        .select("user_id")
+    )
+    series = ev.join(F.broadcast(top), "user_id")
+    ta = top.select(F.col("user_id").alias("user_a"))
+    tb = top.select(F.col("user_id").alias("user_b"))
+    pairs = ta.crossJoin(tb).filter(F.col("user_a") < F.col("user_b"))
+    rows_a = series.join(
+        F.broadcast(pairs), series.user_id == pairs.user_a
+    ).select("user_a", "user_b", F.lit("a").alias("role"), "h", "x")
+    rows_b = series.join(
+        F.broadcast(pairs), series.user_id == pairs.user_b
+    ).select("user_a", "user_b", F.lit("b").alias("role"), "h", "x")
+    return (
+        rows_a.unionByName(rows_b)
+        .groupBy("user_a", "user_b")
+        .applyInPandas(_dtw_group, _DTW_SCHEMA)
+        .orderBy("user_a", "user_b")
+    )

@@ -324,3 +324,93 @@ def q_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sax")
         )
     )
+
+
+# ---------------------------------------------------- cross-correlation
+
+XCORR_MAX_LAG = 6  # hours, both directions
+
+
+@query(
+    "q_xcorr_lags",
+    oracle=f"""
+    WITH c AS (
+      SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h, COUNT(*) AS x
+      FROM events WHERE event_type = 'click' GROUP BY 1
+    ), p AS (
+      SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h, COUNT(*) AS y
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), lags AS (
+      SELECT unnest(range(-{XCORR_MAX_LAG}, {XCORR_MAX_LAG + 1})) AS lag
+    ), m AS (
+      SELECT lags.lag, c.x, p.y
+      FROM c CROSS JOIN lags
+      JOIN p ON p.h = c.h + lags.lag
+    ), sums AS (
+      SELECT lag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(y * y) AS DOUBLE) AS syy
+      FROM m GROUP BY lag
+    )
+    SELECT lag, CAST(n AS BIGINT) AS n_hours,
+           (n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS xcorr
+    FROM sums
+    WHERE (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+    ORDER BY lag
+    """,
+)
+def q_xcorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between the hourly click and purchase
+    count series (lead/lag discovery: 'do clicks predict purchases N
+    hours later?') — Pearson r on the overlapping hour grid at every
+    lag in ±{XCORR_MAX_LAG}h.
+
+    100 TB shape: two hourly reduces shrink the corpus to bounded
+    grids; the lag fan-out is a 13x multiply of the SMALL series (not
+    the corpus) followed by an equi-join on shifted hour keys and a
+    13-group aggregate. Sufficient statistics are integer sums
+    (counts), exact under any partial-agg order; the final r is one
+    double expression written identically to the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    h = F.floor(F.unix_timestamp("ts") / 3600).cast("bigint")
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(h.alias("h"))
+        .agg(F.count("*").alias("x"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(h.alias("h"))
+        .agg(F.count("*").alias("y"))
+    )
+    m = c.select(
+        F.col("h").alias("ch"),
+        "x",
+        F.explode(
+            F.sequence(F.lit(-XCORR_MAX_LAG), F.lit(XCORR_MAX_LAG))
+        ).alias("lag"),
+    ).join(p, p.h == F.col("ch") + F.col("lag"))
+    sums = m.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    den2 = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    return (
+        sums.filter(den2 > 0)
+        .select(
+            "lag",
+            n.cast("bigint").alias("n_hours"),
+            ((n * sxy - sx * sy) / F.sqrt(den2)).alias("xcorr"),
+        )
+        .orderBy("lag")
+    )

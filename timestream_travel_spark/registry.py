@@ -124,5 +124,6 @@ def load_all() -> None:
     from timestream_travel_spark.operators import (  # noqa: F401
         graph2,
         retrieval,
+        similarity4,
         timeseries8,
     )
