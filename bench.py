@@ -104,6 +104,9 @@ EXTRA = [
     "q_kalman_filter",        # adaptive-gain recurrence (mapInPandas)
     "q_holt_winters",         # aggregate-then-iterate seasonal smoothing
     "q_sax_symbols",          # two-pass decimal moments + symbol map
+    "q_xcorr_lags",           # lag fan-out over reduced hourly grids
+    "q_pmi_cooccurrence",     # within-doc pair self-join + broadcast df
+    "q_dtw_pairs",            # candidate-gated applyInPandas DP
 ]
 
 

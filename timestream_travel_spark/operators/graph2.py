@@ -87,6 +87,10 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # materialize the ≤ N²/2-row edge set ONCE: the three-way
+    # self-join below references `edges` three times, and without a
+    # cut each reference re-runs the full fact extraction
+    edges = edges.coalesce(1).localCheckpoint(eager=True)
     e1 = edges.alias("e1")
     e2 = edges.alias("e2")
     e3 = edges.alias("e3")

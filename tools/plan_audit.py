@@ -72,6 +72,15 @@ AUDITED = [
     "q_packing_stats",
     "q_cdc_passage_dedup",
     "q_lttb_true",
+    # round-5 second wave
+    "q_bm25_topk",
+    "q_triangle_count",
+    "q_kalman_filter",
+    "q_holt_winters",
+    "q_sax_symbols",
+    "q_xcorr_lags",
+    "q_pmi_cooccurrence",
+    "q_dtw_pairs",
 ]
 
 
