@@ -434,3 +434,39 @@ def test_streaming_minhash_index_matches_batch(spark, sf_dir, tmp_path):
     assert from_stream_index == direct
     # every doc got exactly one signature row
     assert spark.read.parquet(idx).count() == docs.count()
+
+
+def test_streaming_kalman_matches_batch_operator(spark, sf_dir, tmp_path):
+    """Streaming Kalman replay equals the batch q_kalman_filter
+    operator value-for-value on the purchase series (same IEEE
+    recurrence, (level, variance) carried across micro-batches)."""
+    from timestream_travel_spark.operators.timeseries8 import q_kalman_filter
+    from timestream_travel_spark.streaming.kalman import streaming_kalman
+
+    src = _stage_ordered(spark, sf_dir, tmp_path)
+    stream = (
+        spark.readStream.schema(
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_kalman(stream.filter(F.col("event_type") == "purchase"))
+        .writeStream.format("memory")
+        .queryName("kalman_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["event_id"]: (r["level"], r["gain"])
+        for r in spark.sql("SELECT * FROM kalman_out").collect()
+    }
+    want = {
+        r["event_id"]: (r["level"], r["gain"])
+        for r in q_kalman_filter(spark, sf_dir).collect()
+    }
+    assert len(got) == len(want) > 0
+    assert got == want  # bit-identical doubles, not approx
