@@ -298,11 +298,16 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (train×bench semi-join) this is corpus×itself.
 
     Scale: spans stay distinct-per-doc (no positional explosion
-    beyond the shingle pass), the DF table shuffles (span, count)
-    pairs, and the join back is span-partitioned — no all-pairs
-    anything. At 100 TB the span DF table is the big intermediate;
-    a frequency floor or a Bloom pre-filter (bloom.py) bounds it."""
+    beyond the shingle pass), and the span document-frequency
+    attaches via ONE count-over-window on the span partitioning —
+    no self-join, one fewer exchange than the agg+join formulation
+    (and measured equal output). At 100 TB the span table is the big
+    intermediate; a frequency floor or a Bloom pre-filter (bloom.py)
+    bounds it. The pre-explode repartition is the minhash_signatures
+    rule: a single parquet split must not serialize the CPU-bound
+    shingle pass onto one core (4x at sf0.1)."""
     d = load_table(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     tokens = F.split(normalized_text("text"), " ")
     # Same short-doc guard as q_winnowing_fingerprints: keep
     # F.sequence from descending (step -1) when size(tokens) < SPAN_N,
@@ -320,8 +325,9 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    df_tab = spans.groupBy("span").agg(F.count("*").alias("n_docs"))
-    joined = spans.join(df_tab, "span")
+    joined = spans.withColumn(
+        "n_docs", F.count("*").over(Window.partitionBy("span"))
+    )
     return joined.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_spans"),
         F.count(F.when(F.col("n_docs") >= 2, 1)).cast("bigint").alias("n_dup_spans"),

@@ -275,8 +275,11 @@ def bpe_merge_table(
     round, so batch=k divides the round count by ~k at the cost of a
     slightly different (still deterministic) merge order. batch=1 is
     exactly the classical loop."""
+    # pre-explode repartition (minhash_signatures rule): one parquet
+    # split must not serialize the corpus word explode onto one core
+    par = docs.sparkSession.sparkContext.defaultParallelism
     syms = (
-        docs.select(F.explode(doc_words("text")).alias("w"))
+        docs.repartition(par).select(F.explode(doc_words("text")).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
         .select(
@@ -394,7 +397,9 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest replays the pipeline in pure Python."""
     d = load_table(spark, sf_dir, "documents")
     merges = bpe_merge_table(d)
-    dw = d.select("doc_id", "lang", F.explode(doc_words("text")).alias("w"))
+    dw = d.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    ).select("doc_id", "lang", F.explode(doc_words("text")).alias("w"))
     wtab = dw.select("w").distinct().select(
         "w", F.filter(F.split(F.col("w"), ""), lambda ch: ch != "").alias("a")
     )
