@@ -212,3 +212,53 @@ def test_pmi_bounds(spark, sf_dir):
         assert r.n_ab >= PMI_MIN_PAIRS
         assert r.term_a < r.term_b
         assert r.pmi <= math.log(n_docs) + 1e-6
+
+
+def test_sorted_neighborhood_matches_python_replay(spark, sf_dir):
+    """Pure-Python replay of the sorted-neighborhood semantics (per-
+    lang sort on normalized text, window of SN_WINDOW, 3-word-shingle
+    Jaccard) produces exactly the operator's pair set."""
+    import re
+    from collections import defaultdict
+
+    from timestream_travel_spark.operators.dedup3 import (
+        SN_MIN_JACCARD,
+        SN_WINDOW,
+        q_sorted_neighborhood_pairs,
+    )
+    from timestream_travel_spark.tables import load_table
+
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in q_sorted_neighborhood_pairs(spark, sf_dir).collect()
+    }
+    assert got, "fixture contains near-dups at every SF"
+
+    def norm(t):
+        return re.sub(r"\s+", " ", t.strip().lower())
+
+    def shingles(t):
+        ws = norm(t).split(" ")
+        if len(ws) < 3:
+            return {" ".join(ws)}
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    by_lang = defaultdict(list)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    ).collect()
+    for r in docs:
+        by_lang[r.lang].append((norm(r.text), r.doc_id, shingles(r.text)))
+    want = {}
+    for rows in by_lang.values():
+        rows.sort(key=lambda t: (t[0], t[1]))
+        for i, (_, ida, sha) in enumerate(rows):
+            for j in range(i + 1, min(i + SN_WINDOW, len(rows))):
+                _, idb, shb = rows[j]
+                inter = len(sha & shb)
+                jac = inter / (len(sha) + len(shb) - inter)
+                if jac >= SN_MIN_JACCARD:
+                    want[(min(ida, idb), max(ida, idb))] = round(jac, 4)
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-9, (k, got[k], v)

@@ -122,6 +122,7 @@ def load_all() -> None:
     # capped unverified-first window drains the older backlog before
     # spending slots on these
     from timestream_travel_spark.operators import (  # noqa: F401
+        dedup3,
         graph2,
         retrieval,
         similarity4,
