@@ -422,3 +422,34 @@ def test_runtime_bloom_filter_reaches_fact_scan(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_dtw_metric_properties_hypothesis():
+    """DTW with L1 local cost: symmetry, translation invariance, and
+    positive homogeneity (dtw(a*s, a*t) = a * dtw(s, t) for a > 0) on
+    random series, plus zero self-distance."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from timestream_travel_spark.operators.similarity4 import dtw_distance
+
+    floats = st.floats(min_value=-100, max_value=100, allow_nan=False, width=32)
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        xs=st.lists(floats, min_size=2, max_size=25),
+        ys=st.lists(floats, min_size=2, max_size=25),
+        shift=st.floats(min_value=-50, max_value=50, allow_nan=False),
+        scale=st.floats(min_value=0.25, max_value=4, allow_nan=False),
+    )
+    def check(xs, ys, shift, scale):
+        s = np.array(xs, dtype=float)
+        t = np.array(ys, dtype=float)
+        d = dtw_distance(s, t, band=8)
+        assert d >= 0.0
+        assert dtw_distance(s, s, band=8) == 0.0
+        assert abs(dtw_distance(t, s, 8) - d) < 1e-9
+        assert abs(dtw_distance(s + shift, t + shift, 8) - d) < 1e-6
+        assert abs(dtw_distance(s * scale, t * scale, 8) - scale * d) < 1e-6
+
+    check()
