@@ -134,7 +134,10 @@ def connected_components(
                 ),
                 F.col("cluster").alias("old_cluster"),
             )
-            .localCheckpoint(eager=True)
+            # lazy checkpoint: the convergence count below is the
+            # round's one materializing job — an eager checkpoint here
+            # would add a second full computation per round
+            .localCheckpoint(eager=False)
         )
         changed = with_old.filter(F.col("cluster") != F.col("old_cluster")).count()
         new_labels = with_old.select("node", "cluster")
