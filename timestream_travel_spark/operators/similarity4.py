@@ -128,3 +128,63 @@ def q_dtw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(_dtw_group, _DTW_SCHEMA)
         .orderBy("user_a", "user_b")
     )
+
+
+def dtw_sax_candidate_pairs(
+    spark: SparkSession, sf_dir: str, min_shared_days: int = 3
+) -> DataFrame:
+    """The scale path q_dtw_pairs' docstring promises, composed from
+    the shipped pieces: SAX words (timeseries8.q_sax_symbols) bucket
+    the series, users sharing an identical (day, sax) word on at
+    least `min_shared_days` days become candidate pairs, and banded
+    DTW verifies ONLY those pairs.
+
+    100 TB shape: the candidate join is an equi-join on (day, sax) —
+    the same bucket-join physics as MinHash-LSH bands — so pair count
+    tracks true similarity structure, not corpus size²; DTW cost is
+    O(n·w) per surviving candidate. Not registered as a driver query
+    (its components are each oracle/parity-checked); pinned by
+    tests/test_round5_wave2.py.
+    """
+    from timestream_travel_spark.operators.timeseries8 import q_sax_symbols
+
+    sax = q_sax_symbols(spark, sf_dir)
+    a = sax.select(
+        F.col("user_id").alias("user_a"), "day", F.col("sax").alias("w")
+    )
+    b = sax.select(
+        F.col("user_id").alias("user_b"), "day", F.col("sax").alias("w")
+    )
+    cand = (
+        a.join(b, ["day", "w"])
+        .filter(F.col("user_a") < F.col("user_b"))
+        .groupBy("user_a", "user_b")
+        .agg(F.count("*").alias("shared_days"))
+        .filter(F.col("shared_days") >= min_shared_days)
+    )
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(
+            "user_id",
+            F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("h"),
+        )
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(20,4)")).cast("double")
+                / F.count("*")
+            ).alias("x")
+        )
+    )
+    rows_a = ev.join(
+        cand.select("user_a", "user_b"), ev.user_id == F.col("user_a")
+    ).select("user_a", "user_b", F.lit("a").alias("role"), "h", "x")
+    rows_b = ev.join(
+        cand.select("user_a", "user_b"), ev.user_id == F.col("user_b")
+    ).select("user_a", "user_b", F.lit("b").alias("role"), "h", "x")
+    return (
+        rows_a.unionByName(rows_b)
+        .groupBy("user_a", "user_b")
+        .applyInPandas(_dtw_group, _DTW_SCHEMA)
+        .orderBy("user_a", "user_b")
+    )
