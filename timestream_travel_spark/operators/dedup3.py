@@ -72,8 +72,8 @@ WHERE c.id_b IS NOT NULL
 @query("q_sorted_neighborhood_pairs", oracle=_SN_ORACLE)
 def q_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted-neighborhood near-dup pairs: per-lang sort on the
-    normalized text, window of {SN_WINDOW}, exact 3-word-shingle
-    Jaccard verification at >= {SN_MIN_JACCARD}.
+    normalized text, window of SN_WINDOW=4, exact 3-word-shingle
+    Jaccard verification at >= SN_MIN_JACCARD=0.2.
 
     Plan: one scan → per-block window (lead ids) → explode of W-1
     lead columns (linear candidate count) → two id-joins back to the
