@@ -284,3 +284,65 @@ def test_dtw_sax_candidates_pipeline(spark, sf_dir):
         shared = sax[r.user_a] & sax[r.user_b]
         assert len(shared) >= 3, (r.user_a, r.user_b, shared)
         assert r.dtw >= 0.0
+
+
+def test_new_operators_on_degenerate_fixture(spark, tmp_path):
+    """Edge-case battery: empty text, single-token docs, single-event
+    series, and a lang with one document must not crash any of the
+    second-wave operators, and outputs stay structurally sane."""
+    import datetime
+
+    from timestream_travel_spark.operators.dedup3 import q_sorted_neighborhood_pairs
+    from timestream_travel_spark.operators.retrieval import (
+        q_bm25_topk,
+        q_pmi_cooccurrence,
+    )
+    from timestream_travel_spark.operators.similarity4 import q_dtw_pairs
+    from timestream_travel_spark.operators.timeseries8 import (
+        q_holt_winters,
+        q_kalman_filter,
+        q_sax_symbols,
+        q_xcorr_lags,
+    )
+
+    sf = str(tmp_path / "edge_sf")
+    docs = spark.createDataFrame(
+        [
+            (1, "", "en", "web", 0),
+            (2, "join", "en", "web", 4),
+            (3, "join vector stream join", "en", "web", 23),
+            (4, "solo doc in its own lang", "fr", "web", 24),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    docs.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    ev = spark.createDataFrame(
+        [
+            (1, t0, 10, "purchase", 5.0, "{}"),
+            (2, t0 + datetime.timedelta(hours=1), 11, "purchase", 1.0, "{}"),
+            (3, t0 + datetime.timedelta(hours=2), 11, "purchase", 2.0, "{}"),
+            (4, t0 + datetime.timedelta(hours=3), 11, "purchase", 3.0, "{}"),
+            (5, t0 + datetime.timedelta(hours=1), 10, "click", 1.0, "{}"),
+        ],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+    )
+    ev.write.mode("overwrite").parquet(f"{sf}/events.parquet")
+
+    bm25 = q_bm25_topk(spark, sf).collect()
+    assert {r.doc_id for r in bm25} == {2, 3}  # only docs containing a term
+    assert q_pmi_cooccurrence(spark, sf).collect() == []  # below min support
+    sn = q_sorted_neighborhood_pairs(spark, sf).collect()
+    assert all(r.doc_a < r.doc_b for r in sn)
+    kal = q_kalman_filter(spark, sf).collect()
+    assert len(kal) == 4
+    single = [r for r in kal if r.user_id == 10]
+    assert len(single) == 1 and single[0].gain == 0.0 and single[0].level == 5.0
+    hw = q_holt_winters(spark, sf).collect()
+    assert len(hw) == 4  # 4 distinct event hours
+    sax = q_sax_symbols(spark, sf).collect()
+    assert all(set(r.sax) <= set("abcd") for r in sax)
+    xc = q_xcorr_lags(spark, sf).collect()
+    assert all(-1.0 <= r.xcorr <= 1.0 for r in xc)  # may be empty (1-pt overlap)
+    dtw = q_dtw_pairs(spark, sf).collect()
+    assert len(dtw) == 1 and dtw[0].dtw >= 0.0  # 2 users -> 1 pair
