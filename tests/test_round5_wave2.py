@@ -346,3 +346,29 @@ def test_new_operators_on_degenerate_fixture(spark, tmp_path):
     assert all(-1.0 <= r.xcorr <= 1.0 for r in xc)  # may be empty (1-pt overlap)
     dtw = q_dtw_pairs(spark, sf).collect()
     assert len(dtw) == 1 and dtw[0].dtw >= 0.0  # 2 users -> 1 pair
+
+
+def test_holt_winters_learns_pure_seasonal_signal():
+    """On an exactly period-24 signal the seasonal component absorbs
+    the pattern: after burn-in, |x - (level + seasonal)| shrinks well
+    below the signal amplitude."""
+    import math
+
+    import pandas as pd
+
+    from timestream_travel_spark.operators.timeseries8 import (
+        HW_PERIOD,
+        _hw_partition,
+    )
+
+    n = HW_PERIOD * 30
+    xs = [10.0 + 5.0 * math.sin(2 * math.pi * (i % HW_PERIOD) / HW_PERIOD) for i in range(n)]
+    pdf = pd.DataFrame({"hour": [f"h{i:05d}" for i in range(n)], "x": xs})
+    out = pd.concat(list(_hw_partition(iter([pdf]))))
+    resid = (out["x"] - (out["level"] + out["seasonal"])).abs()
+    burn = HW_PERIOD * 10
+    # steady-state one-step tracking lag with (0.5, 0.3, 0.2) gains
+    # leaves ~0.9 mean residual on a 5.0-amplitude sine — assert the
+    # filter absorbed most of the signal, not a perfect fit
+    assert resid.iloc[burn:].mean() < 1.2
+    assert resid.iloc[burn:].mean() < resid.iloc[:burn].mean() / 2

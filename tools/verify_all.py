@@ -42,10 +42,10 @@ def main() -> int:
     ok &= sim.returncode == 0
 
     print(f"== oracle gate ({sf_dir}) ==", flush=True)
-    gate = subprocess.run(
-        [sys.executable, os.path.join(HERE, "tools", "oracle_check.py"), sf_dir],
-        cwd=HERE,
-    )
+    gate_cmd = [sys.executable, os.path.join(HERE, "tools", "oracle_check.py"), sf_dir]
+    if "--strict" in sys.argv:
+        gate_cmd.append("--strict")
+    gate = subprocess.run(gate_cmd, cwd=HERE)
     ok &= gate.returncode == 0
 
     if "--skip-pytest" not in sys.argv:
