@@ -118,9 +118,13 @@ def q_kalman_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------- Holt-Winters
 
 HW_PERIOD = 24  # hourly series, daily seasonality
-HWS_ALPHA = 0.5
-HWS_BETA = 0.3
-HWS_GAMMA = 0.2
+# Gains sit inside the additive-HW stability region: the original
+# (0.5, 0.3, 0.2) choice DIVERGED (seasonal amplitude grew ~e^t on a
+# pure period-24 sine — caught by the seasonal-learning pytest, not
+# the oracle, since both engines compute the same divergent doubles).
+HWS_ALPHA = 0.3
+HWS_BETA = 0.05
+HWS_GAMMA = 0.1
 
 _HW_SCHEMA = "hour string, x double, level double, trend double, seasonal double"
 
@@ -131,9 +135,9 @@ def _hw_partition(batches):
     aggregate, bounded at one row per hour). State: level, trend and
     a 24-slot seasonal ring seeded to zeros; l_1 = x_1, b_1 = 0.
     Update order written EXACTLY as the oracle's recursive CTE:
-        l = 0.5*(x - s_old) + 0.5*(l_prev + b_prev)
-        b = 0.3*(l - l_prev) + 0.7*b_prev
-        s = 0.2*(x - l) + 0.8*s_old
+        l = 0.3*(x - s_old) + 0.7*(l_prev + b_prev)
+        b = 0.05*(l - l_prev) + 0.95*b_prev
+        s = 0.1*(x - l) + 0.9*s_old
     where s_old is the seasonal value from PERIOD steps back.
     """
     first = True
@@ -147,13 +151,13 @@ def _hw_partition(batches):
             s_old = seas.pop(0)
             if first:
                 lv, tr = x, 0.0
-                s_new = 0.2 * (x - lv) + 0.8 * s_old
+                s_new = 0.1 * (x - lv) + 0.9 * s_old
                 first = False
             else:
                 prev = lv
-                lv = 0.5 * (x - s_old) + 0.5 * (lv + tr)
-                tr = 0.3 * (lv - prev) + 0.7 * tr
-                s_new = 0.2 * (x - lv) + 0.8 * s_old
+                lv = 0.3 * (x - s_old) + 0.7 * (lv + tr)
+                tr = 0.05 * (lv - prev) + 0.95 * tr
+                s_new = 0.1 * (x - lv) + 0.9 * s_old
             seas.append(s_new)
             levels.append(lv)
             trends.append(tr)
@@ -183,17 +187,17 @@ def _hw_partition(batches):
              x AS lv, CAST(0.0 AS DOUBLE) AS tr,
              list_append(list_transform(range({HW_PERIOD - 1}),
                                         i -> CAST(0.0 AS DOUBLE)),
-                         0.2 * (x - x) + 0.8 * 0.0) AS seas
+                         0.1 * (x - x) + 0.9 * 0.0) AS seas
       FROM s WHERE rn = 1
       UNION ALL
       SELECT s.hour, s.x, s.rn,
-             0.5 * (s.x - r.seas[1]) + 0.5 * (r.lv + r.tr),
-             0.3 * ((0.5 * (s.x - r.seas[1]) + 0.5 * (r.lv + r.tr)) - r.lv)
-               + 0.7 * r.tr,
+             0.3 * (s.x - r.seas[1]) + 0.7 * (r.lv + r.tr),
+             0.05 * ((0.3 * (s.x - r.seas[1]) + 0.7 * (r.lv + r.tr)) - r.lv)
+               + 0.95 * r.tr,
              list_append(
                r.seas[2:],
-               0.2 * (s.x - (0.5 * (s.x - r.seas[1]) + 0.5 * (r.lv + r.tr)))
-                 + 0.8 * r.seas[1])
+               0.1 * (s.x - (0.3 * (s.x - r.seas[1]) + 0.7 * (r.lv + r.tr)))
+                 + 0.9 * r.seas[1])
       FROM s JOIN r ON s.rn = r.rn + 1
     )
     SELECT hour, x, lv AS level, tr AS trend, seas[{HW_PERIOD}] AS seasonal
