@@ -453,3 +453,43 @@ def test_dtw_metric_properties_hypothesis():
         assert abs(dtw_distance(s * scale, t * scale, 8) - scale * d) < 1e-6
 
     check()
+
+
+def test_cusum_detects_planted_level_shift():
+    """One-sided CUSUM on synthetic data: values at the reference
+    level keep the statistic at ~0 (no alarms); after a +20 level
+    shift the excursion grows by 20/step and must alarm within
+    ceil(H/20)+1 steps — and never before the shift."""
+    import math
+
+    import pandas as pd
+
+    from timestream_travel_spark.operators.timeseries7 import CUSUM_H, CUSUM_REF
+    from timestream_travel_spark.streaming.cusum import _update
+
+    class _FakeState:
+        exists = False
+
+        def update(self, v):
+            self.exists, self._v = True, v
+
+        @property
+        def get(self):
+            return self._v
+
+    shift_at, n = 50, 80
+    vals = [CUSUM_REF] * shift_at + [CUSUM_REF + 20.0] * (n - shift_at)
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1] * n,
+            "ts": pd.date_range("2024-01-01", periods=n, freq="h"),
+            "event_id": range(n),
+            "value": vals,
+        }
+    )
+    out = pd.concat(list(_update((1,), iter([pdf]), _FakeState())))
+    alarms = out.index[out["alarm"]].tolist()
+    first = out[out["alarm"]]["event_id"].min()
+    assert not out.iloc[:shift_at]["alarm"].any(), "false alarm before shift"
+    assert alarms, "shift never detected"
+    assert first <= shift_at + math.ceil(CUSUM_H / 20.0) + 1
