@@ -122,9 +122,9 @@ HW_PERIOD = 24  # hourly series, daily seasonality
 # (0.5, 0.3, 0.2) choice DIVERGED (seasonal amplitude grew ~e^t on a
 # pure period-24 sine — caught by the seasonal-learning pytest, not
 # the oracle, since both engines compute the same divergent doubles).
-HWS_ALPHA = 0.3
-HWS_BETA = 0.05
-HWS_GAMMA = 0.1
+HWS_ALPHA = 0.3  # NB: written as inline literals in BOTH the Python
+HWS_BETA = 0.05  # loop and the oracle SQL (the bit-parity contract);
+HWS_GAMMA = 0.1  # change all three places together
 
 _HW_SCHEMA = "hour string, x double, level double, trend double, seasonal double"
 
