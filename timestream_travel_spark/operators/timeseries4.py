@@ -71,15 +71,15 @@ def q_series_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_series_auc",
     oracle="""
     WITH s AS (
-      SELECT user_id, value,
-             lead(value) OVER w AS v1,
+      SELECT user_id, CAST(value AS DECIMAL(12,4)) AS v0,
+             CAST(lead(value) OVER w AS DECIMAL(12,4)) AS v1,
              epoch_us(lead(ts) OVER w) - epoch_us(ts) AS dur_us
       FROM events WHERE event_type = 'purchase'
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     SELECT user_id,
-           round(CAST(SUM(CAST((value + v1) / 2.0 * (CAST(dur_us AS DOUBLE) / 1000000.0)
-                               AS DECIMAL(30,6))) AS DOUBLE), 4) AS auc,
+           CAST(CAST(SUM(CAST((v0 + v1) * dur_us AS DECIMAL(38,4)))
+                     AS VARCHAR) AS DOUBLE) / 2000000.0 AS auc,
            CAST(COUNT(*) AS BIGINT) AS n_segments
     FROM s WHERE dur_us IS NOT NULL AND dur_us > 0
     GROUP BY user_id
@@ -93,14 +93,24 @@ def q_series_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     dur_us = F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")
-    area = (F.col("value") + F.lead("value").over(w)) / F.lit(2.0) * (
-        dur_us.cast("double") / F.lit(1e6)
-    )
-    seg = ev.select("user_id", dur_us.alias("dur_us"), area.alias("area")).filter(
-        F.col("dur_us").isNotNull() & (F.col("dur_us") > 0)
-    )
+    # EXACT decimal arithmetic end-to-end: (v0+v1)·dur_us has no
+    # intermediate double, so there is no double→decimal cast to land
+    # on a shortest-repr half boundary (at sf0.1 the old
+    # area-as-double formulation flipped the 6th decimal on one row
+    # per engine). The single /2e6 happens once, in double, AFTER the
+    # exact sum crosses engines via the dsum VARCHAR bridge.
+    v0 = F.col("value").cast("decimal(12,4)")
+    v1 = F.lead("value").over(w).cast("decimal(12,4)")
+    seg = ev.select(
+        "user_id",
+        dur_us.alias("dur_us"),
+        ((v0 + v1) * dur_us).alias("area_u"),
+    ).filter(F.col("dur_us").isNotNull() & (F.col("dur_us") > 0))
     return seg.groupBy("user_id").agg(
-        F.round(F.sum(F.col("area").cast("decimal(30,6)")).cast("double"), 4).alias("auc"),
+        (
+            F.sum(F.col("area_u").cast("decimal(38,4)")).cast("double")
+            / F.lit(2000000.0)
+        ).alias("auc"),
         F.count("*").cast("bigint").alias("n_segments"),
     )
 

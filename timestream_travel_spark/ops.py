@@ -34,13 +34,25 @@ def davg(col: Column | str, alias: str, scale: int = 4) -> Column:
 
 
 def dsum_sql(expr: str, alias: str, scale: int = 4) -> str:
-    """DuckDB-side mirror of dsum()."""
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(20,{scale}))) AS DOUBLE) AS {alias}"
+    """DuckDB-side mirror of dsum().
+
+    The DECIMAL→DOUBLE cast goes through VARCHAR: DuckDB's direct
+    cast is not correctly rounded once the decimal exceeds double
+    precision (measured: a 19-sig-digit Q19 revenue sum landed one
+    ulp BELOW the correctly-rounded double that Spark's
+    BigDecimal.doubleValue produces), while its VARCHAR→DOUBLE path
+    (strtod) IS correctly rounded — making both engines agree
+    bit-for-bit at any magnitude."""
+    return (
+        f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(20,{scale}))) AS VARCHAR)"
+        f" AS DOUBLE) AS {alias}"
+    )
 
 
 def davg_sql(expr: str, alias: str, scale: int = 4) -> str:
+    """Mirror of davg(); same VARCHAR bridge as dsum_sql."""
     return (
-        f"CAST(SUM(CAST({expr} AS DECIMAL(20,{scale}))) AS DOUBLE)"
+        f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(20,{scale}))) AS VARCHAR) AS DOUBLE)"
         f" / COUNT({expr}) AS {alias}"
     )
 
