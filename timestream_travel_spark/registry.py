@@ -11,7 +11,17 @@ Hash-stability rules (SURVEY.md §5.1, FIXTURES.md):
   cast to double (see ``ops.dsum``) or are rounded;
 - timestamps are formatted to 'yyyy-MM-dd HH:mm:ss' strings at the
   output boundary;
-- every LIMIT/top-k carries a deterministic tiebreaker.
+- every LIMIT/top-k carries a deterministic tiebreaker;
+- oracle-side DECIMAL→DOUBLE crosses via VARCHAR (``ops.dsum_sql``) —
+  DuckDB's direct cast is not correctly rounded past double
+  precision while Spark's BigDecimal.doubleValue is;
+- quantizing a decimal in an oracle uses DuckDB ``round(dec, k)``
+  (≡ Spark's HALF_UP rescale), never a bare lower-scale CAST
+  (DuckDB rescale TRUNCATES);
+- never cast a computed double to DECIMAL per-row — Spark converts
+  via shortest-repr string, DuckDB via the binary value, and
+  half-boundary rows flip; keep such arithmetic in decimal
+  end-to-end (q_series_auc).
 """
 
 from __future__ import annotations
