@@ -54,7 +54,7 @@ DSIR_BUCKETS = 256  # hashed feature space size
     )
     SELECT t.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_tok,
-           round(CAST(SUM(w.lw) AS DOUBLE) / COUNT(*), 4) AS avg_llr_bits
+           CAST(CAST(SUM(w.lw) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_llr_bits
     FROM toks t JOIN w ON t.b = w.b
     GROUP BY t.doc_id
     """,
@@ -103,7 +103,10 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_tok"),
-            F.round(F.sum("lw").cast("double") / F.count(F.lit(1)), 4).alias(
+            # raw double after the exact-decimal sum (VARCHAR bridge on
+            # the oracle side): round()-on-double flipped -0.00005-class
+            # values at sf0.1 (-0.0001 Spark vs -0.0 DuckDB)
+            (F.sum("lw").cast("double") / F.count(F.lit(1))).alias(
                 "avg_llr_bits"
             ),
         )
