@@ -85,8 +85,10 @@ def _cache_read(sf_dir: str, name: str, fingerprint: str, sql: str):
     miss; so do entries cached under a DIFFERENT oracle SQL (editing
     a query's oracle must invalidate its cache — the round-4 lesson:
     a failed compare once poisoned the cache for the fixed SQL).
-    Legacy entries without the sql_md5 field stay valid so the
-    expensive sf0.1 all-pairs oracles are not mass-recomputed."""
+    Entries WITHOUT a sql_md5 field are treated as stale too — the
+    round-5 lesson: legacy leniency let pre-md5 caches survive oracle
+    edits forever, producing false FAILs against current SQL (all
+    remaining legacy entries were md5-stamped or purged in r5)."""
     import gzip
     import json
 
@@ -97,7 +99,7 @@ def _cache_read(sf_dir: str, name: str, fingerprint: str, sql: str):
         blob = json.load(fh)
     if blob.get("fingerprint") != fingerprint:
         return None
-    if "sql_md5" in blob and blob["sql_md5"] != _oracle_sql_md5(sql):
+    if blob.get("sql_md5") != _oracle_sql_md5(sql):
         return None
     return blob["cols"], [tuple(r) for r in blob["rows"]]
 
