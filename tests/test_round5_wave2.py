@@ -376,3 +376,39 @@ def test_holt_winters_learns_pure_seasonal_signal():
     assert np.corrcoef(last, true)[0, 1] > 0.99
     # and it never diverges: bounded by the signal amplitude band
     assert np.abs(out["seasonal"]).max() < 10.0
+
+
+def test_seasonal_decompose_recovers_pure_signal(spark, tmp_path):
+    """On a synthetic pure 24h-seasonal signal (one event per hour,
+    value = 10 + 5 sin(2*pi*hod/24)), the MA decomposition recovers
+    it: trend ~ 10, seasonal tracks the sine, interior residuals ~ 0."""
+    import datetime
+    import math
+
+    from timestream_travel_spark.operators.timeseries6 import q_seasonal_decompose
+
+    sf = str(tmp_path / "seasonal_sf")
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    n = 24 * 20
+    for i in range(n):
+        ts = t0 + datetime.timedelta(hours=i)
+        val = 10.0 + 5.0 * math.sin(2 * math.pi * (i % 24) / 24)
+        rows.append((i, ts, 1, "purchase", val, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+
+    out = sorted(
+        q_seasonal_decompose(spark, sf).collect(), key=lambda r: r.hour_ts
+    )
+    assert len(out) == n
+    interior = out[24:-24]  # full MA windows only
+    # a 25-point MA over a 24-period signal keeps 1/25th of one
+    # sample's seasonal swing -> ripple bounded by 5/25 = 0.2
+    assert all(abs(r.trend - 10.0) <= 0.21 for r in interior)
+    assert all(abs(r.resid) <= 0.35 for r in interior)
+    # seasonal amplitude matches the signal's
+    seas = {r.hour_ts[11:13]: r.seasonal for r in interior}
+    assert max(seas.values()) > 4.5 and min(seas.values()) < -4.5
