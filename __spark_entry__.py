@@ -76,12 +76,21 @@ def _driver_green_keys() -> set[str]:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ordered so queries WITHOUT a driver-green CORRECTNESS
     row lead — a capped driver harness then always verifies genuinely
-    unverified queries first (generated, not hand-maintained)."""
+    unverified queries first (generated, not hand-maintained).
+
+    Within the unchecked set, ORACLED queries lead rows-only ones:
+    an oracled slot yields a full rows+schema+hash verification while
+    a rows-only slot only records executed-ok, so when the backlog
+    exceeds the driver's slot cap this ordering maximizes the number
+    of hash-verified rows per round."""
     green = _driver_green_keys()
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, fn in registry.QUERIES.items():
-        if name not in green:
+        if name not in green and name in registry.ORACLES:
             ordered[name] = fn
+    for name, fn in registry.QUERIES.items():
+        if name not in green:
+            ordered.setdefault(name, fn)
     for name, fn in registry.QUERIES.items():
         ordered.setdefault(name, fn)
     return ordered
