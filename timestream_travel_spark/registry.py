@@ -138,3 +138,11 @@ def load_all() -> None:
         similarity4,
         timeseries8,
     )
+
+    # round-5 third-wave modules — same registered-last rule
+    from timestream_travel_spark.operators import (  # noqa: F401
+        analytics2,
+        graph3,
+        llm_text15,
+        timeseries9,
+    )
