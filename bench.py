@@ -107,6 +107,12 @@ EXTRA = [
     "q_xcorr_lags",           # lag fan-out over reduced hourly grids
     "q_pmi_cooccurrence",     # within-doc pair self-join + broadcast df
     "q_dtw_pairs",            # candidate-gated applyInPandas DP
+    # round-5 third wave
+    "q_session_transitions",  # shared user_id exchange, bounded matrix
+    "q_gini_concentration",   # distributed value-range-shard rank
+    "q_degree_assortativity", # fact-scan edge cut + integer Pearson
+    "q_theilsen_trend",       # bounded within-group pair join
+    "q_source_cap",           # per-source rank + audit agg
 ]
 
 

@@ -320,7 +320,11 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     order), rank = local row_number within the shard + the cumulative
     count of earlier shards (a doc_offsets-style two-phase prefix sum
     over the tiny shard table; per-customer totals don't grow with
-    corpus size, so the shard count stays bounded at any SF).
+    corpus size, so the shard count stays bounded at any SF). The
+    shard-count branch references the same per-customer aggregate a
+    second time — AQE's exchange reuse collapses it to ONE orders
+    scan at runtime (verified: final adaptive plan shows
+    ReusedExchange over the o_custkey aggregation).
     Rank·revenue products and both grand totals stay DECIMAL until a
     single VARCHAR-bridged double cast each (the dsum_sql rule — at
     100 TB the weighted sum exceeds double precision and DuckDB's

@@ -81,6 +81,14 @@ AUDITED = [
     "q_xcorr_lags",
     "q_pmi_cooccurrence",
     "q_dtw_pairs",
+    # round-5 third wave
+    "q_session_transitions",
+    "q_rsi_indicator",
+    "q_benford_digits",
+    "q_gini_concentration",
+    "q_degree_assortativity",
+    "q_theilsen_trend",
+    "q_source_cap",
 ]
 
 
