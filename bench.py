@@ -113,6 +113,12 @@ EXTRA = [
     "q_degree_assortativity", # fact-scan edge cut + integer Pearson
     "q_theilsen_trend",       # bounded within-group pair join
     "q_source_cap",           # per-source rank + audit agg
+    # round-5 fourth wave
+    "q_chi2_independence",    # bounded cell table + window marginals
+    "q_ab_test_zscore",       # integer sufficient statistics
+    "q_skyline_parts",        # sort-based window skyline
+    "q_abc_classification",   # decimal cumulative-share cutoffs
+    "q_session_paths",        # sessionize + in-row prefix collect
 ]
 
 

@@ -146,3 +146,6 @@ def load_all() -> None:
         llm_text15,
         timeseries9,
     )
+
+    # round-5 fourth-wave modules — same registered-last rule
+    from timestream_travel_spark.operators import analytics3  # noqa: F401

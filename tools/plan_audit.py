@@ -89,6 +89,12 @@ AUDITED = [
     "q_degree_assortativity",
     "q_theilsen_trend",
     "q_source_cap",
+    # round-5 fourth wave
+    "q_chi2_independence",
+    "q_ab_test_zscore",
+    "q_skyline_parts",
+    "q_abc_classification",
+    "q_session_paths",
 ]
 
 
