@@ -119,6 +119,10 @@ EXTRA = [
     "q_skyline_parts",        # sort-based window skyline
     "q_abc_classification",   # decimal cumulative-share cutoffs
     "q_session_paths",        # sessionize + in-row prefix collect
+    # round-5 fifth wave
+    "q_applyinarrow_value_stats",  # grouped Arrow UDF, integer cents
+    "q_binseg_changepoint",        # decimal prefix-sum split scoring
+    "q_embedding_pca_top1",        # distributed Gram + driver eigh
 ]
 
 

@@ -149,3 +149,10 @@ def load_all() -> None:
 
     # round-5 fourth-wave modules — same registered-last rule
     from timestream_travel_spark.operators import analytics3  # noqa: F401
+
+    # round-5 fifth-wave modules — same registered-last rule
+    from timestream_travel_spark.operators import (  # noqa: F401
+        similarity5,
+        timeseries10,
+        udf_queries2,
+    )

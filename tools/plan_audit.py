@@ -95,6 +95,9 @@ AUDITED = [
     "q_skyline_parts",
     "q_abc_classification",
     "q_session_paths",
+    # round-5 fifth wave
+    "q_applyinarrow_value_stats",
+    "q_binseg_changepoint",
 ]
 
 
