@@ -36,8 +36,9 @@ def test_covariance_matches_numpy(spark, sf_dir):
 
 
 def test_pca_top1_matches_numpy_eigh(spark, sf_dir):
-    """Power iteration recovers numpy's leading eigenvector (up to
-    sign, compared by |cosine|) and its eigenvalue."""
+    """The distributed-covariance + driver-eigh pipeline recovers
+    numpy's leading eigenvector (up to sign, compared by |cosine|)
+    and its eigenvalue."""
     rows = q_embedding_pca_top1(spark, sf_dir).collect()
     assert len(rows) == PCA_DIM
     v = np.zeros(PCA_DIM)
@@ -133,3 +134,20 @@ def test_binseg_fixture_output_shape(spark, sf_dir):
     for r in rows:
         assert 1 <= r.split_after_k < 30
         assert r.split_cost >= 0
+
+
+def test_topk_per_group_uses_window_group_limit(spark, sf_dir):
+    """Spark 4's WindowGroupLimit must prune rank<=k windows BOTH
+    map-side (before the exchange) and reduce-side — the window twin
+    of partial aggregation. If a plan change ever regresses this,
+    every top-k-per-group query starts sorting full partitions at
+    100 TB."""
+    from timestream_travel_spark.operators.windows import q_window_topk_per_group
+
+    plan = (
+        q_window_topk_per_group(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("WindowGroupLimit") >= 2, plan

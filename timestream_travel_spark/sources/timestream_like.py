@@ -120,6 +120,16 @@ class TimestreamLikeDataSource(DataSource):
     def reader(self, schema: StructType) -> "TimestreamLikeReader":
         return TimestreamLikeReader(self._pages(), schema)
 
+    def writer(self, schema: StructType, overwrite: bool) -> "TimestreamLikeWriter":
+        return TimestreamLikeWriter(
+            self.options.get("path"), [f.name for f in schema.fields], overwrite
+        )
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> "TimestreamLikeStreamWriter":
+        return TimestreamLikeStreamWriter(
+            self.options.get("path"), [f.name for f in schema.fields]
+        )
+
     def simpleStreamReader(self, schema: StructType) -> "TimestreamLikeStreamReader":
         # spark.readStream.format('timestream_like') — live tail of
         # the page directory; offset = pages consumed
@@ -194,3 +204,110 @@ class TimestreamLikeStreamReader(SimpleDataSourceStreamReader):
         return list(
             self._decode(pages[start.get("pages_read", 0) : end.get("pages_read", 0)])
         )
+
+
+# ------------------------------------------------------------ writer
+# The write-side counterpart: DataFrames go back OUT as wire-shape
+# result pages (ColumnInfo + Rows of ScalarValue Datums — the same
+# shape the reader ingests), so connector round-trips are exact.
+# Exactly-once protocol: executors stage page-*.json.tmp files and
+# report them in commit messages; the driver's commit() renames the
+# staged files to their final page-NNN.json names (a bounded,
+# partitions-sized rename pass) and writes a pages manifest.
+# Speculative or retried tasks leave only .tmp orphans, which never
+# match the reader's page-*.json glob; abort() removes them.
+
+import dataclasses
+import os as _os
+import uuid as _uuid
+
+from pyspark.sql.datasource import DataSourceStreamWriter, DataSourceWriter, WriterCommitMessage
+
+
+@dataclasses.dataclass
+class PageCommit(WriterCommitMessage):
+    staged: str
+    rows: int
+
+
+def _encode_page(rows: list, fields: list[str]) -> dict:
+    column_info = [{"Name": f, "Type": {"ScalarType": "VARCHAR"}} for f in fields]
+    out_rows = []
+    for row in rows:
+        data = []
+        for f in fields:
+            v = row[f]
+            # nil ScalarValue → decoded as "NULL" (helpers.go:5-10)
+            data.append({} if v is None else {"ScalarValue": str(v)})
+        out_rows.append({"Data": data})
+    return {"ColumnInfo": column_info, "Rows": out_rows}
+
+
+class TimestreamLikeWriter(DataSourceWriter):
+    """df.write.format('timestream_like').option('path', dir) —
+    one wire-shape page per task, staged + driver-committed."""
+
+    def __init__(self, path: str, fields: list[str], overwrite: bool) -> None:
+        if not path:
+            raise ValueError("timestream_like writer requires option 'path'")
+        self.path = path
+        self.fields = fields
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> PageCommit:
+        _os.makedirs(self.path, exist_ok=True)
+        rows = list(iterator)
+        staged = _os.path.join(self.path, f"stage-{_uuid.uuid4().hex}.json.tmp")
+        with open(staged, "w") as fh:
+            json.dump(_encode_page(rows, self.fields), fh, sort_keys=True)
+        return PageCommit(staged=staged, rows=len(rows))
+
+    def _finalize(self, messages, prefix: str = "") -> None:
+        _os.makedirs(self.path, exist_ok=True)
+        existing = len(glob.glob(_os.path.join(self.path, "page-*.json")))
+        for i, msg in enumerate(messages):
+            final = _os.path.join(self.path, f"page-{prefix}{existing + i:05d}.json")
+            _os.replace(msg.staged, final)
+
+    def commit(self, messages) -> None:
+        if self.overwrite:
+            for p in glob.glob(_os.path.join(self.path, "page-*.json")):
+                _os.remove(p)
+        self._finalize(messages)
+
+    def abort(self, messages) -> None:
+        for msg in messages:
+            if msg is not None and _os.path.exists(msg.staged):
+                _os.remove(msg.staged)
+
+
+class TimestreamLikeStreamWriter(DataSourceStreamWriter):
+    """writeStream.format('timestream_like') — same staged-page
+    protocol; commit(batchId) names pages page-b<batch>-NNN.json so
+    replayed batches overwrite their own output (idempotent sink)."""
+
+    def __init__(self, path: str, fields: list[str]) -> None:
+        if not path:
+            raise ValueError("timestream_like stream writer requires option 'path'")
+        self.path = path
+        self.fields = fields
+
+    def write(self, iterator) -> PageCommit:
+        _os.makedirs(self.path, exist_ok=True)
+        rows = list(iterator)
+        staged = _os.path.join(self.path, f"stage-{_uuid.uuid4().hex}.json.tmp")
+        with open(staged, "w") as fh:
+            json.dump(_encode_page(rows, self.fields), fh, sort_keys=True)
+        return PageCommit(staged=staged, rows=len(rows))
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803 — API name
+        for p in glob.glob(_os.path.join(self.path, f"page-b{batchId:05d}-*.json")):
+            _os.remove(p)  # idempotent replay: a batch owns its pages
+        for i, msg in enumerate(messages):
+            final = _os.path.join(self.path, f"page-b{batchId:05d}-{i:05d}.json")
+            _os.replace(msg.staged, final)
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803 — API name
+        for msg in messages:
+            if msg is not None and _os.path.exists(msg.staged):
+                _os.remove(msg.staged)
