@@ -123,6 +123,7 @@ EXTRA = [
     "q_applyinarrow_value_stats",  # grouped Arrow UDF, integer cents
     "q_binseg_changepoint",        # decimal prefix-sum split scoring
     "q_embedding_pca_top1",        # distributed Gram + driver eigh
+    "q_rrf_hybrid",                # truncated-rank fusion of BM25 + cosine
 ]
 
 

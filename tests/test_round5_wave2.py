@@ -412,3 +412,23 @@ def test_seasonal_decompose_recovers_pure_signal(spark, tmp_path):
     # seasonal amplitude matches the signal's
     seas = {r.hour_ts[11:13]: r.seasonal for r in interior}
     assert max(seas.values()) > 4.5 and min(seas.values()) < -4.5
+
+
+def test_rrf_hybrid_fuses_both_rankers(spark, sf_dir):
+    """RRF sanity: every fused row carries at least one branch rank,
+    scores are the exact 1/(K+r) sums, and the output is descending
+    with doc_id tiebreak."""
+    from timestream_travel_spark.operators.retrieval2 import RRF_K, q_rrf_hybrid
+
+    rows = q_rrf_hybrid(spark, sf_dir).collect()
+    assert rows
+    prev = None
+    for r in rows:
+        assert r.bm25_rank is not None or r.cos_rank is not None
+        expect = (1.0 / (RRF_K + r.bm25_rank) if r.bm25_rank else 0.0) + (
+            1.0 / (RRF_K + r.cos_rank) if r.cos_rank else 0.0
+        )
+        assert r.rrf_score == expect
+        if prev is not None:
+            assert (prev.rrf_score, -prev.doc_id) >= (r.rrf_score, -r.doc_id)
+        prev = r

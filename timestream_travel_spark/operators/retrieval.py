@@ -74,16 +74,10 @@ LIMIT {TOP_K}
 """
 
 
-@query("q_bm25_topk", oracle=_BM25_ORACLE)
-def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Okapi BM25 top-k retrieval for a fixed keyword query.
-
-    Plan: one documents scan → tokenize (lower + non-alnum split) →
-    explode filtered to QUERY_TERMS (postings pruned before any
-    shuffle) → per-(doc, term) tf agg → broadcast the |query|-row df
-    table and the 1-row (N, avgdl) stats → decimal-summed per-doc
-    score → top-k with doc_id tiebreak.
-    """
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score) BM25 table for QUERY_TERMS — the scored CTE
+    shared by q_bm25_topk and the RRF fusion (retrieval2.py); only
+    docs containing ≥1 query term appear (postings-pruned)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
@@ -130,7 +124,22 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("part").cast("double").alias("score"))
     )
-    return scored.orderBy(F.desc("score"), "doc_id").limit(TOP_K)
+    return scored
+
+
+@query("q_bm25_topk", oracle=_BM25_ORACLE)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k retrieval for a fixed keyword query.
+
+    Plan: one documents scan → tokenize (lower + non-alnum split) →
+    explode filtered to QUERY_TERMS (postings pruned before any
+    shuffle) → per-(doc, term) tf agg → broadcast the |query|-row df
+    table and the 1-row (N, avgdl) stats → decimal-summed per-doc
+    score → top-k with doc_id tiebreak.
+    """
+    return (
+        bm25_scores(spark, sf_dir).orderBy(F.desc("score"), "doc_id").limit(TOP_K)
+    )
 
 
 # ------------------------------------------------------ PMI co-occurrence

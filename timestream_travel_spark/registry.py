@@ -156,3 +156,6 @@ def load_all() -> None:
         timeseries10,
         udf_queries2,
     )
+
+    # round-5 sixth-wave modules — same registered-last rule
+    from timestream_travel_spark.operators import retrieval2  # noqa: F401

@@ -98,6 +98,7 @@ AUDITED = [
     # round-5 fifth wave
     "q_applyinarrow_value_stats",
     "q_binseg_changepoint",
+    "q_rrf_hybrid",
 ]
 
 
