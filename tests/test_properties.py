@@ -493,3 +493,75 @@ def test_cusum_detects_planted_level_shift():
     assert not out.iloc[:shift_at]["alarm"].any(), "false alarm before shift"
     assert alarms, "shift never detected"
     assert first <= shift_at + math.ceil(CUSUM_H / 20.0) + 1
+
+
+def test_skyline_window_trick_matches_brute_force_hypothesis():
+    """The sort-based running-min skyline over DISTINCT 2D points
+    equals the O(n²) dominance definition on random point sets —
+    pure-Python mirror of q_skyline_parts' window formulation."""
+    from hypothesis import given, settings, strategies as st
+
+    coords = st.tuples(
+        st.integers(min_value=0, max_value=20), st.integers(min_value=0, max_value=20)
+    )
+
+    @settings(max_examples=100, deadline=None)
+    @given(pts=st.sets(coords, min_size=1, max_size=40))
+    def check(pts):
+        # brute force: p on skyline iff no q != p with q <= p componentwise
+        brute = {
+            p
+            for p in pts
+            if not any(q != p and q[0] <= p[0] and q[1] <= p[1] for q in pts)
+        }
+        # window trick: sort by (x, y); keep iff y < running min of prior y
+        window = set()
+        mprev = None
+        for x, y in sorted(pts):
+            if mprev is None or y < mprev:
+                window.add((x, y))
+            mprev = y if mprev is None else min(mprev, y)
+        assert window == brute
+
+    check()
+
+
+def test_theilsen_median_slope_invariances_hypothesis():
+    """Theil–Sen estimator properties on random series: invariant
+    under y-translation, equivariant under y-scaling, and exact on
+    noiseless lines — the guarantees that make it the robust twin of
+    the least-squares trend."""
+    import math
+
+    from hypothesis import given, settings, strategies as st
+
+    def theilsen(ys):
+        slopes = sorted(
+            (ys[j] - ys[i]) / (j - i)
+            for i in range(len(ys))
+            for j in range(i + 1, len(ys))
+        )
+        m = len(slopes)
+        return (slopes[(m - 1) // 2] + slopes[m // 2]) / 2
+
+    floats = st.floats(min_value=-1000, max_value=1000, allow_nan=False)
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        ys=st.lists(floats, min_size=3, max_size=15),
+        shift=st.floats(min_value=-100, max_value=100, allow_nan=False),
+        scale=st.floats(min_value=0.5, max_value=8, allow_nan=False),
+        slope=st.floats(min_value=-50, max_value=50, allow_nan=False),
+    )
+    def check(ys, shift, scale, slope):
+        base = theilsen(ys)
+        assert math.isclose(
+            theilsen([y + shift for y in ys]), base, rel_tol=1e-9, abs_tol=1e-6
+        )
+        assert math.isclose(
+            theilsen([y * scale for y in ys]), base * scale, rel_tol=1e-9, abs_tol=1e-6
+        )
+        line = [slope * i for i in range(10)]
+        assert math.isclose(theilsen(line), slope, rel_tol=1e-12, abs_tol=1e-9)
+
+    check()

@@ -470,3 +470,42 @@ def test_streaming_kalman_matches_batch_operator(spark, sf_dir, tmp_path):
     }
     assert len(got) == len(want) > 0
     assert got == want  # bit-identical doubles, not approx
+
+
+def test_streaming_transitions_match_batch_matrix(spark, sf_dir, tmp_path):
+    """The streamed per-event transitions, aggregated, equal the
+    batch q_session_transitions Markov matrix exactly — per-user
+    state (one second+type pair) survives micro-batch boundaries."""
+    from timestream_travel_spark.operators.analytics2 import q_session_transitions
+    from timestream_travel_spark.streaming.transitions import streaming_transitions
+
+    src = _stage_ordered(spark, sf_dir, tmp_path)
+    stream = (
+        spark.readStream.schema(
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_transitions(stream)
+        .writeStream.format("memory")
+        .queryName("transitions_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["prev_type"], r["next_type"]): r["n"]
+        for r in spark.sql(
+            "SELECT prev_type, next_type, COUNT(*) AS n FROM transitions_out "
+            "GROUP BY prev_type, next_type"
+        ).collect()
+    }
+    want = {
+        (r["prev_type"], r["next_type"]): r["n"]
+        for r in q_session_transitions(spark, sf_dir).collect()
+    }
+    assert len(got) == len(want) > 0
+    assert got == want
