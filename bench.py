@@ -124,6 +124,7 @@ EXTRA = [
     "q_binseg_changepoint",        # decimal prefix-sum split scoring
     "q_embedding_pca_top1",        # distributed Gram + driver eigh
     "q_rrf_hybrid",                # truncated-rank fusion of BM25 + cosine
+    "q_croston_intermittent",      # nonzero-only reduce + carry-state walk
 ]
 
 

@@ -151,3 +151,27 @@ def test_topk_per_group_uses_window_group_limit(spark, sf_dir):
         .toString()
     )
     assert plan.count("WindowGroupLimit") >= 2, plan
+
+
+def test_croston_constant_demand_converges_to_rate(spark):
+    """Statistical sanity: demand of exactly 2 units every 3rd day
+    must give z→2, p→3, forecast→2/3 (the true demand rate) — and
+    the recurrence seeds exactly (z=d1, p=q1)."""
+    from timestream_travel_spark.operators.timeseries11 import (
+        _croston_partition,
+    )
+    import pandas as pd
+
+    days = list(range(3, 91, 3))
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1] * len(days),
+            "day_idx": days,
+            "demand": [2] * len(days),
+            "q": [3] * len(days),
+        }
+    )
+    out = pd.concat(list(_croston_partition(iter([pdf]))))
+    assert float(out.iloc[0]["z"]) == 2.0 and float(out.iloc[0]["p"]) == 3.0
+    last = out.iloc[-1]
+    assert abs(float(last["forecast"]) - 2.0 / 3.0) < 1e-9

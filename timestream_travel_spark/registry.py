@@ -158,4 +158,7 @@ def load_all() -> None:
     )
 
     # round-5 sixth-wave modules — same registered-last rule
-    from timestream_travel_spark.operators import retrieval2  # noqa: F401
+    from timestream_travel_spark.operators import (  # noqa: F401
+        retrieval2,
+        timeseries11,
+    )

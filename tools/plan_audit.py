@@ -99,6 +99,7 @@ AUDITED = [
     "q_applyinarrow_value_stats",
     "q_binseg_changepoint",
     "q_rrf_hybrid",
+    "q_croston_intermittent",
 ]
 
 
