@@ -162,3 +162,6 @@ def load_all() -> None:
         retrieval2,
         timeseries11,
     )
+
+    # round-5 seventh-wave modules — same registered-last rule
+    from timestream_travel_spark.operators import timeseries12  # noqa: F401
