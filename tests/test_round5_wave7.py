@@ -124,6 +124,58 @@ def test_kaplan_meier_no_censoring_is_empirical_survival(spark, tmp_path):
     assert all(a.survival >= b.survival for a, b in zip(out, out[1:]))
 
 
+def test_lcs_contamination_matches_pure_python(spark, sf_dir):
+    """Every (train, bench) pair's DP result equals a direct Python
+    LCS over the same token prefixes, and ratio-1.0 pairs really are
+    subsequence containments."""
+    from timestream_travel_spark.operators.llm_text16 import (
+        LCS_PREFIX_WORDS,
+        lcs_len,
+        q_lcs_contamination,
+    )
+
+    out = q_lcs_contamination(spark, sf_dir).collect()
+    assert out, "expected at least one candidate pair at this SF"
+    texts = {
+        r.doc_id: r.text.split()[:LCS_PREFIX_WORDS]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    for r in out:
+        a, b = texts[r.train_id], texts[r.bench_id]
+        expect = lcs_len(a, b)
+        assert (r.lcs_len, r.len_train, r.len_bench) == (expect, len(a), len(b))
+        assert abs(r.lcs_ratio - expect / min(len(a), len(b))) < 1e-12
+        if r.lcs_ratio == 1.0:
+            assert expect == min(len(a), len(b))
+
+
+def test_pq_ann_recall_vs_brute_force(spark, sf_dir):
+    """ADC shortlist + exact re-rank recovers most of the true L2
+    top-10 (measured 0.7 with a 64-wide shortlist on the isotropic
+    fixture; pinned conservatively)."""
+    import numpy as np
+
+    from timestream_travel_spark.operators.similarity import _query_vec
+    from timestream_travel_spark.operators.similarity6 import q_pq_ann_topk
+
+    approx = [r.vec_id for r in q_pq_ann_topk(spark, sf_dir).collect()]
+    assert len(approx) == 10
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    q = np.asarray(_query_vec(spark, sf_dir))
+    d = {
+        r.vec_id: float(np.sum((np.asarray(r.embedding, dtype=np.float64) - q) ** 2))
+        for r in emb
+        if r.vec_id != 0
+    }
+    exact = [k for k, _ in sorted(d.items(), key=lambda kv: (kv[1], kv[0]))[:10]]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, f"PQ ANN recall too low: {recall}"
+    # the re-rank stage reports EXACT distances for whatever it kept
+    got = {r.vec_id: r.l2sq for r in q_pq_ann_topk(spark, sf_dir).collect()}
+    for vid, l2 in got.items():
+        assert abs(l2 - d[vid]) < 1e-5
+
+
 def test_haar_parseval_on_fixture(spark, sf_dir):
     """Parseval: the 5 detail energies + the approximation energy sum
     to the total energy of the 32-sample grid, per event_type."""

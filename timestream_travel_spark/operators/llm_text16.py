@@ -1,0 +1,110 @@
+"""LLM-pipeline operators, part 16 (round-5 wave 7): LCS-based
+contamination verification.
+
+q_contamination_ngrams flags train docs sharing 5-grams with the
+benchmark slice; shared shingles alone can be boilerplate. The
+standard second stage (used by benchmark-decontamination audits) is
+a sequence-alignment score on the CANDIDATE pairs only: longest
+common subsequence of the token streams. LCS is O(|a|·|b|) dynamic
+programming per pair — exactly the candidate-gated applyInPandas
+shape of q_dtw_pairs and q_edit_distance_neardups (never all-pairs;
+the shingle join bounds the pair set first).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from timestream_travel_spark.operators.llm_text6 import _shingles, doc_words
+from timestream_travel_spark.registry import query
+from timestream_travel_spark.tables import load_table
+
+LCS_PREFIX_WORDS = 60  # align bounded token prefixes (cost cap per pair)
+
+_LCS_SCHEMA = (
+    "train_id bigint, bench_id bigint, len_train int, len_bench int,"
+    " lcs_len int, lcs_ratio double"
+)
+
+
+def lcs_len(a: list[str], b: list[str]) -> int:
+    """Classic O(|a|·|b|) LCS DP, rolling 1-row state."""
+    if not a or not b:
+        return 0
+    prev = [0] * (len(b) + 1)
+    for x in a:
+        cur = [0] * (len(b) + 1)
+        for j, y in enumerate(b, 1):
+            cur[j] = prev[j - 1] + 1 if x == y else max(prev[j], cur[j - 1])
+        prev = cur
+    return prev[-1]
+
+
+def _lcs_partition(batches):
+    for pdf in batches:
+        out_len, out_ratio = [], []
+        for wa, wb in zip(pdf["wa"].to_list(), pdf["wb"].to_list()):
+            n = lcs_len(list(wa), list(wb))
+            out_len.append(n)
+            out_ratio.append(n / min(len(wa), len(wb)) if min(len(wa), len(wb)) else 0.0)
+        yield pd.DataFrame(
+            {
+                "train_id": pdf["train_id"],
+                "bench_id": pdf["bench_id"],
+                "len_train": [len(w) for w in pdf["wa"]],
+                "len_bench": [len(w) for w in pdf["wb"]],
+                "lcs_len": out_len,
+                "lcs_ratio": out_ratio,
+            }
+        )
+
+
+@query("q_lcs_contamination")
+def q_lcs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LCS alignment score for every (train, bench) candidate pair
+    that shares at least one word-5-gram — the verification stage
+    behind q_contamination_ngrams' candidate stage. lcs_ratio =
+    LCS / min(len) over the first {LCS_PREFIX_WORDS} tokens of each
+    side; 1.0 means one prefix is a subsequence of the other
+    (near-verbatim leakage), low ratios mean the shared shingle was
+    incidental.
+
+    Scale shape: candidates come from the DISTINCT-shingle equi-join
+    (never all-pairs); the O(n·m) DP runs only on that bounded pair
+    set via Arrow-batched mapInPandas with token prefixes capped at
+    {LCS_PREFIX_WORDS} words. At 100 TB the benchmark side is a fixed
+    eval suite (broadcast), so the candidate join is a broadcast
+    semi-join and the DP cost is per-candidate, not per-document.
+    Rows-only by design (no SQL-expressible twin); pure-Python parity
+    is pinned by pytest."""
+    d = load_table(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    sh = d.select("doc_id", F.explode(_shingles(doc_words("text"))).alias("s"))
+    bench_sh = sh.filter(F.col("doc_id") % 29 == 0).select(
+        F.col("doc_id").alias("bench_id"), "s"
+    ).distinct()
+    train_sh = sh.filter(F.col("doc_id") % 29 != 0).select(
+        F.col("doc_id").alias("train_id"), "s"
+    ).distinct()
+    pairs = (
+        train_sh.join(bench_sh, "s")
+        .select("train_id", "bench_id")
+        .distinct()
+    )
+    prefix = F.slice(doc_words("text"), 1, LCS_PREFIX_WORDS)
+    texts = d.select("doc_id", prefix.alias("w"))
+    joined = (
+        pairs.join(texts.withColumnRenamed("w", "wa"), pairs.train_id == texts.doc_id)
+        .drop("doc_id")
+        .join(
+            texts.withColumnRenamed("w", "wb"),
+            F.col("bench_id") == texts.doc_id,
+        )
+        .drop("doc_id")
+    )
+    return (
+        joined.mapInPandas(_lcs_partition, _LCS_SCHEMA)
+        .orderBy(F.desc("lcs_ratio"), F.asc("train_id"), F.asc("bench_id"))
+    )

@@ -164,4 +164,8 @@ def load_all() -> None:
     )
 
     # round-5 seventh-wave modules — same registered-last rule
-    from timestream_travel_spark.operators import timeseries12  # noqa: F401
+    from timestream_travel_spark.operators import (  # noqa: F401
+        llm_text16,
+        similarity6,
+        timeseries12,
+    )
