@@ -125,6 +125,13 @@ EXTRA = [
     "q_embedding_pca_top1",        # distributed Gram + driver eigh
     "q_rrf_hybrid",                # truncated-rank fusion of BM25 + cosine
     "q_croston_intermittent",      # nonzero-only reduce + carry-state walk
+    # round-5 seventh wave
+    "q_goertzel_power",       # hod reduce + deterministic trig fold
+    "q_macd",                 # daily reduce + 3-EMA carry-state walk
+    "q_kaplan_meier",         # sessionize + bounded risk-table product
+    "q_haar_energy",          # decimal dyadic-block energies
+    "q_lcs_contamination",    # shingle-gated pairwise DP
+    "q_pq_ann_topk",          # PQ codes + ADC shortlist + exact re-rank
 ]
 
 

@@ -100,6 +100,13 @@ AUDITED = [
     "q_binseg_changepoint",
     "q_rrf_hybrid",
     "q_croston_intermittent",
+    # round-5 seventh wave
+    "q_goertzel_power",
+    "q_macd",
+    "q_kaplan_meier",
+    "q_haar_energy",
+    "q_lcs_contamination",
+    "q_pq_ann_topk",
 ]
 
 
