@@ -132,6 +132,9 @@ EXTRA = [
     "q_haar_energy",          # decimal dyadic-block energies
     "q_lcs_contamination",    # shingle-gated pairwise DP
     "q_pq_ann_topk",          # PQ codes + ADC shortlist + exact re-rank
+    # round-5 eighth wave
+    "q_kneser_ney_bigram",    # count-table reduces + 1-row type broadcast
+    "q_quantile_sketch",      # per-partition summaries + bounded window
 ]
 
 

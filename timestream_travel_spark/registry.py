@@ -169,3 +169,9 @@ def load_all() -> None:
         similarity6,
         timeseries12,
     )
+
+    # round-5 eighth-wave modules — same registered-last rule
+    from timestream_travel_spark.operators import (  # noqa: F401
+        llm_text17,
+        sketches,
+    )

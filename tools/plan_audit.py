@@ -107,6 +107,9 @@ AUDITED = [
     "q_haar_energy",
     "q_lcs_contamination",
     "q_pq_ann_topk",
+    # round-5 eighth wave
+    "q_kneser_ney_bigram",
+    "q_quantile_sketch",
 ]
 
 
