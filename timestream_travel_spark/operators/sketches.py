@@ -59,6 +59,34 @@ def quantile_summary(df: DataFrame, col: str) -> DataFrame:
     )
 
 
+def estimate_quantiles(summary: DataFrame, qs: list[float]) -> DataFrame:
+    """Cumulative-weight probe over ANY summary table (one-shot
+    sketch, live streaming store, or recompressed store): the
+    estimate for q is the smallest summary value whose cumulative
+    weight reaches q·n. The summary is bounded, so the global window
+    is parameter-sized."""
+    wcum = Window.orderBy("v", "w").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = summary.withColumn("cw", F.sum("w").over(wcum)).crossJoin(
+        F.broadcast(summary.agg(F.sum("w").alias("n")))
+    )
+    probes = None
+    for q in qs:
+        est = (
+            cum.filter(F.col("cw") * 1.0 >= F.lit(q) * F.col("n"))
+            .orderBy("v", "w")
+            .limit(1)
+            .select(
+                F.lit(q).alias("q"),
+                F.col("v").alias("est"),
+                F.col("n").cast("bigint").alias("n"),
+            )
+        )
+        probes = est if probes is None else probes.unionByName(est)
+    return probes
+
+
 @query("q_quantile_sketch")
 def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate p50/p90/p99 of events.value from the merged
@@ -77,25 +105,4 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-running the window gives incremental quantiles without
     rescanning history."""
     ev = load_table(spark, sf_dir, "events")
-    summ = quantile_summary(ev, "value")
-    # bounded summary table → global window is fine (documented)
-    wcum = Window.orderBy("v", "w").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = summ.withColumn("cw", F.sum("w").over(wcum)).crossJoin(
-        F.broadcast(summ.agg(F.sum("w").alias("n")))
-    )
-    probes = None
-    for q in QS:
-        est = (
-            cum.filter(F.col("cw") * 1.0 >= F.lit(q) * F.col("n"))
-            .orderBy("v", "w")
-            .limit(1)
-            .select(
-                F.lit(q).alias("q"),
-                F.col("v").alias("est"),
-                F.col("n").cast("bigint").alias("n"),
-            )
-        )
-        probes = est if probes is None else probes.unionByName(est)
-    return probes
+    return estimate_quantiles(quantile_summary(ev, "value"), QS)

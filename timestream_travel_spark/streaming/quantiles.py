@@ -1,0 +1,91 @@
+"""Streaming quantile-summary maintenance: keep the mergeable
+(value, weight) quantile sketch (operators/sketches.py) current as
+events arrive, so percentile dashboards never rescan history.
+
+Each micro-batch compresses ITS values into a bounded summary and
+appends it to the parquet summary store — incremental cost is
+O(batch); merge is UNION ALL by construction (weights add along the
+value axis), so the store grows by ≤ SKETCH_SIZE × partitions rows
+per batch, not with data volume. A periodic RECOMPRESS pass (same
+sort+compress over the summary itself, weights carried) bounds the
+store: summaries are themselves weighted value sets, so compressing
+a summary is the same operator applied recursively.
+
+At 100 TB this is the observability-side twin of streaming/ingest's
+Bloom gate: per-arrival cost stays bounded, and quantile queries
+(q_quantile_sketch's cumulative-weight probe) run on the bounded
+store at any time.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from timestream_travel_spark.operators.sketches import (
+    SKETCH_SIZE,
+    _SUMMARY_SCHEMA,
+    estimate_quantiles,
+    quantile_summary,
+)
+
+__all__ = [
+    "estimate_quantiles",
+    "maintain_quantile_summary",
+    "recompress_summary",
+]
+
+
+def maintain_quantile_summary(
+    stream: DataFrame, store_path: str, checkpoint: str, value_col: str = "value"
+):
+    """Start the maintenance query: append per-batch summaries to the
+    parquet store. Exactly-once per micro-batch via the checkpoint."""
+
+    def update(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        quantile_summary(batch_df, value_col).write.mode("append").parquet(store_path)
+
+    return (
+        stream.writeStream.foreachBatch(update)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _recompress_partition(batches):
+    """Weighted sort+compress: same move as the base summarizer but
+    value runs carry their accumulated weights."""
+    pairs: list[tuple[float, int]] = []
+    for pdf in batches:
+        pairs.extend(zip(pdf["v"].to_list(), pdf["w"].to_list()))
+    if not pairs:
+        return
+    pairs.sort()
+    total = sum(w for _, w in pairs)
+    step = max(1, (total + SKETCH_SIZE - 1) // SKETCH_SIZE)
+    out_v, out_w = [], []
+    acc = 0
+    for v, w in pairs:
+        acc += w
+        if out_v and acc <= step * len(out_v):
+            out_w[-1] += w
+            out_v[-1] = v
+        else:
+            out_v.append(v)
+            out_w.append(w)
+    yield pd.DataFrame({"v": out_v, "w": out_w})
+
+
+def recompress_summary(spark: SparkSession, store_path: str) -> DataFrame:
+    """Bound the store: fold the accumulated summaries back to
+    ≤ SKETCH_SIZE × partitions rows (weights preserved exactly —
+    the estimator's rank-error bound degrades by at most one extra
+    compression step)."""
+    return (
+        spark.read.parquet(store_path)
+        .repartition(1)
+        .mapInPandas(_recompress_partition, _SUMMARY_SCHEMA)
+    )
