@@ -28,7 +28,10 @@ from pyspark.sql.window import Window
 from timestream_travel_spark.registry import query
 from timestream_travel_spark.tables import load_table
 
-SESSION_GAP_S = 1800  # same 30-min gap as q_sessionize
+from timestream_travel_spark.operators.timeseries import (  # noqa: E402
+    SESSION_GAP_S,
+    sessionized,
+)
 
 
 @query(
@@ -79,21 +82,7 @@ def q_session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     probability is an exact bigint/bigint double division —
     cross-engine stable without quantization."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
-    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    prev_ts = F.lag("ts").over(w)
-    new_session = F.when(
-        prev_ts.isNull()
-        | ((F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)) > SESSION_GAP_S),
-        F.lit(1),
-    ).otherwise(F.lit(0))
-    sess = ev.select(
-        "user_id",
-        "ts",
-        "event_id",
-        "event_type",
-        F.sum(new_session).over(wrun).alias("session_id"),
-    )
+    sess = sessionized(ev, "event_type")
     ws = Window.partitionBy("user_id", "session_id").orderBy(F.asc("ts"), F.asc("event_id"))
     tr = sess.select(
         F.lag("event_type").over(ws).alias("prev_type"),

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from timestream_travel_spark.operators.timeseries import sessionized
 from timestream_travel_spark.registry import query
 from timestream_travel_spark.tables import load_table
 
@@ -385,21 +386,7 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined groupBy on short strings; TakeOrdered returns
     the top {TOP_PATHS} with a deterministic path tiebreak."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
-    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    prev_ts = F.lag("ts").over(w)
-    new_session = F.when(
-        prev_ts.isNull()
-        | ((F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)) > 1800),
-        F.lit(1),
-    ).otherwise(F.lit(0))
-    sess = ev.select(
-        "user_id",
-        "ts",
-        "event_id",
-        "event_type",
-        F.sum(new_session).over(wrun).alias("session_id"),
-    )
+    sess = sessionized(ev, "event_type")
     tag = F.concat(
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
         F.lit("|"),

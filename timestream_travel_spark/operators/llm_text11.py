@@ -112,6 +112,23 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
 
 
+def bigram_counts(d: DataFrame) -> DataFrame:
+    """(w1, w2, c) bigram count table over normalized tokens — the
+    shared statistic behind the MLE head (q_bigram_lm) and the
+    Kneser-Ney head (llm_text17): one tokenize + posexplode + hash
+    agg; the shuffle moves (w1, w2) count pairs, never documents."""
+    tokens = F.split(normalized_text("text"), " ")
+    pairs = d.select(
+        F.posexplode(F.slice(tokens, 1, F.size(tokens) - 1)).alias("i", "w1"),
+        tokens.alias("toks"),
+    ).select("w1", F.expr("toks[i + 1]").alias("w2"))
+    return pairs.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+
+
+# context-support floor shared by both LM heads
+BIGRAM_SUPPORT = 500
+
+
 @query(
     "q_bigram_lm",
     oracle="""
@@ -145,13 +162,8 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     count pairs, never documents; the n≥500 support floor keeps the
     context set bounded however large the corpus."""
     d = load_table(spark, sf_dir, "documents")
-    tokens = F.split(normalized_text("text"), " ")
-    pairs = d.select(
-        F.posexplode(F.slice(tokens, 1, F.size(tokens) - 1)).alias("i", "w1"),
-        tokens.alias("toks"),
-    ).select("w1", F.expr("toks[i + 1]").alias("w2"))
-    cnt = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c"))
-    tot = cnt.groupBy("w1").agg(F.sum("c").alias("n")).filter(F.col("n") >= 500)
+    cnt = bigram_counts(d)
+    tot = cnt.groupBy("w1").agg(F.sum("c").alias("n")).filter(F.col("n") >= BIGRAM_SUPPORT)
     ranked = (
         cnt.join(tot, "w1")
         .withColumn(

@@ -17,7 +17,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from timestream_travel_spark.operators.llm_text6 import _shingles, doc_words
+from timestream_travel_spark.operators.llm_text6 import BENCH_MOD, _shingles, doc_words
 from timestream_travel_spark.registry import query
 from timestream_travel_spark.tables import load_table
 
@@ -82,10 +82,10 @@ def q_lcs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     sh = d.select("doc_id", F.explode(_shingles(doc_words("text"))).alias("s"))
-    bench_sh = sh.filter(F.col("doc_id") % 29 == 0).select(
+    bench_sh = sh.filter(F.col("doc_id") % BENCH_MOD == 0).select(
         F.col("doc_id").alias("bench_id"), "s"
     ).distinct()
-    train_sh = sh.filter(F.col("doc_id") % 29 != 0).select(
+    train_sh = sh.filter(F.col("doc_id") % BENCH_MOD != 0).select(
         F.col("doc_id").alias("train_id"), "s"
     ).distinct()
     pairs = (

@@ -15,12 +15,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from timestream_travel_spark.operators.dedup import normalized_text
+from timestream_travel_spark.operators.llm_text11 import BIGRAM_SUPPORT, bigram_counts
 from timestream_travel_spark.registry import query
 from timestream_travel_spark.tables import load_table
 
 KN_DELTA = 0.75  # absolute discount; exactly representable in binary
-KN_SUPPORT = 500  # context floor, same as q_bigram_lm
+KN_SUPPORT = BIGRAM_SUPPORT  # context floor, SHARED with q_bigram_lm
 
 
 @query(
@@ -75,12 +75,7 @@ def q_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_series_derivative lesson: round() on computed doubles is not
     cross-engine stable at half boundaries)."""
     d = load_table(spark, sf_dir, "documents")
-    tokens = F.split(normalized_text("text"), " ")
-    pairs = d.select(
-        F.posexplode(F.slice(tokens, 1, F.size(tokens) - 1)).alias("i", "w1"),
-        tokens.alias("toks"),
-    ).select("w1", F.expr("toks[i + 1]").alias("w2"))
-    cnt = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    cnt = bigram_counts(d)  # shared with q_bigram_lm (llm_text11)
     ctx = cnt.groupBy("w1").agg(
         F.sum("c").alias("n"), F.count("*").alias("d1")
     ).filter(F.col("n") >= KN_SUPPORT)

@@ -19,6 +19,12 @@ from timestream_travel_spark.registry import query
 from timestream_travel_spark.tables import load_table
 
 
+# deterministic bench/train split: doc_id % BENCH_MOD == 0 is the
+# benchmark slice. SHARED by the candidate stage here and the LCS
+# verification stage (llm_text16) — change it in one place only.
+BENCH_MOD = 29
+
+
 def doc_words(text: Column | str) -> Column:
     """Non-empty whitespace tokens of a document."""
     c = F.col(text) if isinstance(text, str) else text
@@ -86,7 +92,7 @@ def _shingles(words: Column, n: int = 5) -> Column:
 
 @query(
     "q_contamination_ngrams",
-    oracle="""
+    oracle=f"""
     WITH w AS (
       SELECT doc_id,
              list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS ws
@@ -98,8 +104,8 @@ def _shingles(words: Column, n: int = 5) -> Column:
                                    i -> array_to_string(ws[i:i+4], ' '))) AS s
       FROM w WHERE len(ws) >= 5
     ),
-    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 29 = 0),
-    train AS (SELECT DISTINCT doc_id, s FROM sh WHERE doc_id % 29 <> 0),
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % {BENCH_MOD} = 0),
+    train AS (SELECT DISTINCT doc_id, s FROM sh WHERE doc_id % {BENCH_MOD} <> 0),
     base AS (SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY doc_id),
     hits AS (
       SELECT t.doc_id, COUNT(*) AS n_contaminated
@@ -125,8 +131,8 @@ def q_contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = d.select(
         "doc_id", F.explode(_shingles(doc_words("text"))).alias("s")
     )
-    bench = sh.filter(F.col("doc_id") % 29 == 0).select("s").distinct()
-    train = sh.filter(F.col("doc_id") % 29 != 0).distinct()
+    bench = sh.filter(F.col("doc_id") % BENCH_MOD == 0).select("s").distinct()
+    train = sh.filter(F.col("doc_id") % BENCH_MOD != 0).distinct()
     base = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     hits = (
         train.join(bench, "s", "left_semi")

@@ -70,18 +70,35 @@ def _codes_for(x, b):
     return np.argmin(x2 - 2.0 * xc + c2, axis=-1)  # (n, M)
 
 
+# memoized codebooks per fixture dir: training is several Spark jobs,
+# and registry builders must stay cheap to construct (the registry
+# contract tests build EVERY query) — fixtures are immutable, so the
+# learned codebook is a pure function of the sf_dir
+_BOOKS_CACHE: dict[str, list[list[list[float]]]] = {}
+
+
 def train_pq_codebooks(emb: DataFrame) -> list[list[list[float]]]:
     """Lloyd's k-means per subspace, all M subspaces updated in ONE
     Arrow pass per iteration: each partition batch emits bounded
-    (m, code, n, Σsubvector) partials, a tiny groupBy merges them,
-    and the driver rebuilds the M×K×D codebook (8×16×8 doubles).
-    Init: subvectors of the first PQ_K vectors by vec_id
-    (deterministic). Only codebook-sized state ever reaches the
-    driver — the shape that holds at 100 TB (ITERS × one scan)."""
+    (m, code, n, Σsubvector) partials and the DRIVER merges them in
+    a deterministically sorted order (a Spark-side F.sum over the
+    float64 partials would merge in task-completion order — the
+    order-dependent double-SUM hazard registry.py bans), then
+    rebuilds the M×K×D codebook (8×16×8 doubles). The query vector
+    (vec_id {QUERY_VEC_ID}) is EXCLUDED — the query must not bias
+    its own index. Init: subvectors of the first PQ_K corpus vectors
+    by vec_id (deterministic). Only codebook-sized state ever
+    reaches the driver — the shape that holds at 100 TB
+    (ITERS × one scan)."""
     import numpy as np
 
+    corpus = emb.filter(F.col("vec_id") != QUERY_VEC_ID)
     v = to_double_array(F.col("embedding"))
-    init_rows = emb.orderBy("vec_id").limit(PQ_K).select(v.alias("e")).collect()
+    init_rows = corpus.orderBy("vec_id").limit(PQ_K).select(v.alias("e")).collect()
+    if len(init_rows) < PQ_K:
+        raise ValueError(
+            f"PQ needs >= {PQ_K} corpus vectors to seed codebooks, got {len(init_rows)}"
+        )
     books = [
         [list(r["e"])[m * PQ_D : (m + 1) * PQ_D] for r in init_rows]
         for m in range(PQ_M)
@@ -115,24 +132,27 @@ def train_pq_codebooks(emb: DataFrame) -> list[list[list[float]]]:
                     }
                 )
 
-        merged = (
-            emb.select(v.alias("embedding"))
+        rows = (
+            corpus.select(v.alias("embedding"))
             .mapInArrow(partials, "m int, k int, n bigint, s array<double>")
-            .groupBy("m", "k")
-            .agg(
-                F.sum("n").alias("n"),
-                F.array(
-                    *[F.sum(F.element_at("s", i + 1)).alias(f"s{i}") for i in range(PQ_D)]
-                ).alias("s"),
-            )
             .collect()
         )
-        got = {
-            (r["m"], r["k"]): [x / r["n"] for x in r["s"]] for r in merged if r["n"]
-        }
+        # deterministic merge: sort the bounded partial list by value,
+        # then left-fold — identical result whatever the task order
+        acc: dict[tuple[int, int], tuple[int, list[float]]] = {}
+        for r in sorted(rows, key=lambda r: (r["m"], r["k"], r["n"], tuple(r["s"]))):
+            key = (r["m"], r["k"])
+            n0, s0 = acc.get(key, (0, [0.0] * PQ_D))
+            acc[key] = (n0 + r["n"], [a + x for a, x in zip(s0, r["s"])])
         # empty cells keep their previous centroid
         books = [
-            [got.get((m, k), books[m][k]) for k in range(PQ_K)] for m in range(PQ_M)
+            [
+                [x / acc[(m, k)][0] for x in acc[(m, k)][1]]
+                if (m, k) in acc
+                else books[m][k]
+                for k in range(PQ_K)
+            ]
+            for m in range(PQ_M)
         ]
     return books
 
@@ -170,7 +190,9 @@ def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings")
-    books = train_pq_codebooks(emb)
+    if sf_dir not in _BOOKS_CACHE:
+        _BOOKS_CACHE[sf_dir] = train_pq_codebooks(emb)
+    books = _BOOKS_CACHE[sf_dir]
     qvec = _query_vec(spark, sf_dir)
     b = _np_books(books)
     q = np.asarray(qvec, dtype=np.float64).reshape(PQ_M, 1, PQ_D)

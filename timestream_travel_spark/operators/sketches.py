@@ -28,24 +28,39 @@ QS = [0.5, 0.9, 0.99]  # probed quantiles
 _SUMMARY_SCHEMA = "v double, w bigint"
 
 
+def compress_weighted(pairs: list[tuple[float, int]]) -> tuple[list[float], list[int]]:
+    """Sort (value, weight) pairs and fold runs of ≈ total/SKETCH_SIZE
+    cumulative weight into single points whose representative is the
+    run's LAST value (an upper rank bound). Rank error per point ≤
+    its weight ≤ ceil(total/SKETCH_SIZE). The base summarizer is the
+    w=1 case; the streaming recompressor applies the SAME fold to
+    already-weighted summaries — one algorithm, one error argument."""
+    pairs.sort()
+    total = sum(w for _, w in pairs)
+    step = max(1, (total + SKETCH_SIZE - 1) // SKETCH_SIZE)
+    out_v: list[float] = []
+    out_w: list[int] = []
+    acc = 0
+    for v, w in pairs:
+        acc += w
+        if out_v and acc <= step * len(out_v):
+            out_w[-1] += w
+            out_v[-1] = v
+        else:
+            out_v.append(v)
+            out_w.append(w)
+    return out_v, out_w
+
+
 def _summarize_partition(batches):
-    """Sort the partition's values and emit SKETCH_SIZE evenly-spaced
-    (value, weight) points: point i covers the run of values whose
-    representative (the run's LAST value — an upper rank bound) it
-    is. Per-partition rank error ≤ ceil(n_p / SKETCH_SIZE)."""
+    """Per-partition sketch: the weighted fold applied to unit
+    weights. Per-partition rank error ≤ ceil(n_p / SKETCH_SIZE)."""
     vals: list[float] = []
     for pdf in batches:
         vals.extend(pdf["value"].to_list())
     if not vals:
         return
-    vals.sort()
-    n = len(vals)
-    out_v, out_w = [], []
-    step = max(1, (n + SKETCH_SIZE - 1) // SKETCH_SIZE)
-    for lo in range(0, n, step):
-        hi = min(lo + step, n)
-        out_v.append(vals[hi - 1])
-        out_w.append(hi - lo)
+    out_v, out_w = compress_weighted([(v, 1) for v in vals])
     yield pd.DataFrame({"v": out_v, "w": out_w})
 
 
@@ -63,28 +78,45 @@ def estimate_quantiles(summary: DataFrame, qs: list[float]) -> DataFrame:
     """Cumulative-weight probe over ANY summary table (one-shot
     sketch, live streaming store, or recompressed store): the
     estimate for q is the smallest summary value whose cumulative
-    weight reaches q·n. The summary is bounded, so the global window
-    is parameter-sized."""
+    weight reaches q·n. ONE aggregation answers every probe —
+    min(v) over the qualifying rows per q — so the summary subplan
+    (which may wrap a corpus-sized mapInPandas) executes exactly
+    once, not once per probe per referenced branch. The summary is
+    bounded, so the windowed cumulative table is parameter-sized."""
     wcum = Window.orderBy("v", "w").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    cum = summary.withColumn("cw", F.sum("w").over(wcum)).crossJoin(
-        F.broadcast(summary.agg(F.sum("w").alias("n")))
+    cum = summary.select(
+        "v", "w", F.sum("w").over(wcum).alias("cw"), F.sum("w").over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n")
     )
-    probes = None
-    for q in qs:
-        est = (
-            cum.filter(F.col("cw") * 1.0 >= F.lit(q) * F.col("n"))
-            .orderBy("v", "w")
-            .limit(1)
-            .select(
-                F.lit(q).alias("q"),
-                F.col("v").alias("est"),
-                F.col("n").cast("bigint").alias("n"),
+    one = cum.agg(
+        F.max("n").alias("n"),
+        *[
+            F.min(F.when(F.col("cw") * 1.0 >= F.lit(q) * F.col("n"), F.col("v"))).alias(
+                f"est_{i}"
             )
-        )
-        probes = est if probes is None else probes.unionByName(est)
-    return probes
+            for i, q in enumerate(qs)
+        ],
+    )
+    # unpivot the single row via ONE explode (three union branches
+    # would reference — and potentially re-execute — the aggregate
+    # subtree three times)
+    return one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("q"),
+                        F.col(f"est_{i}").alias("est"),
+                        F.col("n").cast("bigint").alias("n"),
+                    )
+                    for i, q in enumerate(qs)
+                ]
+            )
+        ).alias("e")
+    ).select("e.q", "e.est", "e.n")
 
 
 @query("q_quantile_sketch")

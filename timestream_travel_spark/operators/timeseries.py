@@ -64,6 +64,34 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SESSION_GAP_S = 1800  # 30-min inactivity gap, shared engine-wide
+
+
+def sessionized(ev, *extra_cols: str):
+    """(user_id, ts, event_id, *extra_cols, session_id): THE
+    sessionizer — gap > SESSION_GAP_S starts a new session; lag-flag
+    + running sum over the (user_id, ts, event_id) order, one
+    user_id exchange. Shared by q_sessionize, session transitions
+    (analytics2), session paths (analytics3), and Kaplan-Meier
+    session durations (timeseries12) so the gap rule and tie-break
+    can never drift between operators."""
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | ((F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)) > SESSION_GAP_S),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        *extra_cols,
+        F.sum(new_session).over(wrun).alias("session_id"),
+    )
+
+
 @query(
     "q_sessionize",
     oracle="""
@@ -93,16 +121,7 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: gap > 30 min starts a new session. lag-flag +
     running sum — one shuffle on user_id, linear state (B.9)."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
-    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    prev_ts = F.lag("ts").over(w)
-    new_session = F.when(
-        prev_ts.isNull() | ((F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)) > 1800), F.lit(1)
-    ).otherwise(F.lit(0))
-    sessions = ev.select(
-        "user_id", "ts", "event_id", F.sum(new_session).over(wrun).alias("session_id")
-    )
+    sessions = sessionized(load_table(spark, sf_dir, "events"))
     return sessions.groupBy("user_id", F.col("session_id").cast("bigint").alias("session_id")).agg(
         F.count("*").alias("n_events"),
         ts_str(F.min("ts"), "session_start"),

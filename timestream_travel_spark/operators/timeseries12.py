@@ -239,7 +239,11 @@ def q_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------- Kaplan-Meier
 
-SESSION_GAP_S = 1800  # same 30-min gap as q_sessionize
+from timestream_travel_spark.operators.timeseries import (  # noqa: E402
+    SESSION_GAP_S,
+    sessionized,
+)
+
 KM_CENSOR_S = 1800  # sessions ending within 30 min of the data edge
 #                     may still be open → right-censored
 
@@ -353,17 +357,7 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     compared unrounded (each factor is one correctly-rounded integer
     division, each step one multiply)."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
-    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    prev_ts = F.lag("ts").over(w)
-    new_session = F.when(
-        prev_ts.isNull()
-        | ((F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)) > SESSION_GAP_S),
-        F.lit(1),
-    ).otherwise(F.lit(0))
-    sess = ev.select(
-        "user_id", "ts", "event_id", F.sum(new_session).over(wrun).alias("session_id")
-    )
+    sess = sessionized(ev)
     bounds = sess.groupBy("user_id", "session_id").agg(
         F.min("ts").alias("t0"), F.max("ts").alias("t1")
     )

@@ -21,10 +21,11 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from timestream_travel_spark.operators.sketches import (
-    SKETCH_SIZE,
     _SUMMARY_SCHEMA,
+    compress_weighted,
     estimate_quantiles,
     quantile_summary,
 )
@@ -39,13 +40,26 @@ __all__ = [
 def maintain_quantile_summary(
     stream: DataFrame, store_path: str, checkpoint: str, value_col: str = "value"
 ):
-    """Start the maintenance query: append per-batch summaries to the
-    parquet store. Exactly-once per micro-batch via the checkpoint."""
+    """Start the maintenance query. foreachBatch is at-least-once (a
+    batch can be replayed after a failure between the sink write and
+    the checkpoint commit), so a blind append would double-count a
+    replayed batch's weights; writing each batch into its OWN
+    epoch=<id> partition with dynamic partition overwrite makes the
+    replay idempotent — the rerun replaces exactly its partition
+    (the same batches-own-their-pages contract as the streaming
+    Timestream-wire writer)."""
 
     def update(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        quantile_summary(batch_df, value_col).write.mode("append").parquet(store_path)
+        (
+            quantile_summary(batch_df, value_col)
+            .withColumn("epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(store_path)
+        )
 
     return (
         stream.writeStream.foreachBatch(update)
@@ -56,26 +70,14 @@ def maintain_quantile_summary(
 
 
 def _recompress_partition(batches):
-    """Weighted sort+compress: same move as the base summarizer but
-    value runs carry their accumulated weights."""
+    """The shared weighted fold (operators/sketches.compress_weighted)
+    applied to already-weighted summary rows."""
     pairs: list[tuple[float, int]] = []
     for pdf in batches:
         pairs.extend(zip(pdf["v"].to_list(), pdf["w"].to_list()))
     if not pairs:
         return
-    pairs.sort()
-    total = sum(w for _, w in pairs)
-    step = max(1, (total + SKETCH_SIZE - 1) // SKETCH_SIZE)
-    out_v, out_w = [], []
-    acc = 0
-    for v, w in pairs:
-        acc += w
-        if out_v and acc <= step * len(out_v):
-            out_w[-1] += w
-            out_v[-1] = v
-        else:
-            out_v.append(v)
-            out_w.append(w)
+    out_v, out_w = compress_weighted(pairs)
     yield pd.DataFrame({"v": out_v, "w": out_w})
 
 
