@@ -135,6 +135,9 @@ EXTRA = [
     # round-5 eighth wave
     "q_kneser_ney_bigram",    # count-table reduces + 1-row type broadcast
     "q_quantile_sketch",      # per-partition summaries + bounded window
+    # round-5 ninth wave
+    "q_table_profile",        # one-pass 44-statistic profile + explode
+    "q_allen_relations",      # session bounds x broadcast windows, 13-way CASE
 ]
 
 

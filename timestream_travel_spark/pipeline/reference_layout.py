@@ -194,23 +194,27 @@ def backup_reference_layout(
                     final = os.path.join(dest, key)
                     os.makedirs(os.path.dirname(final), exist_ok=True)
                     try:
-                        # atomic claim: O_EXCL create, then replace — two
-                        # concurrent tasks can't both win the same key
-                        os.close(os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+                        # atomic claim-and-move: hard-link the staged file
+                        # to its final key (fails atomically if the key
+                        # exists), then drop the staged name. Unlike an
+                        # O_EXCL placeholder + replace, there is NO window
+                        # in which another task can observe a half-claimed
+                        # (empty) target and misread it as orphaned — the
+                        # race a loaded full-suite run actually hit.
+                        os.link(src, final)
+                        os.unlink(src)
                     except FileExistsError:
                         if not os.path.exists(src):
                             pass  # task retry: move already happened — idempotent
-                        elif os.path.getsize(final) == 0:
-                            # orphaned placeholder: a prior attempt died
-                            # between claim and replace — finish the move
-                            os.replace(src, final)
+                        elif os.path.samefile(src, final):
+                            # prior attempt died between link and unlink —
+                            # finish the move
+                            os.unlink(src)
                         else:
                             raise FileExistsError(
                                 f"reference-key collision: {key} already exists "
                                 f"(two chunks with identical bounds+CRC)"
                             ) from None
-                    else:
-                        os.replace(src, final)
                     keys_out.append(key)
                 yield pd.DataFrame({"key": keys_out})
 

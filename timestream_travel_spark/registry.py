@@ -175,3 +175,9 @@ def load_all() -> None:
         llm_text17,
         sketches,
     )
+
+    # round-5 ninth-wave modules — same registered-last rule
+    from timestream_travel_spark.operators import (  # noqa: F401
+        joins3,
+        profiling,
+    )

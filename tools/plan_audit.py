@@ -110,6 +110,9 @@ AUDITED = [
     # round-5 eighth wave
     "q_kneser_ney_bigram",
     "q_quantile_sketch",
+    # round-5 ninth wave
+    "q_table_profile",
+    "q_allen_relations",
 ]
 
 
