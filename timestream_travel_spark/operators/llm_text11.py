@@ -116,7 +116,10 @@ def bigram_counts(d: DataFrame) -> DataFrame:
     """(w1, w2, c) bigram count table over normalized tokens — the
     shared statistic behind the MLE head (q_bigram_lm) and the
     Kneser-Ney head (llm_text17): one tokenize + posexplode + hash
-    agg; the shuffle moves (w1, w2) count pairs, never documents."""
+    agg; the shuffle moves (w1, w2) count pairs, never documents.
+    Pre-explode repartition per the minhash_signatures rule: a
+    single parquet split must not serialize the tokenize pass."""
+    d = d.repartition(d.sparkSession.sparkContext.defaultParallelism, "doc_id")
     tokens = F.split(normalized_text("text"), " ")
     pairs = d.select(
         F.posexplode(F.slice(tokens, 1, F.size(tokens) - 1)).alias("i", "w1"),

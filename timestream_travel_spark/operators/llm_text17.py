@@ -75,7 +75,11 @@ def q_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_series_derivative lesson: round() on computed doubles is not
     cross-engine stable at half boundaries)."""
     d = load_table(spark, sf_dir, "documents")
-    cnt = bigram_counts(d)  # shared with q_bigram_lm (llm_text11)
+    # shared with q_bigram_lm (llm_text11); lazily checkpointed
+    # because FOUR consumers reference it (ctx, cont, types, the
+    # scored join) and Catalyst re-executes an un-materialized
+    # subtree per reference (measured 7.3 s → ~2 s at sf0.1)
+    cnt = bigram_counts(d).localCheckpoint(eager=False)
     ctx = cnt.groupBy("w1").agg(
         F.sum("c").alias("n"), F.count("*").alias("d1")
     ).filter(F.col("n") >= KN_SUPPORT)
