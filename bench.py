@@ -136,8 +136,10 @@ EXTRA = [
     "q_kneser_ney_bigram",    # count-table reduces + 1-row type broadcast
     "q_quantile_sketch",      # per-partition summaries + bounded window
     # round-5 ninth wave
-    "q_table_profile",        # one-pass 44-statistic profile + explode
+    "q_table_profile",        # per-column distinct-reduce union
     "q_allen_relations",      # session bounds x broadcast windows, 13-way CASE
+    # round-5 tenth wave
+    "q_fano_burstiness",      # hourly reduce + integer moments
 ]
 
 
@@ -213,6 +215,29 @@ def main() -> None:
         errors["minhash_index"] = f"{type(exc).__name__}: {exc}"[:500]
     finally:
         for d in idx_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+
+    # persisted PQ index: same build-once/read-many split as minhash
+    from timestream_travel_spark.operators.similarity6 import (
+        build_pq_index,
+        pq_topk_from_index,
+    )
+
+    pq_dirs = [tempfile.mkdtemp(prefix="pq_idx_") for _ in range(reps)]
+    try:
+        pq_iter = iter(pq_dirs)
+        record("pq_index_build", lambda: build_pq_index(spark, sf_dir, next(pq_iter)))
+        record(
+            "q_pq_from_index",
+            lambda: pq_topk_from_index(spark, sf_dir, pq_dirs[0])
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+        )
+    except Exception as exc:  # noqa: BLE001 — same isolation as record()
+        errors["pq_index"] = f"{type(exc).__name__}: {exc}"[:500]
+    finally:
+        for d in pq_dirs:
             shutil.rmtree(d, ignore_errors=True)
 
     # headline total stays comparable across rounds: the index

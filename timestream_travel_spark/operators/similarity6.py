@@ -166,6 +166,102 @@ def _l2sq_lit(a: Column, b: list[float]) -> Column:
     )
 
 
+def encode_pq_codes(emb: DataFrame, books: list[list[list[float]]]) -> DataFrame:
+    """(vec_id, codes array<int>) — the PERSISTENT PQ index payload:
+    one Arrow-vectorized pass, {PQ_M} small ints per vector."""
+    b = _np_books(books)
+
+    def enc(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column("vec_id").to_numpy()
+            x = _embedding_matrix(batch)
+            if x.size == 0:
+                continue
+            codes = _codes_for(x, b)
+            yield pa.record_batch(
+                {
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "codes": pa.array(codes.tolist(), pa.list_(pa.int32())),
+                }
+            )
+
+    v = to_double_array(F.col("embedding"))
+    return emb.select("vec_id", v.alias("embedding")).mapInArrow(
+        enc, "vec_id bigint, codes array<int>"
+    )
+
+
+def build_pq_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Materialize the PQ index: the (vec_id, codes) table plus the
+    frozen codebook, both parquet. Every subsequent ANN query (and
+    the streaming maintenance job) reuses the frozen codebook and
+    the stored codes instead of retraining/re-encoding — the same
+    build-once/read-many contract as build_minhash_index, at
+    {PQ_M} ints/vector instead of raw floats."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    if sf_dir not in _BOOKS_CACHE:
+        _BOOKS_CACHE[sf_dir] = train_pq_codebooks(emb)
+    books = _BOOKS_CACHE[sf_dir]
+    encode_pq_codes(emb, books).write.mode("overwrite").parquet(f"{path}/codes")
+    rows = [
+        (m, k, [float(x) for x in books[m][k]])
+        for m in range(PQ_M)
+        for k in range(PQ_K)
+    ]
+    spark.createDataFrame(rows, "m int, k int, cent array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/codebook")
+
+
+def pq_topk_from_index(spark: SparkSession, sf_dir: str, path: str) -> DataFrame:
+    """Top-{TOP_K} from a pre-built PQ index: load the frozen
+    codebook (bounded — M×K rows to the driver), build the query's
+    ADC table, score the STORED codes with an in-row M-lookup sum
+    (the expensive encode never re-runs), shortlist, exact re-rank.
+    The bench reports the build-vs-query split."""
+    import numpy as np
+
+    cb = spark.read.parquet(f"{path}/codebook").collect()
+    books = [[None] * PQ_K for _ in range(PQ_M)]
+    for r in cb:
+        books[r["m"]][r["k"]] = list(r["cent"])
+    qvec = _query_vec(spark, sf_dir)
+    b = _np_books(books)
+    q = np.asarray(qvec, dtype=np.float64).reshape(PQ_M, 1, PQ_D)
+    table = ((q - b) ** 2).sum(axis=-1)  # (M, K)
+    table_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in row]) for row in table.tolist()]
+    )
+    adc_terms = [
+        F.element_at(
+            F.element_at(table_lit, m + 1), F.element_at("codes", m + 1) + 1
+        )
+        for m in range(PQ_M)
+    ]
+    adc = adc_terms[0]
+    for t in adc_terms[1:]:
+        adc = adc + t
+    shortlist = (
+        spark.read.parquet(f"{path}/codes")
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", adc.alias("adc"))
+        .orderBy(F.asc("adc"), F.asc("vec_id"))
+        .limit(PQ_SHORTLIST)
+        .select("vec_id")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = to_double_array(F.col("embedding"))
+    exact = _l2sq_lit(v, qvec)
+    return (
+        emb.join(F.broadcast(shortlist), "vec_id")
+        .select("vec_id", F.round(exact, 6).alias("l2sq"))
+        .orderBy(F.asc("l2sq"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
 @query("q_pq_ann_topk")
 def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{TOP_K} ANN via product quantization with asymmetric

@@ -530,3 +530,86 @@ def q_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.unionByName(approx).select(
         "event_type", F.col("level").cast("int").alias("level"), "energy"
     )
+
+
+# ------------------------------------------------------- Fano burstiness
+
+
+@query(
+    "q_fano_burstiness",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             date_diff('hour', TIMESTAMP '2024-01-01 00:00:00',
+                       date_trunc('hour', ts)) AS h,
+             COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ), span AS (
+      SELECT date_diff('hour', MIN(date_trunc('hour', ts)),
+                       MAX(date_trunc('hour', ts))) + 1 AS n_hours
+      FROM events
+    ), moments AS (
+      SELECT event_type,
+             SUM(c) AS s1,
+             SUM(c * c) AS s2
+      FROM hourly GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n_hours AS BIGINT) AS n_hours,
+           CAST(s1 AS BIGINT) AS n_events,
+           (CAST(s2 AS DOUBLE) / CAST(n_hours AS DOUBLE)
+            - (CAST(s1 AS DOUBLE) / CAST(n_hours AS DOUBLE))
+              * (CAST(s1 AS DOUBLE) / CAST(n_hours AS DOUBLE)))
+           / (CAST(s1 AS DOUBLE) / CAST(n_hours AS DOUBLE)) AS fano
+    FROM moments CROSS JOIN span
+    """,
+)
+def q_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (index of dispersion) of each event_type's hourly
+    arrival counts over the fixture's full hour span — variance/mean
+    of the count process. ≈1 is Poisson-like arrival, >1 bursty,
+    <1 regular; the standard burstiness diagnostic for event
+    streams. Zero hours count (they carry the burstiness signal),
+    but never materialize: with s1 = Σc and s2 = Σc² over OBSERVED
+    hours only, the population moments over ALL n hours are
+    mean = s1/n and E[c²] = s2/n exactly (zeros add nothing to
+    either sum).
+
+    Scale shape: one map-side-combined (event_type, hour) reduce +
+    one tiny moments reduce; the hour span is a 1-row broadcast.
+    Every operand is an exact integer entering an identically
+    parenthesized double expression — each step correctly rounded
+    in both engines — emitted UNROUNDED."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch0 = F.unix_timestamp(F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    hourly = ev.groupBy(
+        "event_type",
+        ((F.unix_timestamp(F.date_trunc("hour", "ts")) - epoch0) / 3600)
+        .cast("bigint")
+        .alias("h"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    span = ev.agg(
+        (
+            (
+                F.unix_timestamp(F.date_trunc("hour", F.max("ts")))
+                - F.unix_timestamp(F.date_trunc("hour", F.min("ts")))
+            )
+            / 3600
+            + 1
+        )
+        .cast("bigint")
+        .alias("n_hours")
+    )
+    moments = hourly.groupBy("event_type").agg(
+        F.sum("c").alias("s1"), F.sum(F.col("c") * F.col("c")).alias("s2")
+    )
+    mean = F.col("s1").cast("double") / F.col("n_hours").cast("double")
+    fano = (
+        F.col("s2").cast("double") / F.col("n_hours").cast("double") - mean * mean
+    ) / mean
+    return moments.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        F.col("n_hours").cast("bigint").alias("n_hours"),
+        F.col("s1").cast("bigint").alias("n_events"),
+        fano.alias("fano"),
+    )

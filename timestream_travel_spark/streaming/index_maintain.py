@@ -52,3 +52,38 @@ def maintain_minhash_index(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def maintain_pq_index(
+    stream,
+    index_path: str,
+    checkpoint: str,
+    books: list[list[list[float]]],
+):
+    """Streaming PQ-index maintenance: encode each micro-batch's
+    vectors against the FROZEN codebook (standard PQ practice —
+    codebooks train once, arrivals are coded forever after) and
+    append to the index's codes table. Incremental cost is O(batch);
+    the encoded index stays byte-compatible with
+    similarity6.pq_topk_from_index. Appends are safe to replay only
+    because encoding is deterministic (argmin takes the first
+    minimum) — a replayed batch writes identical rows; dedup by
+    vec_id at read time is unnecessary for exactly-once sources and
+    available via dropDuplicates for at-least-once ones."""
+    from pyspark.sql import DataFrame
+
+    from timestream_travel_spark.operators.similarity6 import encode_pq_codes
+
+    def update(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        encode_pq_codes(batch_df, books).write.mode("append").parquet(
+            f"{index_path}/codes"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(update)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

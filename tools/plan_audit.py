@@ -113,6 +113,8 @@ AUDITED = [
     # round-5 ninth wave
     "q_table_profile",
     "q_allen_relations",
+    # round-5 tenth wave
+    "q_fano_burstiness",
 ]
 
 
