@@ -89,6 +89,28 @@ def build_parser() -> argparse.ArgumentParser:
     z.add_argument("--cols", required=True, help="two comma-separated layout columns, e.g. user_id,ts")
     z.add_argument("--rows-per-file", type=int, default=100_000, help="rows per output file")
     z.add_argument("--verbose", action="store_true")
+    ru = sub.add_parser(
+        "rollup", help="materialize or refresh the hourly scheduled-rollup table"
+    )
+    ru.add_argument("--source", required=True, help="events parquet path or table dir")
+    ru.add_argument("--dest", required=True, help="rollup table destination")
+    ru.add_argument(
+        "--refresh",
+        action="store_true",
+        help="incremental refresh from the stored high-water mark (default: full build)",
+    )
+    ru.add_argument("--verbose", action="store_true")
+
+    rt = sub.add_parser(
+        "retention", help="drop backup __date partitions older than the retention window"
+    )
+    rt.add_argument("--dest", required=True, help="backup destination to expire")
+    rt.add_argument(
+        "--keep-from", required=True, help="first yyyyMMdd date to KEEP (older dates drop)"
+    )
+    rt.add_argument("--dry-run", action="store_true", help="report only, delete nothing")
+    rt.add_argument("--verbose", action="store_true")
+
     q = sub.add_parser("query", help="run a named engine query against a table directory")
     q.add_argument("name", nargs="?", default=None, help="registry query name (omit to list all)")
     q.add_argument("--data", default=None, help="directory holding the parquet tables")
@@ -159,6 +181,33 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.backup, args.dest, schema=args.schema, dedup_key=args.dedup_key
         )
         log.info("restored %d rows (%d read) -> %s", stats["rows_out"], stats["rows_in"], args.dest)
+        return 0
+
+    if args.command == "rollup":
+        from timestream_travel_spark.pipeline.rollup import build_rollup, refresh_rollup
+        from timestream_travel_spark.tables import ensure_timestamp
+
+        spark = get_spark("timestream-travel-rollup")
+        events = ensure_timestamp(spark.read.parquet(args.source), "ts")
+        if args.refresh:
+            n = refresh_rollup(spark, events, args.dest)
+            log.info("refreshed %d hour partition(s) -> %s", n, args.dest)
+        else:
+            build_rollup(spark, events, args.dest)
+            log.info("built rollup -> %s", args.dest)
+        return 0
+
+    if args.command == "retention":
+        from timestream_travel_spark.pipeline.retention import enforce_retention
+
+        spark = get_spark("timestream-travel-retention")
+        dropped = enforce_retention(
+            spark, args.dest, args.keep_from, dry_run=args.dry_run
+        )
+        verb = "would drop" if args.dry_run else "dropped"
+        for date, n in sorted(dropped.items()):
+            log.info("%s %d partition dir(s) for __date=%s", verb, n, date)
+        log.info("%s %d expired date(s) before %s", verb, len(dropped), args.keep_from)
         return 0
 
     if args.command == "query":

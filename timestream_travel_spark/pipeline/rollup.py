@@ -1,0 +1,120 @@
+"""Scheduled-rollup materialization (round-5 wave 10) — the engine's
+answer to Amazon Timestream's *scheduled queries*: a periodically
+refreshed hourly aggregate table that downstream dashboards query
+instead of the raw events.
+
+Design (incremental view maintenance, partition-grain):
+- the rollup is parquet partitioned by `__hour` (hour-truncated
+  timestamp string — also the refresh grain);
+- each refresh recomputes ONLY hours at-or-after the stored
+  high-water mark and replaces exactly those partitions (dynamic
+  partition overwrite — idempotent on re-run, the same
+  replays-replace contract as streaming/quantiles);
+- the last materialized hour is always recomputed because it may
+  have been partial at the previous refresh; hours strictly before
+  the HWM are immutable (the reference's time-ordered ingest model,
+  cmd/backup.go:241 ORDER BY time).
+- aggregates are exact DECIMAL sums + counts + min/max, so
+  coarser aggregations (daily, weekly) derive EXACTLY from the
+  rollup without touching raw data — `daily_from_hourly` is pinned
+  to byte-parity with the direct daily aggregate by pytest.
+
+At 100 TB this is the load-bearing pattern: dashboards hit
+|types|×|hours| rows instead of the event stream, and each refresh
+scans only the ingest tail (pushdown on ts ≥ hwm reaches the
+parquet scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ROLLUP_AGGS = "n_events, sum_value (DECIMAL-exact), min_value, max_value, n_users"
+
+
+def _hourly(events: DataFrame) -> DataFrame:
+    return (
+        events.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias(
+                "__hour"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(20,4)")).alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def build_rollup(spark: SparkSession, events: DataFrame, dest: str) -> None:
+    """Initial materialization: full hourly aggregate, partitioned
+    by the refresh grain."""
+    (
+        _hourly(events)
+        .repartition("__hour")
+        .write.mode("overwrite")
+        .partitionBy("__hour")
+        .parquet(dest)
+    )
+
+
+def rollup_hwm(spark: SparkSession, dest: str) -> str | None:
+    """Latest materialized hour (the partition key IS the HWM — no
+    separate manifest to drift). Partition-column type inference
+    reads `__hour` back as TIMESTAMP, so normalize to the canonical
+    'yyyy-MM-dd HH:mm:ss' string."""
+    row = (
+        spark.read.parquet(dest)
+        .agg(F.max(F.col("__hour").cast("string")).alias("h"))
+        .collect()[0]
+    )
+    return row["h"]
+
+
+def refresh_rollup(spark: SparkSession, events: DataFrame, dest: str) -> int:
+    """Incremental refresh: recompute hours ≥ HWM from the ingest
+    tail and replace exactly those partitions. The HWM hour itself
+    is included (it may have been partial); earlier hours are
+    immutable under time-ordered ingest. Returns the number of
+    hour-partitions rewritten."""
+    hwm = rollup_hwm(spark, dest)
+    tail = events
+    if hwm is not None:
+        # pushdown-friendly: ts >= hwm hour start reaches the scan
+        tail = events.filter(F.col("ts") >= F.lit(hwm).cast("timestamp"))
+    fresh = _hourly(tail)
+    n = fresh.select("__hour").distinct().count()
+    (
+        fresh.repartition("__hour")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__hour")
+        .parquet(dest)
+    )
+    return n
+
+
+def daily_from_hourly(spark: SparkSession, dest: str) -> DataFrame:
+    """Answer the daily dashboard query FROM the rollup: counts and
+    DECIMAL sums re-aggregate exactly; min/max compose; n_users is
+    NOT derivable from hourly distincts (documented — the rollup
+    would carry an HLL sketch column for mergeable distincts at
+    scale, cf. q_hll_cardinality)."""
+    r = spark.read.parquet(dest)
+    return (
+        r.groupBy(
+            "event_type",
+            F.substring("__hour", 1, 10).alias("day"),
+        )
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("sum_value").cast("double").alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
