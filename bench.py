@@ -140,6 +140,7 @@ EXTRA = [
     "q_allen_relations",      # session bounds x broadcast windows, 13-way CASE
     # round-5 tenth wave
     "q_fano_burstiness",      # hourly reduce + integer moments
+    "q_event_pattern_match",  # session strings x broadcast regex patterns
 ]
 
 

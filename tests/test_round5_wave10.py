@@ -109,3 +109,40 @@ def test_fano_poisson_near_one_and_bursty_above(spark, tmp_path):
     # bursty: mean 3/hour, mass in 4 cells of 150 → fano >> 1
     assert out["bursty"].fano > 50
     assert out["regular"].n_hours == out["bursty"].n_hours == 200
+
+
+def test_event_pattern_match_counts_are_consistent(spark, sf_dir):
+    """Pattern counts: every pattern sees the same session universe,
+    matched ≤ total, and a hand-checked session matches the regex
+    semantics (v.*c.*p == ordered subsequence v,c,p)."""
+    import re
+
+    from timestream_travel_spark.operators.joins3 import (
+        EVENT_PATTERNS,
+        q_event_pattern_match,
+    )
+    from timestream_travel_spark.operators.timeseries import sessionized
+
+    out = {r.pattern_name: r for r in q_event_pattern_match(spark, sf_dir).collect()}
+    assert set(out) == {n for n, _ in EVENT_PATTERNS}
+    totals = {r.n_sessions for r in out.values()}
+    assert len(totals) == 1  # same session universe per pattern
+    for r in out.values():
+        assert 0 <= r.n_matched <= r.n_sessions
+    # python re parity on the reconstructed session strings
+    ev = load_table(spark, sf_dir, "events")
+    sess = sessionized(ev, "event_type").collect()
+    by_session: dict[tuple, list] = {}
+    for row in sess:
+        by_session.setdefault((row.user_id, row.session_id), []).append(row)
+    seqs = [
+        "".join(
+            e.event_type[0]
+            for e in sorted(v, key=lambda e: (e.ts, e.event_id))
+        )
+        for v in by_session.values()
+    ]
+    assert len(seqs) == next(iter(totals))
+    for name, pat in EVENT_PATTERNS:
+        expect = sum(1 for s in seqs if re.search(pat, s))
+        assert out[name].n_matched == expect, (name, out[name].n_matched, expect)

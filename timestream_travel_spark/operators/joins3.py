@@ -131,3 +131,89 @@ def q_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy(rel.alias("relation")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs")
     )
+
+
+# ------------------------------------------------- event-pattern match
+
+# MATCH_RECOGNIZE-lite: each session becomes a string of event-type
+# initials in time order; row-pattern queries are then plain regexes
+# over that string. Patterns shared by both engines (Java ∩ DuckDB-RE2
+# subset — the q_pii_scrub rule: no lookbehind, no backrefs).
+EVENT_PATTERNS: list[tuple[str, str]] = [
+    ("view_to_purchase", "v.*c.*p"),  # funnel: view ... click ... purchase
+    ("double_error", "e.*e"),  # at least two errors in one session
+    ("signup_first", "^s"),  # session opens with a signup
+]
+
+
+@query(
+    "q_event_pattern_match",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                       - CAST(floor(epoch(lag(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) > 1800
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS session_id
+      FROM flagged
+    ), strings AS (
+      SELECT user_id, session_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+      FROM sess GROUP BY user_id, session_id
+    ), pat(pattern_name, pattern) AS (
+      VALUES {", ".join(f"('{n}', '{p}')" for n, p in EVENT_PATTERNS)}
+    )
+    SELECT p.pattern_name,
+           COUNT(*) FILTER (WHERE regexp_matches(s.seq, p.pattern)) AS n_matched,
+           COUNT(*) AS n_sessions
+    FROM strings s CROSS JOIN pat p
+    GROUP BY p.pattern_name
+    """,
+)
+def q_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-pattern matching over sessions (MATCH_RECOGNIZE-lite):
+    each session reduces to its time-ordered string of event-type
+    initials, and patterns like view→…→click→…→purchase become plain
+    regexes over that string — the composable poor-man's form of
+    SQL:2016 row-pattern recognition, strictly more expressive than
+    the fixed-stage funnel (q_funnel_conversion) for ordering
+    constraints.
+
+    Scale shape: the shared sessionizer's one user_id exchange +
+    a per-session sort-collect (session-bounded strings, the
+    q_session_paths shape); the pattern table is a literal broadcast,
+    so matching is a map-side regexp over |sessions|×|patterns|
+    rows with a combined count."""
+    sess = sessionized(load_table(spark, sf_dir, "events"), "event_type")
+    strings = (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("i"))
+                        )
+                    ),
+                    lambda s: s["i"],
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+    pats = spark.createDataFrame(EVENT_PATTERNS, "pattern_name string, pattern string")
+    return (
+        strings.crossJoin(F.broadcast(pats))
+        .groupBy("pattern_name")
+        .agg(
+            F.sum(F.regexp_like(F.col("seq"), F.col("pattern")).cast("bigint")).alias("n_matched"),
+            F.count(F.lit(1)).alias("n_sessions"),
+        )
+    )

@@ -115,6 +115,7 @@ AUDITED = [
     "q_allen_relations",
     # round-5 tenth wave
     "q_fano_burstiness",
+    "q_event_pattern_match",
 ]
 
 
