@@ -90,3 +90,45 @@ def test_quantile_sketch_merge_is_union(spark, sf_dir):
     tot1 = s1.agg(F.sum("w").alias("w")).collect()[0].w
     tot2 = merged.agg(F.sum("w").alias("w")).collect()[0].w
     assert tot2 == 2 * tot1
+
+
+def test_compress_weighted_properties_hypothesis():
+    """Randomized invariants of the shared weighted compressor:
+    exact weight conservation, the SKETCH_SIZE+1 point bound, sorted
+    unique-ish representatives, and the per-point weight bound that
+    the rank-error argument rests on (each point's weight ≤
+    step + max single input weight − 1)."""
+    from hypothesis import given, settings, strategies as st
+
+    from timestream_travel_spark.operators.sketches import (
+        SKETCH_SIZE,
+        compress_weighted,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.floats(-1e6, 1e6, allow_nan=False),
+                st.integers(min_value=1, max_value=1000),
+            ),
+            min_size=1,
+            max_size=500,
+        )
+    )
+    def check(pairs):
+        total = sum(w for _, w in pairs)
+        max_w = max(w for _, w in pairs)
+        out_v, out_w = compress_weighted(list(pairs))
+        assert sum(out_w) == total  # exact conservation
+        assert len(out_v) <= SKETCH_SIZE + 1
+        assert out_v == sorted(out_v)  # representatives ascend
+        step = max(1, (total + SKETCH_SIZE - 1) // SKETCH_SIZE)
+        # a point absorbs follow-on pairs only while cumulative weight
+        # stays within its step budget, so its weight is < step + max_w
+        assert all(w < step + max_w for w in out_w)
+        # every representative is an actual input value
+        vals = {v for v, _ in pairs}
+        assert all(v in vals for v in out_v)
+
+    check()
