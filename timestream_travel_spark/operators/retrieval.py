@@ -146,6 +146,16 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PMI_MIN_PAIRS = 20  # minimum co-occurring docs for a pair to score
 PMI_TOP_K = 30
+# Pair generation is restricted to the TOP_V most document-frequent
+# terms (deterministic df-then-term cut) BEFORE the within-doc
+# self-join — the standard collocation-mining vocabulary restriction.
+# Without it a single 10k-distinct-term document contributes 50M
+# candidate pairs; with it the per-doc pair fan-out is bounded by
+# min(doc_vocab, V)². Applied identically in the DuckDB oracle so
+# the pruning is part of the query's definition, not an
+# approximation. df/n_docs statistics still come from the FULL token
+# table — pruning limits which pairs are scored, not how they score.
+PMI_TOP_V = 2000
 
 
 _PMI_ORACLE = f"""
@@ -161,9 +171,13 @@ WITH toks AS (
   SELECT COUNT(DISTINCT doc_id) AS n FROM toks
 ), tc AS (
   SELECT term, COUNT(*) AS df FROM toks GROUP BY term
+), topv AS (
+  SELECT term FROM tc ORDER BY df DESC, term LIMIT {PMI_TOP_V}
+), ptoks AS (
+  SELECT t.doc_id, t.term FROM toks t JOIN topv v ON t.term = v.term
 ), pairs AS (
   SELECT a.term AS term_a, b.term AS term_b, COUNT(*) AS n_ab
-  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.term < b.term
+  FROM ptoks a JOIN ptoks b ON a.doc_id = b.doc_id AND a.term < b.term
   GROUP BY a.term, b.term
   HAVING COUNT(*) >= {PMI_MIN_PAIRS}
 )
@@ -187,15 +201,20 @@ def q_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-occur in the same documents more than independence predicts.
     The collocation/phrase-mining primitive of a corpus pipeline.
 
-    Plan: one documents scan → per-doc DISTINCT term set → within-doc
-    self-join (term_a < term_b) → pair counts with a min-support
-    HAVING → two broadcast joins against the term-frequency table →
-    decimal-quantized ln ratio → top-k. 100 TB shape: the within-doc
-    self-join is quadratic in per-doc DISTINCT vocabulary, so at
-    scale the standard pruning applies FIRST (restrict to a top-V
-    frequency vocabulary and/or min-df floor, both one broadcast
-    semi-join); the min-support HAVING keeps the pair table sparse.
-    ln() quantizes through DECIMAL(20,8) (the q_unigram_logprob rule).
+    Plan: one documents scan → per-doc DISTINCT term set → top-V
+    vocabulary cut (one bounded df agg + TakeOrdered, broadcast
+    semi-joined onto the token table) → within-doc self-join
+    (term_a < term_b) over the PRUNED tokens → pair counts with a
+    min-support HAVING → two broadcast joins against the FULL
+    term-frequency table → decimal-quantized ln ratio → top-k.
+    100 TB shape: the within-doc self-join is quadratic in per-doc
+    distinct vocabulary, so the top-{PMI_TOP_V} restriction runs
+    FIRST — per-doc pair fan-out is bounded by min(vocab, V)² and a
+    pathological long document can no longer explode the pair table;
+    the min-support HAVING keeps what remains sparse. The pruning is
+    in the oracle too (same deterministic df-desc/term cut), so it
+    is the query's definition in both engines. ln() quantizes
+    through DECIMAL(20,8) (the q_unigram_logprob rule).
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
@@ -208,8 +227,10 @@ def q_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     n_docs = toks.agg(F.count_distinct("doc_id").alias("n"))
     tc = toks.groupBy("term").agg(F.count("*").alias("df"))
-    a = toks.alias("a")
-    b = toks.alias("b")
+    topv = tc.orderBy(F.desc("df"), F.asc("term")).limit(PMI_TOP_V).select("term")
+    ptoks = toks.join(F.broadcast(topv), "term", "left_semi")
+    a = ptoks.alias("a")
+    b = ptoks.alias("b")
     pairs = (
         a.join(
             b,

@@ -158,20 +158,84 @@ def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions: percent_rank, cume_dist,
-    first/nth value over full-partition frames (B.5 completeness)."""
+    first/nth value over full-partition frames (B.5 completeness).
+
+    100 TB plan (round-6 rewrite; the r5 form ran Window.orderBy with
+    no partitioning — Spark's own `WindowExec: No Partition Defined`
+    single-task warning): the ordering (c_acctbal, c_custkey) is
+    total (custkey unique → no ties), so percent_rank = (rk−1)/(n−1)
+    and cume_dist = rk/n with rk the global row rank — computed by
+    the Gini-style sharded two-phase prefix sum (analytics2.py):
+    rows shard by a fixed acctbal-range bucket (monotone in the
+    leading sort key), rank = local row_number within the shard +
+    the prefix count of earlier shards from a TINY shard-count
+    table; no row ever crosses a single-task window. The per-segment
+    first/nth_value reduce to the segment's top-2 custkeys: local
+    top-2 per (segment, shard) — parallel bounded windows — then a
+    final window over ≤2·#shards candidate rows per segment.
+    Oracle unchanged: same values, scale-safe plan."""
     c = load_table(spark, sf_dir, "customer")
-    w_ord = Window.orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
-    w_seg = (
-        Window.partitionBy("c_mktsegment")
-        .orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
-    return c.select(
+    rows = c.select(
         "c_custkey",
-        F.round(F.percent_rank().over(w_ord), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w_ord), 6).alias("cume"),
-        F.first("c_custkey").over(w_seg).alias("segment_top_cust"),
-        F.nth_value("c_custkey", 2).over(w_seg).alias("segment_second_cust"),
+        "c_acctbal",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 128).cast("bigint").alias("shard"),
+    )
+    # Two-phase distributed rank: bounded shard-count table carries
+    # both the prefix offset and the grand total.
+    w_prev = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.partitionBy()
+    shard_off = (
+        rows.groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "shard",
+            F.coalesce(F.sum("cnt").over(w_prev), F.lit(0)).alias("off"),
+            F.sum("cnt").over(w_all).alias("n"),
+        )
+    )
+    w_local = Window.partitionBy("shard").orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+    ranked = rows.join(F.broadcast(shard_off), "shard").select(
+        "c_custkey",
+        "c_acctbal",
+        "c_mktsegment",
+        (F.row_number().over(w_local) + F.col("off")).alias("rk"),
+        "n",
+    )
+    # Segment top-2: per-(segment, shard) bounded top-2, then a final
+    # window over the tiny candidate set.
+    w_ls = Window.partitionBy("c_mktsegment", "shard").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    cands = (
+        rows.withColumn("lrn", F.row_number().over(w_ls))
+        .filter(F.col("lrn") <= 2)
+        .drop("lrn")
+    )
+    w_seg = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    seg_top = (
+        cands.withColumn("rn", F.row_number().over(w_seg))
+        .filter(F.col("rn") <= 2)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("c_custkey"))).alias(
+                "segment_top_cust"
+            ),
+            F.max(F.when(F.col("rn") == 2, F.col("c_custkey"))).alias(
+                "segment_second_cust"
+            ),
+        )
+    )
+    rk, n = F.col("rk"), F.col("n")
+    pct = F.when(n > 1, (rk - 1).cast("double") / (n - 1)).otherwise(F.lit(0.0))
+    return ranked.join(F.broadcast(seg_top), "c_mktsegment").select(
+        "c_custkey",
+        F.round(pct, 6).alias("pct_rank"),
+        F.round(rk.cast("double") / n, 6).alias("cume"),
+        "segment_top_cust",
+        "segment_second_cust",
     )
 
 

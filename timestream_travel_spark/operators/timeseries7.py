@@ -212,6 +212,15 @@ def q_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Weighted-median shard width (price units per shard). TPC-H
+# l_extendedprice spans ~[900, 105k] → ~200 shards at width 512; the
+# shard count is bounded by the PRICE DOMAIN, not the data volume, so
+# the phase-2 prefix-sum table stays tiny at any SF while the one
+# crossing shard that reaches a WindowExec holds ~1/#shards of a
+# flag's rows. Narrow the width to shrink that bounded slice further.
+_WM_SHARD_WIDTH = 512
+
+
 @query(
     "q_weighted_median",
     oracle="""
@@ -233,30 +242,81 @@ def q_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted median (50th weighted percentile): the
     quantity-weighted median extended price per return flag — the
-    first cumulative-weight crossing of half the group total. The
-    cumulative weight runs as an exact DECIMAL window sum on a fully
-    deterministic ordering, so the crossing row (and hence the
-    answer) is engine-independent; the crossing test `2·cw ≥ tot`
-    stays in DECIMAL (no float half-total). ONE lineitem scan: the
-    group total rides the same window pass (full-frame sum on the cw
-    partitioning — no extra exchange), so the final agg needs no
-    join back to a separate totals scan."""
+    first cumulative-weight crossing of half the group total, on the
+    fully deterministic ordering (price, orderkey, linenumber) so
+    the crossing row is engine-independent; the crossing test
+    `2·cw ≥ tot` stays in DECIMAL (no float half-total).
+
+    100 TB plan (round-6 rewrite; the r5 form ran the cumulative
+    window partitioned by l_returnflag — 3 distinct values, so every
+    flag's entire lineitem slice sorted through ONE WindowExec task):
+    the Gini-style value-range-sharded two-phase prefix sum
+    (q_gini_concentration, analytics2.py). Rows shard by a fixed
+    price bucket (shard id monotone in the ordering's leading key;
+    equal prices land in the same shard, so shards partition the
+    sort order). Phase 1 is a plain (flag, shard) groupBy — map-side
+    combined, fully parallel, the only corpus-sized shuffle. Phase 2
+    prefix-sums the TINY (flag, shard) weight table (bounded by the
+    price domain, not the data volume) to find, per flag, the ONE
+    shard whose cumulative weight crosses half the total. Only that
+    crossing shard's rows — a bounded 1/#shards slice, tunable via
+    _WM_SHARD_WIDTH — are re-scanned and sorted by the local
+    cumulative window; every other row never reaches a WindowExec.
+    Prices are monotone across shards, so the min-crossing-price
+    within the crossing shard IS the global answer. Weights stay
+    DECIMAL end-to-end; total_qty exact by the same sums."""
     li = load_table(spark, sf_dir, "lineitem")
     qdec = F.col("l_quantity").cast("decimal(20,4)")
-    w = (
+    shard = F.floor(F.col("l_extendedprice") / _WM_SHARD_WIDTH).cast("bigint")
+    rows = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        "l_orderkey",
+        "l_linenumber",
+        qdec.alias("qty"),
+        shard.alias("shard"),
+    )
+    # Phase 1: per-(flag, shard) weight — the only full-data shuffle.
+    shard_w = rows.groupBy("l_returnflag", "shard").agg(F.sum("qty").alias("sw"))
+    # Phase 2: prefix sum over the bounded shard table; keep the one
+    # shard per flag where the cumulative weight crosses tot/2.
+    w_prev = (
         Window.partitionBy("l_returnflag")
+        .orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_flag = Window.partitionBy("l_returnflag")
+    marked = shard_w.select(
+        "l_returnflag",
+        "shard",
+        F.coalesce(F.sum("sw").over(w_prev), F.lit(0).cast("decimal(20,4)")).alias(
+            "off"
+        ),
+        "sw",
+        F.sum("sw").over(w_flag).alias("tot"),
+    )
+    crossing = marked.filter(
+        (F.lit(2) * (F.col("off") + F.col("sw")) >= F.col("tot"))
+        & (F.lit(2) * F.col("off") < F.col("tot"))
+    )
+    # Re-scan only the crossing shard; the local cumulative window
+    # sees a bounded slice (one shard per flag), seeded by `off`.
+    w_local = (
+        Window.partitionBy("l_returnflag", "shard")
         .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    wtot = Window.partitionBy("l_returnflag")
-    c = li.select(
+    cand = rows.join(
+        F.broadcast(crossing.select("l_returnflag", "shard", "off", "tot")),
+        ["l_returnflag", "shard"],
+    ).select(
         "l_returnflag",
         "l_extendedprice",
-        F.sum(qdec).over(w).alias("cw"),
-        F.sum(qdec).over(wtot).alias("tot"),
+        "tot",
+        (F.col("off") + F.sum("qty").over(w_local)).alias("cw"),
     )
     return (
-        c.filter(F.lit(2) * F.col("cw") >= F.col("tot"))
+        cand.filter(F.lit(2) * F.col("cw") >= F.col("tot"))
         .groupBy("l_returnflag")
         .agg(
             F.min("l_extendedprice").alias("weighted_median_price"),
