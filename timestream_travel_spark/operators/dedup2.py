@@ -159,6 +159,117 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+    stats: dict | None = None,
+) -> DataFrame:
+    """(node, cluster) by alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14 — public algorithm). Same contract as
+    `connected_components` (cluster = component-min node id); a
+    second, independently-derived engine for the same answer.
+
+    Each round rewrites the EDGE set toward a star per component:
+
+    - large-star: per node u with closed neighborhood min
+      m = min(Γ(u) ∪ {u}), re-attach every STRICTLY LARGER neighbor
+      to m — emit (v, m) for v ∈ Γ(u), v > u. Each undirected edge
+      is processed at exactly one endpoint (the smaller), so the
+      output edge count never grows.
+    - small-star: orient every edge to its smaller endpoint, then per
+      node u re-attach u and all its (now strictly smaller) neighbors
+      to m — emit (u, m) and (v, m) for v ∈ Γ(u) \\ {m}.
+
+    Both are one groupBy-min plus one broadcast-shaped join per
+    round — no grandparent self-join — and the paper proves
+    O(log² n) rounds worst-case (O(log n) in practice), so
+    chain-shaped 100 TB graphs converge without the per-round label
+    table that FastSV shortcuts through. Convergence = the small-star
+    output reaches a fixpoint, detected by a one-scan (count,
+    hash-sum, min, max) signature of the canonical edge set; each
+    round's edges are localCheckpoint'ed to truncate lineage. The
+    parity pytest (test_round6.py) pins this against
+    `connected_components` on the documents near-dup graph, random
+    graphs, and a 2000-node chain; SCALING.md records measured round
+    counts for both engines."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _signature(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal accumulator: a long sum of xxhash64 overflows
+            # under ANSI mode
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+            F.min("a").alias("mna"),
+            F.max("b").alias("mxb"),
+        ).collect()[0]
+        return (row["n"], row["h"], row["mna"], row["mxb"])
+
+    sig = _signature(e)
+    rounds = 0
+    converged = False
+    for _ in range(max_iter):
+        # large-star: neighbors from BOTH orientations; only larger
+        # neighbors re-attach, so process each edge at its smaller end
+        sym = e.select("a", "b").union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        mins = sym.groupBy("a").agg(
+            F.least(F.min("b"), F.first("a")).alias("m")
+        )
+        large = (
+            sym.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("m").alias("a"), F.col("b").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # small-star: edges already oriented (a < b) = to the smaller
+        # endpoint; group at the LARGER endpoint u=b over neighbors
+        # v=a < u, m = min neighbor; re-attach u and non-min neighbors
+        smins = large.groupBy("b").agg(F.min("a").alias("m"))
+        small = (
+            large.join(smins, "b")
+            .select(
+                F.col("m").alias("a"),
+                F.when(F.col("a") == F.col("m"), F.col("b")).otherwise(
+                    F.col("a")
+                ).alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        rounds += 1
+        new_sig = _signature(small)
+        e = small
+        if new_sig == sig:
+            converged = True
+            break
+        sig = new_sig
+    if stats is not None:
+        stats["rounds"] = rounds
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} rounds"
+        )
+    # fixpoint edges are stars (node → component min); roots self-map
+    return (
+        e.select(F.col("b").alias("node"), F.col("a").alias("cluster"))
+        .union(e.select(F.col("a").alias("node"), F.col("a").alias("cluster")))
+        .distinct()
+    )
+
+
 @query(
     "q_dedup_clusters",
     oracle="""
