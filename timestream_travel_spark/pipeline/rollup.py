@@ -27,8 +27,11 @@ parquet scan).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 ROLLUP_AGGS = "n_events, sum_value (DECIMAL-exact), min_value, max_value, n_users"
 
@@ -67,26 +70,65 @@ def rollup_hwm(spark: SparkSession, dest: str) -> str | None:
     """Latest materialized hour (the partition key IS the HWM — no
     separate manifest to drift). Partition-column type inference
     reads `__hour` back as TIMESTAMP, so normalize to the canonical
-    'yyyy-MM-dd HH:mm:ss' string."""
-    row = (
-        spark.read.parquet(dest)
-        .agg(F.max(F.col("__hour").cast("string")).alias("h"))
-        .collect()[0]
-    )
+    'yyyy-MM-dd HH:mm:ss' string. Returns None when the destination
+    has never been built (missing path or empty rollup), so refresh
+    can fall back to a full build instead of failing."""
+    try:
+        row = (
+            spark.read.parquet(dest)
+            .agg(F.max(F.col("__hour").cast("string")).alias("h"))
+            .collect()[0]
+        )
+    except AnalysisException:
+        return None
     return row["h"]
 
 
-def refresh_rollup(spark: SparkSession, events: DataFrame, dest: str) -> int:
+def refresh_rollup(
+    spark: SparkSession,
+    events: DataFrame,
+    dest: str,
+    audit_tail: bool = False,
+) -> int:
     """Incremental refresh: recompute hours ≥ HWM from the ingest
     tail and replace exactly those partitions. The HWM hour itself
     is included (it may have been partial); earlier hours are
-    immutable under time-ordered ingest. Returns the number of
-    hour-partitions rewritten."""
+    immutable under TIME-ORDERED ingest. That assumption is
+    documented AND now observable: `audit_tail=True` reconciles the
+    pre-HWM row count between source and rollup (one count-aggregate
+    each side) and logs a warning with the exact drift when
+    late-arriving rows landed behind the HWM — the silent-drop mode
+    this had before. The audit rescans history, so it is opt-in (a
+    scheduled job might run it daily while refreshing hourly). A
+    never-built/empty destination falls back to the full build
+    instead of raising AnalysisException, so `cli rollup --refresh`
+    is safe to run unconditionally on a schedule. Returns the number
+    of hour-partitions rewritten."""
     hwm = rollup_hwm(spark, dest)
-    tail = events
-    if hwm is not None:
-        # pushdown-friendly: ts >= hwm hour start reaches the scan
-        tail = events.filter(F.col("ts") >= F.lit(hwm).cast("timestamp"))
+    if hwm is None:
+        build_rollup(spark, events, dest)
+        return spark.read.parquet(dest).select("__hour").distinct().count()
+    if audit_tail:
+        src_n = events.filter(F.col("ts") < F.lit(hwm).cast("timestamp")).count()
+        dst_n = (
+            spark.read.parquet(dest)
+            .filter(F.col("__hour").cast("string") < hwm)
+            .agg(F.sum("n_events").cast("bigint").alias("n"))
+            .collect()[0]["n"]
+            or 0
+        )
+        if src_n != dst_n:
+            logging.getLogger(__name__).warning(
+                "refresh_rollup: %d source rows before HWM hour %s vs %d "
+                "rolled-up — out-of-order ingest landed rows behind the HWM; "
+                "they are NOT recomputed by incremental refresh (rebuild "
+                "with build_rollup to capture them)",
+                src_n,
+                hwm,
+                dst_n,
+            )
+    # pushdown-friendly: ts >= hwm hour start reaches the scan
+    tail = events.filter(F.col("ts") >= F.lit(hwm).cast("timestamp"))
     fresh = _hourly(tail)
     n = fresh.select("__hour").distinct().count()
     (

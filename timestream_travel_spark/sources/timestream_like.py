@@ -219,6 +219,7 @@ class TimestreamLikeStreamReader(SimpleDataSourceStreamReader):
 
 import dataclasses
 import os as _os
+import re as _re
 import uuid as _uuid
 
 from pyspark.sql.datasource import DataSourceStreamWriter, DataSourceWriter, WriterCommitMessage
@@ -262,16 +263,35 @@ class TimestreamLikeWriter(DataSourceWriter):
             json.dump(_encode_page(rows, self.fields), fh, sort_keys=True)
         return PageCommit(staged=staged, rows=len(rows))
 
-    def _finalize(self, messages, prefix: str = "") -> None:
+    # batch pages only — stream pages are page-bNNNNN-MMMMM.json and
+    # belong to their batchId, never to this writer
+    _BATCH_PAGE_RE = _re.compile(r"page-(\d{5})\.json$")
+
+    def _batch_pages(self) -> list[tuple[int, str]]:
+        out = []
+        for p in glob.glob(_os.path.join(self.path, "page-*.json")):
+            m = self._BATCH_PAGE_RE.search(p)
+            if m:
+                out.append((int(m.group(1)), p))
+        return out
+
+    def _finalize(self, messages) -> None:
         _os.makedirs(self.path, exist_ok=True)
-        existing = len(glob.glob(_os.path.join(self.path, "page-*.json")))
+        # next index = max existing batch-page number + 1: counting
+        # files instead would re-issue a gapped number (crashed
+        # commit, manual deletion) and clobber a live page
+        nxt = max((n for n, _ in self._batch_pages()), default=-1) + 1
         for i, msg in enumerate(messages):
-            final = _os.path.join(self.path, f"page-{prefix}{existing + i:05d}.json")
-            _os.replace(msg.staged, final)
+            final = _os.path.join(self.path, f"page-{nxt + i:05d}.json")
+            # exclusive claim: hard-link + unlink raises FileExistsError
+            # if the target unexpectedly exists instead of silently
+            # overwriting someone else's page
+            _os.link(msg.staged, final)
+            _os.unlink(msg.staged)
 
     def commit(self, messages) -> None:
         if self.overwrite:
-            for p in glob.glob(_os.path.join(self.path, "page-*.json")):
+            for _, p in self._batch_pages():
                 _os.remove(p)
         self._finalize(messages)
 

@@ -31,10 +31,17 @@ from timestream_travel_spark.operators.sketches import (
 )
 
 __all__ = [
+    "COMPACT_EPOCH",
+    "compact_summary_store",
     "estimate_quantiles",
     "maintain_quantile_summary",
     "recompress_summary",
 ]
+
+# Reserved epoch partition for compacted rows: no Structured
+# Streaming batchId is ever negative, so a replayed batch can never
+# dynamic-overwrite the compacted baseline.
+COMPACT_EPOCH = -1
 
 
 def maintain_quantile_summary(
@@ -85,9 +92,49 @@ def recompress_summary(spark: SparkSession, store_path: str) -> DataFrame:
     """Bound the store: fold the accumulated summaries back to
     ≤ SKETCH_SIZE × partitions rows (weights preserved exactly —
     the estimator's rank-error bound degrades by at most one extra
-    compression step)."""
+    compression step).
+
+    Returns a LAZY plan still reading store_path — do NOT write it
+    back onto store_path (read-while-overwrite corrupts the read);
+    use `compact_summary_store` for in-place compaction."""
     return (
         spark.read.parquet(store_path)
         .repartition(1)
         .mapInPandas(_recompress_partition, _SUMMARY_SCHEMA)
     )
+
+
+def compact_summary_store(spark: SparkSession, store_path: str) -> None:
+    """In-place store compaction with the replay contract intact:
+
+    1. recompress into a TEMP sibling path (the lazy recompress plan
+       reads store_path, so writing onto store_path directly would
+       read-while-overwrite);
+    2. land the folded rows in the reserved epoch={COMPACT_EPOCH}
+       partition, preserving the epoch-partition layout that
+       maintain_quantile_summary's dynamic-overwrite replay
+       idempotence depends on — a replayed batch epoch can only ever
+       replace its OWN partition, never the compacted baseline;
+    3. atomically swap temp → store (rename-rename-delete; on an
+       object store run the same sequence through the Hadoop
+       FileSystem API — rename is the contract, not POSIX).
+
+    Safe to run between maintenance triggers; running it twice is a
+    no-op fold of the already-compacted rows."""
+    import os
+    import shutil
+
+    tmp = store_path.rstrip("/") + ".__compact_tmp"
+    old = store_path.rstrip("/") + ".__compact_old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        recompress_summary(spark, store_path)
+        .withColumn("epoch", F.lit(COMPACT_EPOCH))
+        .write.mode("overwrite")
+        .partitionBy("epoch")
+        .parquet(tmp)
+    )
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(store_path, old)
+    os.rename(tmp, store_path)
+    shutil.rmtree(old)

@@ -33,8 +33,14 @@ def _update(
     (user_id,) = key
     last_s, last_type = state.get if state.exists else (None, None)
     out_ids, out_prev, out_next = [], [], []
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"])
+    # a key's rows within one micro-batch can span multiple Arrow
+    # chunks in arbitrary order — materialize them all and sort ONCE,
+    # or the carry-state walk diverges from batch semantics whenever
+    # a later chunk holds earlier rows (state stays one pair per key;
+    # only the micro-batch's own rows are buffered)
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
         # floor-seconds, matching batch unix_timestamp() semantics
         secs = pdf["ts"].astype("int64") // 1_000_000_000
         for eid, s, etype in zip(pdf["event_id"], secs, pdf["event_type"]):
