@@ -141,6 +141,16 @@ EXTRA = [
     # round-5 tenth wave
     "q_fano_burstiness",      # hourly reduce + integer moments
     "q_event_pattern_match",  # session strings x broadcast regex patterns
+    # round-6: r5-wave queries the verdict flagged as missing from the
+    # timed set, plus the new composed pipeline and the distributed-
+    # rank rewrite (q_weighted_median / q_pmi_cooccurrence keep their
+    # existing rows — same names, new plans)
+    "q_sorted_neighborhood_pairs",  # per-block sort + lead() window
+    "q_weighted_sample",            # A-ES one scan + TakeOrdered
+    "q_mmr_diverse_topk",           # bounded-pool greedy diversity
+    "q_grouping_id",                # grouping-sets metadata
+    "q_window_distribution",        # sharded global rank + segment top-2
+    "q_sax_dtw_neardups",           # SAX buckets -> banded DTW verify
 ]
 
 

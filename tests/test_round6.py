@@ -443,3 +443,144 @@ def test_reference_layout_fs_leg_rerun_is_idempotent(spark, sf_dir, tmp_path):
         backup_reference_layout(
             spark, ev, cfg, database="db", table="events", use_filesystem_api=True
         )
+
+
+def test_sax_dtw_neardups_gate_subset_of_candidates(spark, sf_dir):
+    """q_sax_dtw_neardups = SAX candidates → DTW verify → normalized
+    gate: every returned pair must exist in the ungated candidate
+    output with identical DTW, satisfy the gate, and the set of
+    dropped pairs must be exactly the above-gate candidates."""
+    from timestream_travel_spark.operators.similarity4 import (
+        SAX_DTW_MAX_NORM,
+        dtw_sax_candidate_pairs,
+        q_sax_dtw_neardups,
+    )
+
+    cands = {
+        (r["user_a"], r["user_b"]): r for r in dtw_sax_candidate_pairs(spark, sf_dir).collect()
+    }
+    kept = q_sax_dtw_neardups(spark, sf_dir).collect()
+    assert kept, "gate dropped every candidate — recalibrate SAX_DTW_MAX_NORM"
+    for r in kept:
+        key = (r["user_a"], r["user_b"])
+        assert key in cands
+        assert r["dtw"] == cands[key]["dtw"]
+        assert r["norm_dtw"] == r["dtw"] / max(r["n_a"], r["n_b"])
+        assert r["norm_dtw"] <= SAX_DTW_MAX_NORM
+    expected_kept = {
+        k
+        for k, r in cands.items()
+        if r["dtw"] / max(r["n_a"], r["n_b"]) <= SAX_DTW_MAX_NORM
+    }
+    assert {(r["user_a"], r["user_b"]) for r in kept} == expected_kept
+
+
+def test_wave710_operators_on_degenerate_fixtures(spark, tmp_path):
+    """Degenerate battery for the r5 wave-7..10 operators (Goertzel,
+    Haar, Kaplan-Meier, Fano, row-pattern match): empty events table,
+    a single event, an all-constant signal, and an all-censored
+    session population must run clean with structurally sane output."""
+    import datetime
+    import math
+
+    from timestream_travel_spark.operators.joins3 import q_event_pattern_match
+    from timestream_travel_spark.operators.timeseries12 import (
+        q_fano_burstiness,
+        q_goertzel_power,
+        q_haar_energy,
+        q_kaplan_meier,
+    )
+
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string"
+    )
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    # fixture 1: EMPTY events
+    sf_empty = str(tmp_path / "sf_empty")
+    spark.createDataFrame([], schema).write.mode("overwrite").parquet(
+        f"{sf_empty}/events.parquet"
+    )
+    # fixture 2: ONE event
+    sf_one = str(tmp_path / "sf_one")
+    spark.createDataFrame([(1, t0, 1, "purchase", 5.0, "{}")], schema).write.mode(
+        "overwrite"
+    ).parquet(f"{sf_one}/events.parquet")
+    # fixture 3: CONSTANT signal, 48 hourly points, one user; every
+    # session ends at the data edge (all-censored for KM)
+    sf_const = str(tmp_path / "sf_const")
+    rows = [
+        (i + 1, t0 + datetime.timedelta(hours=i), 1, "purchase", 2.0, "{}")
+        for i in range(48)
+    ]
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        f"{sf_const}/events.parquet"
+    )
+
+    for sf in (sf_empty, sf_one, sf_const):
+        for q in (
+            q_goertzel_power,
+            q_haar_energy,
+            q_kaplan_meier,
+            q_fano_burstiness,
+            q_event_pattern_match,
+        ):
+            q(spark, sf).collect()  # must not raise on any fixture
+
+    # structural checks on the non-trivial fixtures
+    # Goertzel on a CONSTANT 24h-periodic-free signal: v(h)=const*2
+    # per hod (48h → every hod has weight 2·2.0=4.0); a constant
+    # series has zero power at every nonzero harmonic
+    gz = {r["event_type"]: r for r in q_goertzel_power(spark, sf_const).collect()}
+    assert math.isclose(gz["purchase"]["power_24h"], 0.0, abs_tol=1e-18)
+    assert math.isclose(gz["purchase"]["power_12h"], 0.0, abs_tol=1e-18)
+
+    # Haar on a constant signal: all detail (high-band) energy is 0
+    hr = q_haar_energy(spark, sf_const).collect()
+    assert hr
+    for r in hr:
+        for name in r.asDict():
+            if name.startswith("d") and name.endswith("_energy"):
+                assert abs(r[name]) < 1e-12, (name, r[name])
+
+    # Kaplan-Meier single event: one session, censored or not, the
+    # curve exists and survival stays within [0, 1]
+    km_one = q_kaplan_meier(spark, sf_one).collect()
+    for r in km_one:
+        assert 0.0 <= r["survival"] <= 1.0
+    # all-censored: every session ends within KM_CENSOR_S of the data
+    # edge (3 users, 10-min cadence inside the final 20 minutes) →
+    # right-censored → no death ever observed → survival ≡ 1
+    import datetime as _dt
+
+    sf_cens = str(tmp_path / "sf_cens")
+    cens_rows = []
+    eid = 0
+    for u in (1, 2, 3):
+        for k in (0, 1, 2):
+            eid += 1
+            cens_rows.append(
+                (eid, t0 + _dt.timedelta(minutes=10 * k), u, "click", 1.0, "{}")
+            )
+    spark.createDataFrame(cens_rows, schema).write.mode("overwrite").parquet(
+        f"{sf_cens}/events.parquet"
+    )
+    km_c = q_kaplan_meier(spark, sf_cens).collect()
+    for r in km_c:
+        assert r["d_events"] == 0
+        assert r["survival"] == 1.0
+
+    # Fano of a deterministic one-event-per-hour process: var 0 →
+    # fano 0 for the purchase row
+    fano = {r["event_type"]: r for r in q_fano_burstiness(spark, sf_const).collect()}
+    if "purchase" in fano:
+        row = fano["purchase"].asDict()
+        fcol = [v for k, v in row.items() if "fano" in k.lower()]
+        assert fcol and abs(fcol[0]) < 1e-12
+
+    # pattern match on single-event sessions: no multi-event session
+    # exists in sf_one, so no multi-step pattern can match (the query
+    # emits one count row per pattern)
+    for r in q_event_pattern_match(spark, sf_one).collect():
+        assert r["n_matched"] == 0, r

@@ -31,6 +31,13 @@ from timestream_travel_spark.tables import load_table
 
 DTW_TOP_USERS = 6  # pairs drawn from the K longest purchase series
 DTW_BAND = 24  # Sakoe-Chiba band half-width (hours)
+# near-dup gate for the composed SAX→DTW pipeline: LENGTH-NORMALIZED
+# DTW (dtw / max(n_a, n_b) — per-aligned-sample cost, comparable
+# across series lengths and scale factors) must stay at or below
+# this; the sf0.01 candidate population spans ~9–57 (sf0.001's one
+# pair sits at ~33), so 35 keeps the genuinely-close majority and
+# drops the far tail at every test SF
+SAX_DTW_MAX_NORM = 35.0
 
 _DTW_SCHEMA = "user_a bigint, user_b bigint, n_a int, n_b int, dtw double"
 
@@ -142,9 +149,9 @@ def dtw_sax_candidate_pairs(
     100 TB shape: the candidate join is an equi-join on (day, sax) —
     the same bucket-join physics as MinHash-LSH bands — so pair count
     tracks true similarity structure, not corpus size²; DTW cost is
-    O(n·w) per surviving candidate. Not registered as a driver query
-    (its components are each oracle/parity-checked); pinned by
-    tests/test_round5_wave2.py.
+    O(n·w) per surviving candidate. Registered as the rows-only
+    query q_sax_dtw_neardups (round 6); parity + gating pinned by
+    tests/test_round5_wave2.py and test_round6.py.
     """
     from timestream_travel_spark.operators.timeseries8 import q_sax_symbols
 
@@ -186,5 +193,26 @@ def dtw_sax_candidate_pairs(
         rows_a.unionByName(rows_b)
         .groupBy("user_a", "user_b")
         .applyInPandas(_dtw_group, _DTW_SCHEMA)
+        .orderBy("user_a", "user_b")
+    )
+
+
+@query("q_sax_dtw_neardups")
+def q_sax_dtw_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX→DTW near-duplicate series pipeline, registered: SAX words
+    bucket the daily series (candidate generation — the series analog
+    of MinHash-LSH banding), banded DTW verifies only bucket-shared
+    pairs, and the output keeps pairs under the near-dup distance
+    gate. Rows-only by design: the DTW DP is not SQL-expressible; the
+    SAX component is oracle-checked (q_sax_symbols) and the DTW
+    verifier carries a python-parity + metric-property pytest
+    (q_dtw_pairs). Gating behavior pinned by
+    test_sax_dtw_neardups_gate_subset_of_candidates."""
+    pairs = dtw_sax_candidate_pairs(spark, sf_dir)
+    norm = F.col("dtw") / F.greatest("n_a", "n_b")
+    return (
+        pairs.withColumn("norm_dtw", norm)
+        .filter(F.col("norm_dtw") <= SAX_DTW_MAX_NORM)
+        .select("user_a", "user_b", "n_a", "n_b", "dtw", "norm_dtw")
         .orderBy("user_a", "user_b")
     )

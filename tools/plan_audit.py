@@ -116,6 +116,9 @@ AUDITED = [
     # round-5 tenth wave
     "q_fano_burstiness",
     "q_event_pattern_match",
+    # round-6: rewritten plans + composed pipeline
+    "q_window_distribution",
+    "q_sax_dtw_neardups",
 ]
 
 
