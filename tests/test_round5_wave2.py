@@ -266,8 +266,13 @@ def test_sorted_neighborhood_matches_python_replay(spark, sf_dir):
 
 def test_dtw_sax_candidates_pipeline(spark, sf_dir):
     """SAX-bucketed candidate generation + DTW verification: every
-    candidate pair shares >= 3 identical (day, sax) words, and the
-    DTW distances agree with direct dtw_distance on the same series."""
+    candidate pair shares >= 3 identical (day, sax) words AND >= 50%
+    of the smaller member's observed days (the r6 fractional
+    evidence rule), and the DTW distances agree with direct
+    dtw_distance on the same series. The fractional rule is strict
+    at sf0.001 (its one absolute-cut pair shares only 3 of ~11 days
+    — dropped), so candidate EXISTENCE is asserted with the floor
+    relaxed and the production cut is asserted as a subset."""
     from collections import defaultdict
 
     from timestream_travel_spark.operators.similarity4 import (
@@ -275,15 +280,22 @@ def test_dtw_sax_candidates_pipeline(spark, sf_dir):
     )
     from timestream_travel_spark.operators.timeseries8 import q_sax_symbols
 
-    rows = dtw_sax_candidate_pairs(spark, sf_dir).collect()
-    assert rows, "SAX buckets should yield candidate pairs"
+    loose = dtw_sax_candidate_pairs(spark, sf_dir, min_shared_frac=0.0).collect()
+    assert loose, "SAX buckets should yield candidate pairs"
     sax = defaultdict(set)
     for r in q_sax_symbols(spark, sf_dir).collect():
         sax[r.user_id].add((r.day, r.sax))
-    for r in rows:
+    for r in loose:
         shared = sax[r.user_a] & sax[r.user_b]
         assert len(shared) >= 3, (r.user_a, r.user_b, shared)
         assert r.dtw >= 0.0
+    strictly = dtw_sax_candidate_pairs(spark, sf_dir).collect()
+    loose_keys = {(r.user_a, r.user_b) for r in loose}
+    ndays = {u: len(s) for u, s in sax.items()}
+    for r in strictly:
+        assert (r.user_a, r.user_b) in loose_keys
+        shared = sax[r.user_a] & sax[r.user_b]
+        assert len(shared) >= 0.5 * min(ndays[r.user_a], ndays[r.user_b])
 
 
 def test_new_operators_on_degenerate_fixture(spark, tmp_path):

@@ -99,6 +99,9 @@ def test_star_cc_degenerate_shapes(spark):
         [(1, 2), (1, 3), (1, 4)],
         [(1, 2), (2, 3), (10, 11), (11, 12)],
         [(5, 6), (6, 5), (5, 6), (8, 9)],
+        # self-loop-only node must still appear, labeled itself
+        [(4, 4), (1, 2)],
+        [(9, 9)],
     ]
     for pairs in cases:
         truth = _python_cc(pairs)
@@ -445,17 +448,21 @@ def test_reference_layout_fs_leg_rerun_is_idempotent(spark, sf_dir, tmp_path):
         )
 
 
-def test_sax_dtw_neardups_gate_subset_of_candidates(spark, sf_dir):
+def test_sax_dtw_neardups_gate_subset_of_candidates(spark):
     """q_sax_dtw_neardups = SAX candidates → DTW verify → normalized
     gate: every returned pair must exist in the ungated candidate
     output with identical DTW, satisfy the gate, and the set of
-    dropped pairs must be exactly the above-gate candidates."""
+    dropped pairs must be exactly the above-gate candidates. Runs at
+    sf0.01: the r6 fractional shared-day rule correctly leaves
+    sf0.001 with zero candidates (its lone absolute-cut pair shares
+    only 3 of ~11 days)."""
     from timestream_travel_spark.operators.similarity4 import (
         SAX_DTW_MAX_NORM,
         dtw_sax_candidate_pairs,
         q_sax_dtw_neardups,
     )
 
+    sf_dir = "/root/testdata/sf0.01"
     cands = {
         (r["user_a"], r["user_b"]): r for r in dtw_sax_candidate_pairs(spark, sf_dir).collect()
     }

@@ -195,9 +195,17 @@ def connected_components_star(
     `connected_components` on the documents near-dup graph, random
     graphs, and a 2000-node chain; SCALING.md records measured round
     counts for both engines."""
+    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # every endpoint must appear in the output even if its only edge
+    # is a self-loop (dropped from the iteration below) — same
+    # contract as connected_components
+    nodes = (
+        raw.select(F.explode(F.array("a", "b")).alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     e = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .filter(F.col("a") != F.col("b"))
+        raw.filter(F.col("a") != F.col("b"))
         .select(
             F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
         )
@@ -226,12 +234,16 @@ def connected_components_star(
         mins = sym.groupBy("a").agg(
             F.least(F.min("b"), F.first("a")).alias("m")
         )
+        # persisted: the small-star step reads `large` twice (group
+        # mins + re-attach join) — without this the large-star joins
+        # re-execute per consumer
         large = (
             sym.join(mins, "a")
             .filter(F.col("b") > F.col("a"))
             .select(F.col("m").alias("a"), F.col("b").alias("b"))
             .filter(F.col("a") != F.col("b"))
             .distinct()
+            .persist()
         )
         # small-star: edges already oriented (a < b) = to the smaller
         # endpoint; group at the LARGER endpoint u=b over neighbors
@@ -251,6 +263,7 @@ def connected_components_star(
         )
         rounds += 1
         new_sig = _signature(small)
+        large.unpersist()
         e = small
         if new_sig == sig:
             converged = True
@@ -262,11 +275,15 @@ def connected_components_star(
         raise RuntimeError(
             f"connected_components_star did not converge in {max_iter} rounds"
         )
-    # fixpoint edges are stars (node → component min); roots self-map
-    return (
+    # fixpoint edges are stars (node → component min); roots self-map;
+    # self-loop-only/isolated endpoints fall back to their own id
+    star = (
         e.select(F.col("b").alias("node"), F.col("a").alias("cluster"))
         .union(e.select(F.col("a").alias("node"), F.col("a").alias("cluster")))
         .distinct()
+    )
+    return nodes.join(star, "node", "left").select(
+        "node", F.coalesce("cluster", "node").alias("cluster")
     )
 
 

@@ -138,24 +138,39 @@ def q_dtw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dtw_sax_candidate_pairs(
-    spark: SparkSession, sf_dir: str, min_shared_days: int = 3
+    spark: SparkSession,
+    sf_dir: str,
+    min_shared_days: int = 3,
+    min_shared_frac: float = 0.5,
 ) -> DataFrame:
     """The scale path q_dtw_pairs' docstring promises, composed from
     the shipped pieces: SAX words (timeseries8.q_sax_symbols) bucket
     the series, users sharing an identical (day, sax) word on at
-    least `min_shared_days` days become candidate pairs, and banded
-    DTW verifies ONLY those pairs.
+    least `min_shared_days` days AND at least `min_shared_frac` of
+    the smaller user's observed days become candidate pairs, and
+    banded DTW verifies ONLY those pairs.
+
+    The FRACTIONAL evidence rule is the load-bearing scale control
+    (round-6 fix): an absolute shared-day floor stops discriminating
+    as the population grows — the SAX word space is small, so random
+    collisions alone put ~42k of sf0.1's 1.1M user pairs over an
+    absolute ≥3 cut (126 s of DTW), while ≥50% of the smaller
+    series' days keeps 880 truly-shaped-alike pairs (~7 s). Evidence
+    scales with opportunity, the same reason MinHash-LSH fixes the
+    band PROBABILITY rather than a match count.
 
     100 TB shape: the candidate join is an equi-join on (day, sax) —
-    the same bucket-join physics as MinHash-LSH bands — so pair count
-    tracks true similarity structure, not corpus size²; DTW cost is
-    O(n·w) per surviving candidate. Registered as the rows-only
-    query q_sax_dtw_neardups (round 6); parity + gating pinned by
-    tests/test_round5_wave2.py and test_round6.py.
+    the same bucket-join physics as MinHash-LSH bands — and the
+    per-user day-count table (one row per user) broadcasts onto the
+    pair aggregate; DTW cost is O(n·w) per surviving candidate.
+    Registered as the rows-only query q_sax_dtw_neardups (round 6);
+    parity + gating pinned by tests/test_round5_wave2.py and
+    test_round6.py.
     """
     from timestream_travel_spark.operators.timeseries8 import q_sax_symbols
 
     sax = q_sax_symbols(spark, sf_dir)
+    days = sax.groupBy("user_id").agg(F.count("*").alias("nd"))
     a = sax.select(
         F.col("user_id").alias("user_a"), "day", F.col("sax").alias("w")
     )
@@ -167,7 +182,25 @@ def dtw_sax_candidate_pairs(
         .filter(F.col("user_a") < F.col("user_b"))
         .groupBy("user_a", "user_b")
         .agg(F.count("*").alias("shared_days"))
-        .filter(F.col("shared_days") >= min_shared_days)
+        .join(
+            F.broadcast(
+                days.select(F.col("user_id").alias("user_a"), F.col("nd").alias("nd_a"))
+            ),
+            "user_a",
+        )
+        .join(
+            F.broadcast(
+                days.select(F.col("user_id").alias("user_b"), F.col("nd").alias("nd_b"))
+            ),
+            "user_b",
+        )
+        .filter(
+            (F.col("shared_days") >= min_shared_days)
+            & (
+                F.col("shared_days")
+                >= F.lit(min_shared_frac) * F.least("nd_a", "nd_b")
+            )
+        )
     )
     ev = (
         load_table(spark, sf_dir, "events")
