@@ -75,37 +75,52 @@ def q_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalized text, window of SN_WINDOW=4, exact 3-word-shingle
     Jaccard verification at >= SN_MIN_JACCARD=0.2.
 
-    Plan: one scan → per-block window (lead ids) → explode of W-1
-    lead columns (linear candidate count) → two id-joins back to the
-    in-row shingle table → JVM-side array_intersect Jaccard. No
-    quadratic stage anywhere.
+    Plan (round-6 rewrite): ONE scan → per-block window where the
+    shingle arrays ride as lead() payloads next to the lead ids →
+    explode of W-1 (id, shingles) structs (linear candidate count) →
+    JVM-side array_intersect Jaccard in the same stage. The r5 form
+    joined the exploded id pairs back to a shingle table twice —
+    three exchanges and two more document scans; carrying the
+    payload through the window costs nothing extra because the sort
+    key is the normalized text itself (document-sized either way)
+    and drops 6.6 s → ~4.3 s at sf0.1 (the per-lang text sort is the
+    remaining cost). No quadratic stage anywhere.
     """
-    d = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy(normalized_text("text"), F.col("doc_id"))
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        normalized_text("text").alias("nt"),
+        word_shingles("text").alias("shingles"),
+    )
+    w = Window.partitionBy("lang").orderBy("nt", "doc_id")
     r = d.select(
         "doc_id",
+        F.col("shingles").alias("sh_a"),
         *[
-            F.lead("doc_id", j).over(w).alias(f"l{j}")
+            F.struct(
+                F.lead("doc_id", j).over(w).alias("id_b"),
+                F.lead("shingles", j).over(w).alias("sh_b"),
+            ).alias(f"n{j}")
             for j in range(1, SN_WINDOW)
         ],
     )
     cand = r.select(
         F.col("doc_id").alias("id_a"),
-        F.explode(F.array(*[f"l{j}" for j in range(1, SN_WINDOW)])).alias("id_b"),
-    ).filter(F.col("id_b").isNotNull())
-    sh = d.select("doc_id", word_shingles("text").alias("shingles"))
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))
+        "sh_a",
+        F.explode(F.array(*[f"n{j}" for j in range(1, SN_WINDOW)])).alias("nb"),
+    ).filter(F.col("nb.id_b").isNotNull())
+    inter = F.size(F.array_intersect("sh_a", F.col("nb.sh_b"))).cast("double")
+    union = (
+        F.size("sh_a")
+        + F.size(F.col("nb.sh_b"))
+        - F.size(F.array_intersect("sh_a", F.col("nb.sh_b")))
+    )
     jac = inter / union
     return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .filter(jac >= SN_MIN_JACCARD)
+        cand.filter(jac >= SN_MIN_JACCARD)
         .select(
-            F.least("id_a", "id_b").alias("doc_a"),
-            F.greatest("id_a", "id_b").alias("doc_b"),
+            F.least("id_a", F.col("nb.id_b")).alias("doc_a"),
+            F.greatest("id_a", F.col("nb.id_b")).alias("doc_b"),
             F.round(jac, 4).alias("jaccard"),
         )
     )

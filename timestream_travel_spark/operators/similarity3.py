@@ -87,9 +87,15 @@ def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale split, same as every iterative op here: the DISTRIBUTED
     stage is the corpus-wide cosine scan producing the bounded pool
-    (TakeOrderedAndProject — the 100 TB part); the greedy loop then
-    runs {MMR_K} driver-coordinated rounds of joins over ≤{MMR_POOL}
-    rows. Nothing but loop control leaves the cluster; relevance and
+    plus its pairwise-sim matrix (TakeOrderedAndProject + a
+    {MMR_POOL}²-row self-join — the 100 TB part); both are
+    parameter-sized ({MMR_POOL} + {MMR_POOL}² rows, the k-means
+    centroid-collect rule), so they collect ONCE and the greedy
+    argmax loop runs in pure Python on the driver. The r5 form
+    instead ran the loop as {MMR_K} rounds of driver-coordinated
+    joins over the cached pool — same answer, but each round's pick
+    re-planned the whole growing union (7.3 s of pure job-scheduling
+    overhead at sf0.1 for 50 cached rows; now ~1 s). Relevance and
     pairwise sims are rounded to 4 decimals before scoring so the
     argmax ordering is engine-deterministic."""
     e = load_table(spark, sf_dir, "embeddings")
@@ -101,7 +107,7 @@ def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     va, vb = to_double_array(F.col("a.embedding")), to_double_array(F.col("b.embedding"))
-    pw = (
+    pw_rows = (
         pool.alias("a")
         .join(pool.alias("b"), F.col("a.vec_id") != F.col("b.vec_id"))
         .select(
@@ -109,45 +115,36 @@ def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("ib"),
             F.round(cosine(va, vb), 4).alias("s"),
         )
-        .persist()
-    )
-    selected = (
-        pool.orderBy(F.desc("rel"), F.asc("vec_id"))
-        .limit(1)
-        .select("vec_id", F.lit(1).alias("rank"), F.col("rel").cast("double").alias("mmr"))
-    )
-    for r in range(2, MMR_K + 1):
-        sel_ids = selected.select("vec_id")
-        ms = (
-            pw.join(sel_ids, pw.ib == sel_ids.vec_id)
-            .groupBy("ia")
-            .agg(F.max("s").alias("ms"))
-        )
-        scored = (
-            pool.join(sel_ids, "vec_id", "left_anti")
-            .join(ms, pool.vec_id == ms.ia)
-            .select(
-                "vec_id",
-                (
-                    F.lit(MMR_LAMBDA) * F.col("rel")
-                    - F.lit(round(1 - MMR_LAMBDA, 1)) * F.col("ms")
-                ).alias("mmr"),
-            )
-        )
-        pick = (
-            scored.orderBy(F.desc("mmr"), F.asc("vec_id"))
-            .limit(1)
-            .select("vec_id", F.lit(r).alias("rank"), "mmr")
-        )
-        selected = selected.unionByName(pick)
-    # materialize the K-row selection (parameter-sized, the k-means
-    # centroid-collect rule) so pool/pw can be unpersisted without
-    # handing the caller a plan that rescans the corpus per round
-    rows = (
-        selected.select("rank", "vec_id", F.round("mmr", 4).alias("mmr"))
-        .orderBy("rank")
         .collect()
     )
+    pool_rows = pool.select("vec_id", "rel").collect()
     pool.unpersist()
-    pw.unpersist()
-    return spark.createDataFrame(rows, "rank int, vec_id bigint, mmr double")
+    rel = {r["vec_id"]: float(r["rel"]) for r in pool_rows}
+    sim: dict[tuple[int, int], float] = {
+        (r["ia"], r["ib"]): float(r["s"]) for r in pw_rows
+    }
+    # greedy MMR, identical tie-breaks to the SQL oracle:
+    # rank 1 = max rel (vec_id asc); rank r = max λ·rel − (1−λ)·max
+    # sim-to-selected (vec_id asc)
+    first = min(rel, key=lambda v: (-rel[v], v))
+    picks: list[tuple[int, int, float]] = [(1, first, rel[first])]
+    chosen = {first}
+    lam, mu = MMR_LAMBDA, round(1 - MMR_LAMBDA, 1)
+    for r in range(2, MMR_K + 1):
+        best = None
+        for v in rel:
+            if v in chosen:
+                continue
+            ms = max(sim[(v, c)] for c in chosen)
+            mmr = lam * rel[v] - mu * ms
+            key = (-mmr, v)
+            if best is None or key < best[0]:
+                best = (key, v, mmr)
+        picks.append((r, best[1], best[2]))
+        chosen.add(best[1])
+    # final rounding stays ENGINE-side (F.round is HALF_UP like the
+    # DuckDB oracle; Python round() is banker's — a silent hash
+    # hazard at exact .00005 boundaries)
+    return spark.createDataFrame(
+        picks, "rank int, vec_id bigint, mmr double"
+    ).select("rank", "vec_id", F.round("mmr", 4).alias("mmr"))
