@@ -81,16 +81,26 @@ def q_lcs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     is pinned by pytest."""
     d = load_table(spark, sf_dir, "documents")
     d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    # ONE explode + ONE shuffle on the shingle key: both sides'
+    # doc-id sets aggregate per shingle in the same pass (the r5
+    # form filtered train/bench BEFORE two separate distincts, so
+    # the corpus-sized explode executed twice). Hot-shingle fan-out
+    # is the same quadratic the equi-join form had — a production
+    # corpus additionally drops stopword shingles by a max-df cap
+    # before pairing.
     sh = d.select("doc_id", F.explode(_shingles(doc_words("text"))).alias("s"))
-    bench_sh = sh.filter(F.col("doc_id") % BENCH_MOD == 0).select(
-        F.col("doc_id").alias("bench_id"), "s"
-    ).distinct()
-    train_sh = sh.filter(F.col("doc_id") % BENCH_MOD != 0).select(
-        F.col("doc_id").alias("train_id"), "s"
-    ).distinct()
+    is_bench = F.col("doc_id") % BENCH_MOD == 0
+    per_s = sh.groupBy("s").agg(
+        F.collect_set(F.when(is_bench, F.col("doc_id"))).alias("bench_ids"),
+        F.collect_set(F.when(~is_bench, F.col("doc_id"))).alias("train_ids"),
+    )
     pairs = (
-        train_sh.join(bench_sh, "s")
-        .select("train_id", "bench_id")
+        per_s.filter((F.size("bench_ids") > 0) & (F.size("train_ids") > 0))
+        .select(
+            F.explode("train_ids").alias("train_id"),
+            F.col("bench_ids"),
+        )
+        .select("train_id", F.explode("bench_ids").alias("bench_id"))
         .distinct()
     )
     prefix = F.slice(doc_words("text"), 1, LCS_PREFIX_WORDS)
