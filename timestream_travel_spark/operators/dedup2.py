@@ -195,15 +195,17 @@ def connected_components_star(
     `connected_components` on the documents near-dup graph, random
     graphs, and a 2000-node chain; SCALING.md records measured round
     counts for both engines."""
-    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # checkpoint the RAW edge list first: `nodes` and `e` both
+    # consume it, and the caller's edge pipeline is typically the
+    # expensive part (LSH verify) — deriving each eagerly from the
+    # un-materialized input would execute that pipeline twice
+    raw = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).localCheckpoint(eager=True)
     # every endpoint must appear in the output even if its only edge
     # is a self-loop (dropped from the iteration below) — same
     # contract as connected_components
-    nodes = (
-        raw.select(F.explode(F.array("a", "b")).alias("node"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    nodes = raw.select(F.explode(F.array("a", "b")).alias("node")).distinct()
     e = (
         raw.filter(F.col("a") != F.col("b"))
         .select(
@@ -320,16 +322,20 @@ def connected_components_star(
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup groups: connected components over the LSH-verified
     near-dup pairs (≥0.5 true Jaccard). Spark side: LSH candidates →
-    exact verify → min-label propagation. Oracle: all-pairs edges +
-    recursive CTE reachability. The outputs match because the
-    verified pair set is itself oracle-equal (q_lsh_verified_jaccard)."""
+    exact verify → large-star/small-star CC (round-6 swap: ~0.5-1 s
+    faster than FastSV on the near-dup graph at sf0.1 — no per-round
+    grandparent self-join; both engines parity-pinned in
+    test_round6.py and both converge in 2 rounds on quasi-clique
+    components). Oracle: all-pairs edges + recursive CTE
+    reachability. The outputs match because the verified pair set is
+    itself oracle-equal (q_lsh_verified_jaccard)."""
     from timestream_travel_spark.operators.dedup import lsh_verified_pairs
 
     d = load_table(spark, sf_dir, "documents")
     edges = lsh_verified_pairs(d, threshold=0.5).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
-    return connected_components(edges)
+    return connected_components_star(edges)
 
 
 @query(
@@ -383,7 +389,9 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreak) — the keep-the-longest policy common in corpus dedup,
     instead of q_dedup_clusters' min-id labeling. The argmax is one
     window pass per cluster partition; singletons join in with a
-    left join + coalesce, so the corpus scans once."""
+    left join + coalesce, so the corpus scans once. CC runs the
+    large-star/small-star engine (round-6 swap, see
+    q_dedup_clusters)."""
     from pyspark.sql.window import Window
 
     from timestream_travel_spark.operators.dedup import lsh_verified_pairs
@@ -392,7 +400,7 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = lsh_verified_pairs(d, threshold=0.5).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
-    labels = connected_components(edges)
+    labels = connected_components_star(edges)
     lab = (
         d.select("doc_id", "n_chars")
         .join(labels, d.doc_id == labels.node, "left")
