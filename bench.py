@@ -151,6 +151,8 @@ EXTRA = [
     "q_grouping_id",                # grouping-sets metadata
     "q_window_distribution",        # sharded global rank + segment top-2
     "q_sax_dtw_neardups",           # SAX buckets -> banded DTW verify
+    "q_mutual_information",         # bounded cell table + marginal windows
+    "q_weighted_quantiles",         # 3-probe sharded prefix sum, one plan
 ]
 
 

@@ -591,3 +591,59 @@ def test_wave710_operators_on_degenerate_fixtures(spark, tmp_path):
     # emits one count row per pattern)
     for r in q_event_pattern_match(spark, sf_one).collect():
         assert r["n_matched"] == 0, r
+
+
+def test_mutual_information_invariants(spark, sf_dir, tmp_path):
+    """Each per-type MI contribution is p(x)·KL(p(y|x)||p(y)) ≥ 0;
+    an independent fixture (every type uniform over hours) gives 0."""
+    import datetime
+
+    from timestream_travel_spark.operators.analytics4 import q_mutual_information
+
+    rows = q_mutual_information(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["mi_contrib_bits"] >= 0.0, r
+
+    # independence fixture: 2 types × 4 hours, identical hour profile
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string"
+    )
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    data = []
+    eid = 0
+    for etype in ("a", "b"):
+        for h in range(4):
+            for k in range(3):  # same count per (type, hour)
+                eid += 1
+                data.append(
+                    (eid, t0 + datetime.timedelta(hours=h), 1, etype, 1.0, "{}")
+                )
+    sf = str(tmp_path / "indep")
+    spark.createDataFrame(data, schema).write.mode("overwrite").parquet(
+        f"{sf}/events.parquet"
+    )
+    for r in q_mutual_information(spark, sf).collect():
+        assert r["mi_contrib_bits"] == 0.0, r
+
+
+def test_weighted_quantiles_monotone_and_median_consistent(spark, sf_dir):
+    """p25 ≤ p50 ≤ p75 per flag, and the p50 crossing equals
+    q_weighted_median's answer (same machinery, k=2 probe)."""
+    from timestream_travel_spark.operators.analytics4 import q_weighted_quantiles
+    from timestream_travel_spark.operators.timeseries7 import q_weighted_median
+
+    wq = {}
+    for r in q_weighted_quantiles(spark, sf_dir).collect():
+        wq.setdefault(r["l_returnflag"], {})[r["q"]] = r["wq_price"]
+    assert wq
+    for flag, d in wq.items():
+        assert set(d) == {"p25", "p50", "p75"}, (flag, d)
+        assert d["p25"] <= d["p50"] <= d["p75"], (flag, d)
+    med = {
+        r["l_returnflag"]: r["weighted_median_price"]
+        for r in q_weighted_median(spark, sf_dir).collect()
+    }
+    for flag, m in med.items():
+        assert wq[flag]["p50"] == m, (flag, wq[flag]["p50"], m)

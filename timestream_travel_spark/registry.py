@@ -181,3 +181,8 @@ def load_all() -> None:
         joins3,
         profiling,
     )
+
+    # round-6 modules — same registered-last rule
+    from timestream_travel_spark.operators import (  # noqa: F401
+        analytics4,
+    )

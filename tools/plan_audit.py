@@ -116,9 +116,11 @@ AUDITED = [
     # round-5 tenth wave
     "q_fano_burstiness",
     "q_event_pattern_match",
-    # round-6: rewritten plans + composed pipeline
+    # round-6: rewritten plans + composed pipeline + new analytics
     "q_window_distribution",
     "q_sax_dtw_neardups",
+    "q_mutual_information",
+    "q_weighted_quantiles",
 ]
 
 
