@@ -32,14 +32,31 @@ def test_incremental_refresh_converges_to_full_rebuild(spark, sf_dir, tmp_path):
     # the rest of the stream arrives; refresh recomputes only the tail
     n = refresh_rollup(spark, ev, dest)
     assert n >= 1
-    # refreshed rollup == from-scratch rollup over all data
+    # refreshed rollup == from-scratch rollup over all data (sketch
+    # bytes may serialize differently per partition layout — compare
+    # the exact columns byte-exact, the sketch via its estimate)
     full_dest = str(tmp_path / "rollup_full")
     build_rollup(spark, ev, full_dest)
-    assert _canon(spark.read.parquet(dest)) == _canon(spark.read.parquet(full_dest))
+
+    def canon_est(path):
+        return _canon(
+            spark.read.parquet(path).select(
+                "event_type",
+                F.col("__hour").cast("string"),
+                "n_events",
+                "sum_value",
+                "min_value",
+                "max_value",
+                "n_users",
+                F.round(F.hll_sketch_estimate("users_sk"), 0).cast("bigint"),
+            )
+        )
+
+    assert canon_est(dest) == canon_est(full_dest)
     # idempotent: re-running the refresh changes nothing (dynamic
     # overwrite replaces partitions with identical content)
     refresh_rollup(spark, ev, dest)
-    assert _canon(spark.read.parquet(dest)) == _canon(spark.read.parquet(full_dest))
+    assert canon_est(dest) == canon_est(full_dest)
 
 
 def test_daily_from_hourly_matches_direct_daily(spark, sf_dir, tmp_path):
@@ -48,7 +65,8 @@ def test_daily_from_hourly_matches_direct_daily(spark, sf_dir, tmp_path):
     ev = load_table(spark, sf_dir, "events")
     dest = str(tmp_path / "rollup")
     build_rollup(spark, ev, dest)
-    via_rollup = _canon(daily_from_hourly(spark, dest))
+    daily = daily_from_hourly(spark, dest)
+    via_rollup = _canon(daily.drop("n_users_est"))
     direct = _canon(
         ev.groupBy(
             "event_type", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
@@ -60,6 +78,63 @@ def test_daily_from_hourly_matches_direct_daily(spark, sf_dir, tmp_path):
         )
     )
     assert via_rollup == direct  # DECIMAL sums re-aggregate exactly
+    # the mergeable-HLL column answers daily distincts from hourly
+    # sketches within the lgK=12 error bound (exact distincts do NOT
+    # re-aggregate — that's why the sketch rides in the rollup)
+    exact = {
+        (r["event_type"], r["day"]): r["n"]
+        for r in ev.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        )
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in daily.collect():
+        ex = exact[(r["event_type"], r["day"])]
+        assert abs(r["n_users_est"] - ex) <= max(3, 0.05 * ex), (r, ex)
+
+
+def test_repair_rollup_rebuilds_only_drifted_hours(spark, sf_dir, tmp_path):
+    """Out-of-order ingest: rows landing behind the HWM drift the
+    rollup silently; repair_rollup detects exactly the drifted hour
+    partitions and rebuilds only those."""
+    from timestream_travel_spark.pipeline.rollup import (
+        build_rollup,
+        refresh_rollup,
+        repair_rollup,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    late = ev.filter(
+        (F.col("ts") >= "2024-01-10 00:00:00") & (F.col("ts") < "2024-01-10 03:00:00")
+    )
+    on_time = ev.exceptAll(late)
+    dest = str(tmp_path / "rollup")
+    build_rollup(spark, on_time, dest)
+    # the late slice arrives behind the HWM; refresh never revisits it
+    refresh_rollup(spark, ev, dest)
+    hwm_rows = _canon(spark.read.parquet(dest).drop("users_sk"))
+    full = str(tmp_path / "rollup_full")
+    build_rollup(spark, ev, full)
+    assert hwm_rows != _canon(spark.read.parquet(full).drop("users_sk"))
+    # repair finds exactly the drifted (late-slice) hours and converges
+    expected = sorted(
+        r["h"]
+        for r in late.select(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias("h")
+        )
+        .distinct()
+        .collect()
+    )
+    assert expected  # fixture sanity: the late window is non-empty
+    repaired = repair_rollup(spark, ev, dest)
+    assert repaired == expected
+    assert _canon(spark.read.parquet(dest).drop("users_sk")) == _canon(
+        spark.read.parquet(full).drop("users_sk")
+    )
+    # clean rollup → no-op
+    assert repair_rollup(spark, ev, dest) == []
 
 
 def test_retention_drops_only_expired_partitions(spark, sf_dir, tmp_path):

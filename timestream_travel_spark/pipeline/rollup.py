@@ -33,7 +33,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.errors import AnalysisException
 
-ROLLUP_AGGS = "n_events, sum_value (DECIMAL-exact), min_value, max_value, n_users"
+ROLLUP_AGGS = (
+    "n_events, sum_value (DECIMAL-exact), min_value, max_value, n_users, "
+    "users_sk (mergeable HLL)"
+)
+
+# lgConfigK for the per-hour user sketch: 2^12 registers ≈ 1.6% std
+# error — the rollup's distinct column is a dashboard estimate, and
+# 4 KiB/hour/type of sketch bytes is negligible next to the row.
+USERS_SKETCH_LGK = 12
 
 
 def _hourly(events: DataFrame) -> DataFrame:
@@ -50,6 +58,11 @@ def _hourly(events: DataFrame) -> DataFrame:
             F.min("value").alias("min_value"),
             F.max("value").alias("max_value"),
             F.count_distinct("user_id").alias("n_users"),
+            # mergeable distinct: hourly sketches union to ANY coarser
+            # grain (daily/weekly/all-time) without touching raw data —
+            # the one aggregate in this rollup that exact counts cannot
+            # re-aggregate (DISTINCT does not sum across hours)
+            F.hll_sketch_agg("user_id", USERS_SKETCH_LGK).alias("users_sk"),
         )
     )
 
@@ -143,10 +156,12 @@ def refresh_rollup(
 
 def daily_from_hourly(spark: SparkSession, dest: str) -> DataFrame:
     """Answer the daily dashboard query FROM the rollup: counts and
-    DECIMAL sums re-aggregate exactly; min/max compose; n_users is
-    NOT derivable from hourly distincts (documented — the rollup
-    would carry an HLL sketch column for mergeable distincts at
-    scale, cf. q_hll_cardinality)."""
+    DECIMAL sums re-aggregate exactly; min/max compose; and distinct
+    users derive from the mergeable HLL column (`hll_union_agg` over
+    the hourly sketches — exact distincts do NOT sum across hours,
+    which is why the sketch rides in the rollup). `n_users_est`
+    carries the sketch's ~1.6% std error at lgK=12; the exact hourly
+    `n_users` stays available for single-hour reads."""
     r = spark.read.parquet(dest)
     return (
         r.groupBy(
@@ -158,5 +173,64 @@ def daily_from_hourly(spark: SparkSession, dest: str) -> DataFrame:
             F.sum("sum_value").cast("double").alias("sum_value"),
             F.min("min_value").alias("min_value"),
             F.max("max_value").alias("max_value"),
+            F.round(F.hll_sketch_estimate(F.hll_union_agg("users_sk")), 0)
+            .cast("bigint")
+            .alias("n_users_est"),
         )
     )
+
+
+def repair_rollup(spark: SparkSession, events: DataFrame, dest: str) -> list[str]:
+    """Targeted repair for OUT-OF-ORDER ingest: find hour partitions
+    whose rolled-up row count no longer matches the source (late
+    rows landed behind the HWM, which incremental refresh never
+    revisits) and rebuild exactly those partitions.
+
+    Cost shape: one count-aggregate per side to detect drift (both
+    map-side-combined; the comparison table is |types|×|hours| — tiny
+    at any scale), then ONE tail-bounded rescan of only the drifted
+    hours (`ts BETWEEN min(hour) AND max(hour)+1h` reaches the
+    parquet scan; the residual `isin` prunes to exactly the repaired
+    partitions). The driver collect is over the bounded hour domain
+    (~9k rows per year), not data. Complements refresh_rollup's
+    `audit_tail` (which only warns): audit on a schedule, repair when
+    it fires. Returns the repaired hour keys."""
+    src = (
+        events.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias(
+                "__hour"
+            )
+        )
+        .agg(F.count(F.lit(1)).alias("src_n"))
+    )
+    dst = (
+        spark.read.parquet(dest)
+        .groupBy(F.col("__hour").cast("string").alias("__hour"))
+        .agg(F.sum("n_events").cast("bigint").alias("dst_n"))
+    )
+    drift = (
+        src.join(dst, "__hour", "full_outer")
+        .filter(
+            (F.coalesce("src_n", F.lit(0)) != F.coalesce("dst_n", F.lit(0)))
+            & (F.coalesce("src_n", F.lit(0)) > 0)
+        )
+        .select("__hour")
+    )
+    hours = sorted(r["__hour"] for r in drift.collect())
+    if not hours:
+        return []
+    lo, hi = hours[0], hours[-1]
+    tail = events.filter(
+        (F.col("ts") >= F.lit(lo).cast("timestamp"))
+        & (F.col("ts") < F.lit(hi).cast("timestamp") + F.expr("INTERVAL 1 HOUR"))
+    )
+    (
+        _hourly(tail)
+        .filter(F.col("__hour").isin(hours))
+        .repartition("__hour")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__hour")
+        .parquet(dest)
+    )
+    return hours
