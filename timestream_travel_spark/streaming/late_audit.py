@@ -1,0 +1,132 @@
+"""Streaming late-arrival routing (dead-letter channel): split each
+micro-batch against the event-time high-water mark of everything
+that arrived BEFORE it, landing on-time rows in the main store and
+late rows in a quarantine — so out-of-order ingest is observable
+(and repairable) instead of silently corrupting time-partitioned
+downstream state.
+
+This is the ingest-side completion of the rollup's out-of-order
+story: `pipeline/rollup.refresh_rollup` assumes time-ordered ingest
+and never revisits hours behind its HWM; the quarantine names
+exactly the event-hours that violated that assumption, and
+`late_hours()` feeds them to `pipeline/rollup.repair_rollup`, which
+rebuilds exactly those partitions. Detect → name → repair, each step
+bounded.
+
+Replay determinism: classification compares a row's event hour to
+the max event hour over epochs STRICTLY BEFORE the current batch —
+never the batch's own writes — so an at-least-once foreachBatch
+replay re-derives the identical split, and every sink write goes to
+the replaying batch's own epoch=<id> partition with dynamic
+partition overwrite (the replays-replace contract shared with
+streaming/quantiles and streaming/hll). The HWM store holds ONE
+tiny row per epoch (max event hour in that batch), so the per-batch
+HWM read is O(#epochs), not O(history); the main store is never
+re-read on the hot path.
+
+At 100 TB: per-batch cost is one pass over the batch plus a
+broadcast-sized HWM lookup; quarantine volume is the late tail only.
+A `grace` interval absorbs benign jitter (rows within grace of the
+HWM still count on-time) so the quarantine holds real stragglers,
+not clock skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
+
+__all__ = ["late_hours", "route_late_arrivals"]
+
+_HOUR = F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00")
+
+
+def _prior_hwm(spark: SparkSession, hwm_path: str, epoch_id: int) -> str | None:
+    """Max event hour over batches that committed before this one.
+    Strictly-prior epochs only: a replayed batch must not see its own
+    previous write, or the replay would classify differently than the
+    original run."""
+    try:
+        row = (
+            spark.read.parquet(hwm_path)
+            .filter(F.col("epoch") < epoch_id)
+            .agg(F.max("max_hour").alias("h"))
+            .collect()[0]
+        )
+    except AnalysisException:
+        return None
+    return row["h"]
+
+
+def route_late_arrivals(
+    stream: DataFrame,
+    dest_path: str,
+    quarantine_path: str,
+    hwm_path: str,
+    checkpoint: str,
+    grace: str = "INTERVAL 0 SECONDS",
+):
+    """Start the routing query (availableNow trigger — drains the
+    backlog then stops; production drops the trigger). Quarantined
+    rows carry `observed_hwm` so an audit can show HOW late each
+    straggler was."""
+
+    def route(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        hwm = _prior_hwm(spark, hwm_path, epoch_id)
+        tagged = batch_df.withColumn("__hour", _HOUR)
+        if hwm is None:
+            is_late = F.lit(False)
+        else:
+            is_late = F.col("__hour").cast("timestamp") < (
+                F.lit(hwm).cast("timestamp") - F.expr(grace)
+            )
+        tagged = tagged.withColumn("__late", is_late).localCheckpoint(eager=True)
+
+        def land(df: DataFrame, path: str) -> None:
+            (
+                df.withColumn("epoch", F.lit(epoch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("epoch")
+                .parquet(path)
+            )
+
+        land(tagged.filter(~F.col("__late")).drop("__late"), dest_path)
+        land(
+            tagged.filter(F.col("__late"))
+            .drop("__late")
+            .withColumn("observed_hwm", F.lit(hwm)),
+            quarantine_path,
+        )
+        land(
+            tagged.agg(F.max("__hour").alias("max_hour")),
+            hwm_path,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(route)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def late_hours(spark: SparkSession, quarantine_path: str) -> list[str]:
+    """Distinct event-hours with quarantined stragglers — the input
+    `pipeline/rollup.repair_rollup` needs to rebuild exactly the
+    partitions out-of-order ingest drifted. Bounded by the hour
+    domain, not quarantine volume."""
+    try:
+        rows = (
+            spark.read.parquet(quarantine_path)
+            .select("__hour")
+            .distinct()
+            .collect()
+        )
+    except AnalysisException:
+        return []
+    return sorted(r["__hour"] for r in rows)
