@@ -28,13 +28,14 @@ store's sketches are the SAME column the batch rollup carries
 
 from __future__ import annotations
 
-import os
-import shutil
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from timestream_travel_spark.pipeline.rollup import USERS_SKETCH_LGK
+from timestream_travel_spark.streaming.store_util import (
+    COMPACT_EPOCH,
+    compact_epoch_store,
+)
 
 __all__ = [
     "COMPACT_EPOCH",
@@ -43,11 +44,6 @@ __all__ = [
     "estimate_distinct_total",
     "maintain_distinct_sketch",
 ]
-
-# Reserved epoch partition for compacted rows — no Structured
-# Streaming batchId is negative, so a replayed batch can never
-# dynamic-overwrite the compacted baseline.
-COMPACT_EPOCH = -1
 
 _HOUR = F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00")
 
@@ -123,27 +119,13 @@ def compact_sketch_store(spark: SparkSession, store_path: str) -> None:
     """Fold the accumulated per-epoch sketch rows to ONE row per
     (event_type, hour) in the reserved epoch={COMPACT_EPOCH}
     partition. Union idempotence makes this estimate-preserving (a
-    sketch unioned with itself is itself), and the temp-and-swap
-    keeps the epoch-partition layout for replay idempotence — a
-    replayed batch still only ever replaces its OWN partition.
-    On an object store, run the same sequence through the Hadoop
-    FileSystem API — rename is the contract, not POSIX."""
-    tmp = store_path.rstrip("/") + ".__compact_tmp"
-    old = store_path.rstrip("/") + ".__compact_old"
-    shutil.rmtree(tmp, ignore_errors=True)
-    (
-        spark.read.parquet(store_path)
-        .groupBy("event_type", "__hour")
-        .agg(
+    sketch unioned with itself is itself); layout and swap contract
+    in streaming/store_util."""
+
+    def fold(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type", "__hour").agg(
             F.hll_union_agg("users_sk").alias("users_sk"),
             F.sum("n_rows").cast("bigint").alias("n_rows"),
         )
-        .withColumn("epoch", F.lit(COMPACT_EPOCH))
-        .write.mode("overwrite")
-        .partitionBy("epoch")
-        .parquet(tmp)
-    )
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(store_path, old)
-    os.rename(tmp, store_path)
-    shutil.rmtree(old)
+
+    compact_epoch_store(spark, store_path, fold)

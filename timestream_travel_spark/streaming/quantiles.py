@@ -38,10 +38,11 @@ __all__ = [
     "recompress_summary",
 ]
 
-# Reserved epoch partition for compacted rows: no Structured
-# Streaming batchId is ever negative, so a replayed batch can never
-# dynamic-overwrite the compacted baseline.
-COMPACT_EPOCH = -1
+# Reserved compacted-rows epoch (-1) now lives in the shared
+# epoch-store contract module.
+from timestream_travel_spark.streaming.store_util import (  # noqa: E402
+    COMPACT_EPOCH,
+)
 
 
 def maintain_quantile_summary(
@@ -120,21 +121,14 @@ def compact_summary_store(spark: SparkSession, store_path: str) -> None:
        FileSystem API — rename is the contract, not POSIX).
 
     Safe to run between maintenance triggers; running it twice is a
-    no-op fold of the already-compacted rows."""
-    import os
-    import shutil
+    no-op fold of the already-compacted rows. Layout and swap
+    contract shared via streaming/store_util."""
+    from timestream_travel_spark.streaming.store_util import compact_epoch_store
 
-    tmp = store_path.rstrip("/") + ".__compact_tmp"
-    old = store_path.rstrip("/") + ".__compact_old"
-    shutil.rmtree(tmp, ignore_errors=True)
-    (
-        recompress_summary(spark, store_path)
-        .withColumn("epoch", F.lit(COMPACT_EPOCH))
-        .write.mode("overwrite")
-        .partitionBy("epoch")
-        .parquet(tmp)
+    compact_epoch_store(
+        spark,
+        store_path,
+        lambda df: df.repartition(1).mapInPandas(
+            _recompress_partition, _SUMMARY_SCHEMA
+        ),
     )
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(store_path, old)
-    os.rename(tmp, store_path)
-    shutil.rmtree(old)
