@@ -182,6 +182,9 @@ def test_rollup_cli_build_and_refresh(spark, sf_dir, tmp_path):
     assert cli_main(["rollup", "--source", src, "--dest", dest, "--refresh"]) == 0
     assert rollup_hwm(spark, dest) == h1  # same data → same HWM
     assert spark.read.parquet(dest).count() > 0
+    # clean rollup → repair is a no-op that still exits 0
+    assert cli_main(["rollup", "--source", src, "--dest", dest, "--repair"]) == 0
+    assert rollup_hwm(spark, dest) == h1
 
 
 def test_retention_rejects_bad_date(spark, tmp_path):

@@ -95,6 +95,12 @@ def build_parser() -> argparse.ArgumentParser:
     ru.add_argument("--source", required=True, help="events parquet path or table dir")
     ru.add_argument("--dest", required=True, help="rollup table destination")
     ru.add_argument(
+        "--repair",
+        action="store_true",
+        help="detect hour partitions drifted by out-of-order ingest and "
+        "rebuild exactly those (use after a late-arrival audit fires)",
+    )
+    ru.add_argument(
         "--refresh",
         action="store_true",
         help="incremental refresh from the stored high-water mark (default: full build)",
@@ -184,12 +190,24 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.command == "rollup":
-        from timestream_travel_spark.pipeline.rollup import build_rollup, refresh_rollup
+        from timestream_travel_spark.pipeline.rollup import (
+            build_rollup,
+            refresh_rollup,
+            repair_rollup,
+        )
         from timestream_travel_spark.tables import ensure_timestamp
 
         spark = get_spark("timestream-travel-rollup")
         events = ensure_timestamp(spark.read.parquet(args.source), "ts")
-        if args.refresh:
+        if args.repair:
+            hours = repair_rollup(spark, events, args.dest)
+            log.info(
+                "repaired %d drifted hour partition(s) -> %s%s",
+                len(hours),
+                args.dest,
+                f" ({hours[0]} .. {hours[-1]})" if hours else "",
+            )
+        elif args.refresh:
             n = refresh_rollup(spark, events, args.dest)
             log.info("refreshed %d hour partition(s) -> %s", n, args.dest)
         else:
