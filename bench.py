@@ -253,6 +253,38 @@ def main() -> None:
         for d in pq_dirs:
             shutil.rmtree(d, ignore_errors=True)
 
+    # scheduled rollup: the recurring dashboard paths. The one-time
+    # build (~agg 2 s + a 720-hour-dir partitioned write, amortized
+    # across every later refresh/read) runs once UNTIMED as setup;
+    # what recurs — and what this bench tracks round-over-round — is
+    # the incremental refresh (ingest-tail scan + one-partition
+    # dynamic overwrite) and the daily read served entirely from the
+    # rollup (exact re-aggregation + HLL-union distincts, no raw
+    # events touched).
+    from timestream_travel_spark.pipeline.rollup import (
+        build_rollup,
+        daily_from_hourly,
+        refresh_rollup,
+    )
+    from timestream_travel_spark.tables import load_table as _lt
+
+    ru_dir = tempfile.mkdtemp(prefix="rollup_")
+    try:
+        ev = _lt(spark, sf_dir, "events")
+        build_rollup(spark, ev, ru_dir)
+        record("rollup_refresh", lambda: refresh_rollup(spark, ev, ru_dir))
+        record(
+            "q_rollup_daily_read",
+            lambda: daily_from_hourly(spark, ru_dir)
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+        )
+    except Exception as exc:  # noqa: BLE001 — same isolation as record()
+        errors["rollup"] = f"{type(exc).__name__}: {exc}"[:500]
+    finally:
+        shutil.rmtree(ru_dir, ignore_errors=True)
+
     # headline total stays comparable across rounds: the index
     # build/reuse timings are reported per-query but not summed.
     # An errored headline query contributes nothing to the sum —
