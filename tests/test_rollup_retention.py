@@ -135,6 +135,17 @@ def test_repair_rollup_rebuilds_only_drifted_hours(spark, sf_dir, tmp_path):
     )
     # clean rollup → no-op
     assert repair_rollup(spark, ev, dest) == []
+    # never-built destination → full-build fallback, every hour named
+    fresh = str(tmp_path / "rollup_fresh")
+    built = repair_rollup(spark, ev, fresh)
+    assert built == sorted(
+        r["h"]
+        for r in ev.select(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias("h")
+        )
+        .distinct()
+        .collect()
+    )
 
 
 def test_retention_drops_only_expired_partitions(spark, sf_dir, tmp_path):

@@ -90,6 +90,18 @@ def test_late_routing_split_and_repair_loop(spark, sf_dir, tmp_path):
     )
     assert canon(rollup_dest) == canon(full)
 
+    # HWM-store compaction: one max row in the reserved epoch; the
+    # prior-epoch read any future batch would do is unchanged
+    from timestream_travel_spark.streaming.late_audit import compact_hwm_store
+    from timestream_travel_spark.streaming.store_util import COMPACT_EPOCH
+
+    overall = max(hwm_rows.values())
+    compact_hwm_store(spark, hwm)
+    folded = spark.read.parquet(hwm).collect()
+    assert len(folded) == 1
+    assert folded[0]["epoch"] == COMPACT_EPOCH
+    assert folded[0]["max_hour"] == overall
+
     # grace absorbs everything → empty quarantine
     dest2 = str(tmp_path / "main2")
     q2 = route_late_arrivals(

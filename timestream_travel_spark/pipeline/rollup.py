@@ -194,7 +194,18 @@ def repair_rollup(spark: SparkSession, events: DataFrame, dest: str) -> list[str
     partitions). The driver collect is over the bounded hour domain
     (~9k rows per year), not data. Complements refresh_rollup's
     `audit_tail` (which only warns): audit on a schedule, repair when
-    it fires. Returns the repaired hour keys."""
+    it fires. Returns the repaired hour keys. A never-built/empty
+    destination falls back to the full build (same contract as
+    refresh_rollup), returning every built hour."""
+    if rollup_hwm(spark, dest) is None:
+        build_rollup(spark, events, dest)
+        return sorted(
+            r["__hour"]
+            for r in spark.read.parquet(dest)
+            .select(F.col("__hour").cast("string").alias("__hour"))
+            .distinct()
+            .collect()
+        )
     src = (
         events.groupBy(
             F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias(

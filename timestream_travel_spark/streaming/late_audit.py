@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.errors import AnalysisException
 
-__all__ = ["late_hours", "route_late_arrivals"]
+__all__ = ["compact_hwm_store", "late_hours", "route_late_arrivals"]
 
 _HOUR = F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00")
 
@@ -112,6 +112,25 @@ def route_late_arrivals(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def compact_hwm_store(spark: SparkSession, hwm_path: str) -> None:
+    """The HWM store grows one row per batch forever; fold it to a
+    single max row in the reserved compacted epoch so the per-batch
+    `_prior_hwm` read stays O(live epochs) over any horizon. Safe
+    w.r.t. classification: the compacted epoch (-1) is strictly
+    below every real batchId, so it is visible to every later
+    batch's strictly-prior filter, and max is merge-equivalent —
+    fold-then-read ≡ read. Run it only while the stream is quiescent
+    (no batch written-but-uncommitted — the standing envelope for
+    every epoch store here): replaying an epoch that was already
+    folded would re-add it beside the baseline, and for THIS store
+    additionally let a replayed batch see its own folded write."""
+    from timestream_travel_spark.streaming.store_util import compact_epoch_store
+
+    compact_epoch_store(
+        spark, hwm_path, lambda df: df.agg(F.max("max_hour").alias("max_hour"))
     )
 
 
