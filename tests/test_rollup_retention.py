@@ -95,6 +95,52 @@ def test_daily_from_hourly_matches_direct_daily(spark, sf_dir, tmp_path):
         assert abs(r["n_users_est"] - ex) <= max(3, 0.05 * ex), (r, ex)
 
 
+def test_daily_from_hourly_on_pre_sketch_store(spark, sf_dir, tmp_path):
+    """Schema migration: a rollup whose old partitions predate the
+    users_sk column still reads (mergeSchema), sketched days estimate,
+    and fully-unsketched days report NULL — never the empty-union 0."""
+    from timestream_travel_spark.pipeline.rollup import (
+        _hourly,
+        daily_from_hourly,
+        refresh_rollup,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    dest = str(tmp_path / "rollup_old")
+    # simulate the pre-sketch release: build without users_sk
+    (
+        _hourly(ev.filter(F.col("ts") < CUT))
+        .drop("users_sk")
+        .repartition("__hour")
+        .write.mode("overwrite")
+        .partitionBy("__hour")
+        .parquet(dest)
+    )
+    # current release refreshes only the tail → mixed-schema store
+    refresh_rollup(spark, ev, dest)
+    daily = {r["day"]: r["n_users_est"] for r in daily_from_hourly(spark, dest).collect()}
+    pre_days = sorted(d for d in daily if d < CUT[:10])
+    post_days = sorted(d for d in daily if d >= CUT[:10])
+    assert pre_days and post_days
+    for d in pre_days[:-1]:  # fully pre-sketch days → honest NULL
+        assert daily[d] is None, (d, daily[d])
+    for d in post_days:  # refreshed days carry sketches → estimates
+        assert daily[d] is not None and daily[d] > 0, (d, daily[d])
+    # an entirely pre-sketch store also reads (users_sk in no footer)
+    dest2 = str(tmp_path / "rollup_old_all")
+    (
+        _hourly(ev)
+        .drop("users_sk")
+        .repartition("__hour")
+        .write.mode("overwrite")
+        .partitionBy("__hour")
+        .parquet(dest2)
+    )
+    assert all(
+        r["n_users_est"] is None for r in daily_from_hourly(spark, dest2).collect()
+    )
+
+
 def test_repair_rollup_rebuilds_only_drifted_hours(spark, sf_dir, tmp_path):
     """Out-of-order ingest: rows landing behind the HWM drift the
     rollup silently; repair_rollup detects exactly the drifted hour

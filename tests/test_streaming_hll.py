@@ -94,3 +94,84 @@ def test_streaming_hll_store_tracks_exact_distincts(spark, sf_dir, tmp_path):
     assert compacted.agg(F.sum("n_rows")).collect()[0][0] == ev.count()
     assert _estimates(spark, store) == inc_est
     assert estimate_distinct_total(spark, store) == total_est
+
+
+def test_epoch_store_swap_recovers_from_crash_points(spark, tmp_path):
+    """compact_epoch_store's two renames cannot be atomic together;
+    the __swap_pending marker + recover_epoch_store must restore a
+    consistent store from either crash window, and the next
+    compaction must NOT mistake a crashed swap's `old` for a
+    completed swap's leftover (that would delete the only history)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from timestream_travel_spark.streaming.store_util import (
+        COMPACT_EPOCH,
+        compact_epoch_store,
+        recover_epoch_store,
+    )
+
+    def build(path):
+        for e in (0, 1, 2):
+            (
+                spark.range(10)
+                .select((F.col("id") + 100 * e).alias("v"), F.lit(e).alias("epoch"))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("epoch")
+                .parquet(path)
+            )
+
+    def totals(path):
+        r = spark.read.parquet(path).agg(
+            F.count("*").alias("n"), F.sum("v").alias("s")
+        ).collect()[0]
+        return (r["n"], r["s"])
+
+    fold = lambda df: df.select("v")  # identity fold (keeps rows)  # noqa: E731
+
+    # crash window A: between the two renames (store gone, old holds
+    # the history, tmp holds the fold)
+    store = str(tmp_path / "storeA")
+    build(store)
+    before = totals(store)
+    tmp, old, marker = (
+        store + ".__compact_tmp",
+        store + ".__compact_old",
+        store + ".__swap_pending",
+    )
+    fold(spark.read.parquet(store)).withColumn(
+        "epoch", F.lit(COMPACT_EPOCH)
+    ).write.partitionBy("epoch").parquet(tmp)
+    open(marker, "w").close()
+    os.rename(store, old)  # ← crash here
+    recover_epoch_store(store)
+    assert totals(store) == before
+    assert not os.path.exists(old) and not os.path.exists(tmp)
+    assert not os.path.exists(marker)
+
+    # crash window B: after the second rename, before cleanup (swap
+    # done; old is superseded) — and the NEXT compaction self-recovers
+    store = str(tmp_path / "storeB")
+    build(store)
+    before = totals(store)
+    tmp, old, marker = (
+        store + ".__compact_tmp",
+        store + ".__compact_old",
+        store + ".__swap_pending",
+    )
+    fold(spark.read.parquet(store)).withColumn(
+        "epoch", F.lit(COMPACT_EPOCH)
+    ).write.partitionBy("epoch").parquet(tmp)
+    open(marker, "w").close()
+    os.rename(store, old)
+    os.rename(tmp, store)  # ← crash here (old + marker left behind)
+    compact_epoch_store(spark, store, fold)  # recovery runs inside
+    assert totals(store) == before
+    assert spark.read.parquet(store).select("epoch").distinct().collect()[0][
+        "epoch"
+    ] == COMPACT_EPOCH
+    assert not os.path.exists(old) and not os.path.exists(marker)
+    shutil.rmtree(store, ignore_errors=True)

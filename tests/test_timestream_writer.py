@@ -92,3 +92,32 @@ def test_stream_writer_batches_are_idempotent_pages(spark, tmp_path):
     back = spark.read.format("timestream_like").option("path", out).load().collect()
     vals = sorted(int(r.v) for r in back)
     assert vals == sorted(set(vals)), "duplicate rows across batch commits"
+
+
+def test_batch_page_numbering_survives_five_digit_rollover(tmp_path):
+    """Past page-99999 the %05d pad widens to 6 digits; the next-index
+    scan must still parse those names (or it would stick at 100000 and
+    collide forever), and page order must stay numeric."""
+    import json
+    import os
+
+    from timestream_travel_spark.sources.timestream_like import (
+        PageCommit,
+        TimestreamLikeWriter,
+    )
+
+    d = str(tmp_path / "pages")
+    os.makedirs(d)
+    for n in (99999, 100000):
+        with open(os.path.join(d, f"page-{n:05d}.json"), "w") as fh:
+            json.dump({}, fh)
+    w = TimestreamLikeWriter(d, fields=["a"], overwrite=False)
+    assert max(n for n, _ in w._batch_pages()) == 100000
+    staged = os.path.join(d, "stage-x.json.tmp")
+    with open(staged, "w") as fh:
+        json.dump({}, fh)
+    w._finalize([PageCommit(staged=staged, rows=0)])
+    assert os.path.exists(os.path.join(d, "page-100001.json"))
+    # reader-side ordering: (len, name) == numeric for padded names
+    names = [f"page-{n:05d}.json" for n in (7, 99999, 100000, 100001)]
+    assert sorted(names, key=lambda p: (len(p), p)) == names

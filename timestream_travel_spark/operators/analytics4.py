@@ -134,6 +134,10 @@ def q_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     multipliers (4·cw ≥ k·tot) — no float fraction of a total, so
     the crossing row is engine-exact. Prices monotone across shards
     ⇒ the min within the crossing shard is the global answer."""
+    from timestream_travel_spark.operators._sharded import (
+        sharded_weighted_quantiles,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
     qdec = F.col("l_quantity").cast("decimal(20,4)")
     shard = F.floor(F.col("l_extendedprice") / _WQ_SHARD_WIDTH).cast("bigint")
@@ -145,47 +149,12 @@ def q_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         qdec.alias("qty"),
         shard.alias("shard"),
     )
-    shard_w = rows.groupBy("l_returnflag", "shard").agg(F.sum("qty").alias("sw"))
-    w_prev = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("shard")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    cand = sharded_weighted_quantiles(
+        rows,
+        ["l_returnflag"],
+        ["l_extendedprice", "l_orderkey", "l_linenumber"],
+        [(1, 4, "p25"), (2, 4, "p50"), (3, 4, "p75")],
     )
-    w_flag = Window.partitionBy("l_returnflag")
-    marked = shard_w.select(
-        "l_returnflag",
-        "shard",
-        F.coalesce(F.sum("sw").over(w_prev), F.lit(0).cast("decimal(20,4)")).alias(
-            "off"
-        ),
-        "sw",
-        F.sum("sw").over(w_flag).alias("tot"),
-    )
-    qtags = spark.createDataFrame(
-        [(1, "p25"), (2, "p50"), (3, "p75")], "k int, q string"
-    )
-    crossing = marked.crossJoin(F.broadcast(qtags)).filter(
-        (F.lit(4) * (F.col("off") + F.col("sw")) >= F.col("k") * F.col("tot"))
-        & (F.lit(4) * F.col("off") < F.col("k") * F.col("tot"))
-    )
-    w_local = (
-        Window.partitionBy("l_returnflag", "shard", "q")
-        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cand = rows.join(
-        F.broadcast(crossing.select("l_returnflag", "shard", "k", "q", "off", "tot")),
-        ["l_returnflag", "shard"],
-    ).select(
-        "l_returnflag",
-        "l_extendedprice",
-        "k",
-        "q",
-        "tot",
-        (F.col("off") + F.sum("qty").over(w_local)).alias("cw"),
-    )
-    return (
-        cand.filter(F.lit(4) * F.col("cw") >= F.col("k") * F.col("tot"))
-        .groupBy("l_returnflag", "q")
-        .agg(F.min("l_extendedprice").alias("wq_price"))
+    return cand.groupBy("l_returnflag", "q").agg(
+        F.min("l_extendedprice").alias("wq_price")
     )

@@ -126,9 +126,12 @@ def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # greedy MMR, identical tie-breaks to the SQL oracle:
     # rank 1 = max rel (vec_id asc); rank r = max λ·rel − (1−λ)·max
     # sim-to-selected (vec_id asc)
-    first = min(rel, key=lambda v: (-rel[v], v))
-    picks: list[tuple[int, int, float]] = [(1, first, rel[first])]
-    chosen = {first}
+    picks: list[tuple[int, int, float]] = []
+    chosen: set[int] = set()
+    if rel:
+        first = min(rel, key=lambda v: (-rel[v], v))
+        picks.append((1, first, rel[first]))
+        chosen.add(first)
     lam, mu = MMR_LAMBDA, round(1 - MMR_LAMBDA, 1)
     for r in range(2, MMR_K + 1):
         best = None
@@ -140,6 +143,8 @@ def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             key = (-mmr, v)
             if best is None or key < best[0]:
                 best = (key, v, mmr)
+        if best is None:  # pool smaller than K — emit fewer rows,
+            break  # like the r5 Spark-loop form did
         picks.append((r, best[1], best[2]))
         chosen.add(best[1])
     # final rounding stays ENGINE-side (F.round is HALF_UP like the

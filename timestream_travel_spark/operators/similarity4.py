@@ -169,7 +169,10 @@ def dtw_sax_candidate_pairs(
     """
     from timestream_travel_spark.operators.timeseries8 import q_sax_symbols
 
-    sax = q_sax_symbols(spark, sf_dir)
+    # the SAX table feeds four plan branches (both join sides + the
+    # two broadcast day-count lookups); lazy localCheckpoint
+    # materializes the events scan + PAA + discretization ONCE
+    sax = q_sax_symbols(spark, sf_dir).localCheckpoint(eager=False)
     days = sax.groupBy("user_id").agg(F.count("*").alias("nd"))
     a = sax.select(
         F.col("user_id").alias("user_a"), "day", F.col("sax").alias("w")

@@ -265,6 +265,10 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     Prices are monotone across shards, so the min-crossing-price
     within the crossing shard IS the global answer. Weights stay
     DECIMAL end-to-end; total_qty exact by the same sums."""
+    from timestream_travel_spark.operators._sharded import (
+        sharded_weighted_quantiles,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
     qdec = F.col("l_quantity").cast("decimal(20,4)")
     shard = F.floor(F.col("l_extendedprice") / _WM_SHARD_WIDTH).cast("bigint")
@@ -276,52 +280,17 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         qdec.alias("qty"),
         shard.alias("shard"),
     )
-    # Phase 1: per-(flag, shard) weight — the only full-data shuffle.
-    shard_w = rows.groupBy("l_returnflag", "shard").agg(F.sum("qty").alias("sw"))
-    # Phase 2: prefix sum over the bounded shard table; keep the one
-    # shard per flag where the cumulative weight crosses tot/2.
-    w_prev = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("shard")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    # the single-probe (1/2) case of the shared sharded machinery —
+    # q_weighted_quantiles is the same helper with three probes
+    cand = sharded_weighted_quantiles(
+        rows,
+        ["l_returnflag"],
+        ["l_extendedprice", "l_orderkey", "l_linenumber"],
+        [(1, 2, "p50")],
     )
-    w_flag = Window.partitionBy("l_returnflag")
-    marked = shard_w.select(
-        "l_returnflag",
-        "shard",
-        F.coalesce(F.sum("sw").over(w_prev), F.lit(0).cast("decimal(20,4)")).alias(
-            "off"
-        ),
-        "sw",
-        F.sum("sw").over(w_flag).alias("tot"),
-    )
-    crossing = marked.filter(
-        (F.lit(2) * (F.col("off") + F.col("sw")) >= F.col("tot"))
-        & (F.lit(2) * F.col("off") < F.col("tot"))
-    )
-    # Re-scan only the crossing shard; the local cumulative window
-    # sees a bounded slice (one shard per flag), seeded by `off`.
-    w_local = (
-        Window.partitionBy("l_returnflag", "shard")
-        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cand = rows.join(
-        F.broadcast(crossing.select("l_returnflag", "shard", "off", "tot")),
-        ["l_returnflag", "shard"],
-    ).select(
-        "l_returnflag",
-        "l_extendedprice",
-        "tot",
-        (F.col("off") + F.sum("qty").over(w_local)).alias("cw"),
-    )
-    return (
-        cand.filter(F.lit(2) * F.col("cw") >= F.col("tot"))
-        .groupBy("l_returnflag")
-        .agg(
-            F.min("l_extendedprice").alias("weighted_median_price"),
-            F.max("tot").cast("double").alias("total_qty"),
-        )
+    return cand.groupBy("l_returnflag").agg(
+        F.min("l_extendedprice").alias("weighted_median_price"),
+        F.max("tot").cast("double").alias("total_qty"),
     )
 
 

@@ -161,8 +161,18 @@ def daily_from_hourly(spark: SparkSession, dest: str) -> DataFrame:
     the hourly sketches — exact distincts do NOT sum across hours,
     which is why the sketch rides in the rollup). `n_users_est`
     carries the sketch's ~1.6% std error at lgK=12; the exact hourly
-    `n_users` stays available for single-hour reads."""
-    r = spark.read.parquet(dest)
+    `n_users` stays available for single-hour reads.
+
+    Schema migration: a store built before the sketch column (or one
+    whose refresh only re-wrote tail partitions) has hour partitions
+    WITHOUT `users_sk` — read with mergeSchema so mixed footers
+    resolve, union-agg skips the null sketches, and a day whose
+    hours ALL predate the column reports `n_users_est` NULL (honest
+    "unknown") rather than an undercount. Backfill by `repair_rollup`
+    after touching the old hours, or a one-time `build_rollup`."""
+    r = spark.read.option("mergeSchema", "true").parquet(dest)
+    if "users_sk" not in r.columns:  # store entirely pre-sketch
+        r = r.withColumn("users_sk", F.lit(None).cast("binary"))
     return (
         r.groupBy(
             "event_type",
@@ -173,9 +183,15 @@ def daily_from_hourly(spark: SparkSession, dest: str) -> DataFrame:
             F.sum("sum_value").cast("double").alias("sum_value"),
             F.min("min_value").alias("min_value"),
             F.max("max_value").alias("max_value"),
-            F.round(F.hll_sketch_estimate(F.hll_union_agg("users_sk")), 0)
-            .cast("bigint")
-            .alias("n_users_est"),
+            # a day with NO sketched hours (pre-migration store) must
+            # report NULL, not the empty-union estimate 0 — union-agg
+            # skips null sketches, so count() guards the degenerate
+            F.when(
+                F.count("users_sk") > 0,
+                F.round(F.hll_sketch_estimate(F.hll_union_agg("users_sk")), 0).cast(
+                    "bigint"
+                ),
+            ).alias("n_users_est"),
         )
     )
 

@@ -105,7 +105,9 @@ class TimestreamLikeDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("timestream_like requires option 'path' (directory of page files)")
-        pages = sorted(glob.glob(f"{path}/page-*.json"))
+        # (len, name) order == numeric order for zero-padded names
+        # that outgrew their %05d pad (page-100000 after page-99999)
+        pages = sorted(glob.glob(f"{path}/page-*.json"), key=lambda p: (len(p), p))
         if not pages:
             raise ValueError(f"no page-*.json files under {path}")
         return pages
@@ -179,7 +181,8 @@ class TimestreamLikeStreamReader(SimpleDataSourceStreamReader):
         return {"pages_read": 0}
 
     def _pages(self) -> list[str]:
-        return sorted(glob.glob(f"{self.path}/page-*.json"))
+        # same (len, name) ordering rationale as the batch reader
+        return sorted(glob.glob(f"{self.path}/page-*.json"), key=lambda p: (len(p), p))
 
     def _decode(self, pages: list[str]):
         for p in pages:
@@ -265,7 +268,10 @@ class TimestreamLikeWriter(DataSourceWriter):
 
     # batch pages only — stream pages are page-bNNNNN-MMMMM.json and
     # belong to their batchId, never to this writer
-    _BATCH_PAGE_RE = _re.compile(r"page-(\d{5})\.json$")
+    # 5+ digits: %05d pads small indices but page 100000 widens to 6
+    # digits, which must still parse or the next-index scan would
+    # stick at 100000 and collide forever
+    _BATCH_PAGE_RE = _re.compile(r"page-(\d{5,})\.json$")
 
     def _batch_pages(self) -> list[tuple[int, str]]:
         out = []
