@@ -56,6 +56,12 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--rows", type=int, default=1000, help="max rows per output chunk (clamped to 1000)")
     b.add_argument("--tiebreak-col", default=None, help="deterministic secondary sort column")
     b.add_argument("--typed", action="store_true", help="native JSON types instead of faithful strings")
+    b.add_argument(
+        "--chain",
+        action="store_true",
+        help="generation-tagged incremental chain: export only rows past the "
+        "chain watermark, record the manifest under _manifest/gen=N",
+    )
     b.add_argument("--dry-run", action="store_true", help="run queries + counts, skip the write")
     b.add_argument("--verbose", action="store_true")
     v = sub.add_parser("verify", help="reconcile a backup against its stored manifest")
@@ -73,6 +79,13 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--schema", default=None, help="DDL schema to cast faithful strings back to types")
     r.add_argument("--dedup-key", default=None, help="drop duplicate rows by this key (keep max ts)")
     r.add_argument("--as-of", default=None, help="point-in-time restore: only rows with ts <= 'yyyy-MM-dd HH:mm:ss' (partition-pruned read)")
+    r.add_argument(
+        "--generation",
+        type=int,
+        default=None,
+        help="time travel by backup generation: rebuild the table as the "
+        "chain knew it after _manifest/gen=N (chains built with backup --chain)",
+    )
     r.add_argument("--verbose", action="store_true")
     c = sub.add_parser("compact", help="rewrite fragmented parquet into size-targeted files")
     c.add_argument("--src", required=True, help="fragmented parquet directory")
@@ -177,6 +190,23 @@ def main(argv: list[str] | None = None) -> int:
         from timestream_travel_spark.pipeline.restore import restore_as_of, restore_backup
 
         spark = get_spark("timestream-travel-restore")
+        if args.generation is not None:
+            from timestream_travel_spark.pipeline.generations import restore_generation
+
+            try:
+                stats = restore_generation(
+                    spark, args.backup, args.dest, args.generation, schema=args.schema
+                )
+            except ValueError as e:
+                log.error("%s", e)
+                return 2
+            log.info(
+                "restored %d rows as of generation %d -> %s",
+                stats["rows_out"],
+                stats["generation"],
+                args.dest,
+            )
+            return 0
         if args.as_of:
             stats = restore_as_of(
                 spark, args.backup, args.dest, args.as_of, schema=args.schema
@@ -313,6 +343,29 @@ def main(argv: list[str] | None = None) -> int:
     from pyspark.sql import functions as F
 
     try:
+        if args.chain:
+            from timestream_travel_spark.pipeline.generations import (
+                backup_next_generation,
+                generation_ledger,
+            )
+
+            gen = backup_next_generation(spark, source, cfg)
+            rows = (
+                generation_ledger(spark, args.dest)
+                .filter(F.col("gen") == gen)
+                .collect()
+            )
+            if rows:  # an empty increment records no gen=N partition
+                log.info(
+                    "chain generation %d: %d chunks, %d rows -> %s",
+                    gen,
+                    rows[0]["n_chunks"],
+                    rows[0]["n_rows"] or 0,
+                    args.dest,
+                )
+            else:
+                log.info("chain generation %d: no rows past the watermark", gen)
+            return 0
         manifest = backup(spark, source, cfg)
         if not args.dry_run:
             # persist the manifest beside the data (underscore prefix →

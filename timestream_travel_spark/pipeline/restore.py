@@ -54,6 +54,24 @@ def verify_backup(spark: SparkSession, dest: str, manifest: DataFrame) -> DataFr
     )
 
 
+def _fold_null_sentinels(raw: DataFrame) -> DataFrame:
+    """Fold the faithful sink's "NULL" sentinel back to SQL NULL —
+    but only on STRING columns: a typed (faithful=False) payload
+    reads back with real types, and comparing a bigint column to
+    "NULL" is an ANSI cast error. Drops the __part/__date layout
+    columns either way."""
+    dtypes = dict(raw.dtypes)
+    return raw.select(
+        *[
+            F.when(F.col(c) == "NULL", None).otherwise(F.col(c)).alias(c)
+            if dtypes[c] == "string"
+            else F.col(c)
+            for c in raw.columns
+            if not c.startswith("__")
+        ]
+    )
+
+
 def restore_backup(
     spark: SparkSession,
     backup_dir: str,
@@ -74,10 +92,7 @@ def restore_backup(
     - distributed end-to-end: one scan of the backup, one optional
       window, one parquet write. Returns {rows_in, rows_out}."""
     raw = spark.read.json(f"{backup_dir}/__part=*/__date=*/*.json.gz")
-    cols = [c for c in raw.columns if not c.startswith("__")]
-    df = raw.select(
-        *[F.when(F.col(c) == "NULL", None).otherwise(F.col(c)).alias(c) for c in cols]
-    )
+    df = _fold_null_sentinels(raw)
     if schema:
         from pyspark.sql.types import StructType
 
@@ -199,10 +214,7 @@ def restore_as_of(
         .json(f"{backup_dir}/__part=*/__date=*/*.json.gz")
         .filter(F.col("__date") <= cutoff_day)
     )
-    cols = [c for c in raw.columns if not c.startswith("__")]
-    df = raw.select(
-        *[F.when(F.col(c) == "NULL", None).otherwise(F.col(c)).alias(c) for c in cols]
-    )
+    df = _fold_null_sentinels(raw)
     if schema:
         from pyspark.sql.types import StructType
 
