@@ -102,6 +102,35 @@ def test_late_routing_split_and_repair_loop(spark, sf_dir, tmp_path):
     assert folded[0]["epoch"] == COMPACT_EPOCH
     assert folded[0]["max_hour"] == overall
 
+    # grace auto-tuning: the suggested interval is the observed p99
+    # lateness; replaying the SAME arrivals with it quarantines ≤1%
+    from timestream_travel_spark.streaming.late_audit import suggest_grace
+
+    g = suggest_grace(spark, quarantine)
+    assert g is not None and g.startswith("INTERVAL ") and g.endswith(" SECONDS")
+    dest3 = str(tmp_path / "main3")
+    quarantine3 = str(tmp_path / "quarantine3")
+    q3 = route_late_arrivals(
+        (
+            spark.readStream.schema(_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/bucket=*")
+        ),
+        dest3,
+        quarantine3,
+        str(tmp_path / "hwm3"),
+        str(tmp_path / "ckpt3"),
+        grace=g,
+    )
+    q3.awaitTermination(180)
+    try:
+        n_late3 = spark.read.parquet(quarantine3).count()
+    except Exception:
+        n_late3 = 0
+    assert n_late3 <= max(1, 0.02 * late_df.count())
+    # empty quarantine → no evidence → None
+    assert suggest_grace(spark, str(tmp_path / "never_written")) is None
+
     # grace absorbs everything → empty quarantine
     dest2 = str(tmp_path / "main2")
     q2 = route_late_arrivals(

@@ -37,7 +37,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.errors import AnalysisException
 
-__all__ = ["compact_hwm_store", "late_hours", "route_late_arrivals"]
+__all__ = [
+    "compact_hwm_store",
+    "late_hours",
+    "route_late_arrivals",
+    "suggest_grace",
+]
 
 _HOUR = F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00")
 
@@ -132,6 +137,33 @@ def compact_hwm_store(spark: SparkSession, hwm_path: str) -> None:
     compact_epoch_store(
         spark, hwm_path, lambda df: df.agg(F.max("max_hour").alias("max_hour"))
     )
+
+
+def suggest_grace(
+    spark: SparkSession, quarantine_path: str, q: float = 0.99
+) -> str | None:
+    """Tune the grace interval from the OBSERVED lateness
+    distribution: each quarantined row records how far behind the
+    then-current HWM its event hour was; the q-quantile of that gap
+    is the grace that would have absorbed a q-fraction of the
+    stragglers. Returns an `INTERVAL n SECONDS` string for
+    route_late_arrivals, or None when nothing was quarantined (no
+    evidence → keep the current setting). One bounded aggregate over
+    the quarantine — the late tail, never the stream."""
+    try:
+        qdf = spark.read.parquet(quarantine_path)
+    except AnalysisException:
+        return None
+    row = qdf.agg(
+        F.percentile_approx(
+            F.unix_timestamp(F.col("observed_hwm").cast("timestamp"))
+            - F.unix_timestamp(F.col("__hour").cast("timestamp")),
+            q,
+        ).alias("s")
+    ).collect()[0]
+    if row["s"] is None:
+        return None
+    return f"INTERVAL {int(row['s'])} SECONDS"
 
 
 def late_hours(spark: SparkSession, quarantine_path: str) -> list[str]:
