@@ -105,3 +105,61 @@ def test_generation_chain_cli(spark, sf_dir, tmp_path):
         cli_main(["restore", "--backup", dest, "--dest", out + "x", "--generation", "7"])
         == 2
     )
+
+
+def test_chain_dry_run_and_mixed_manifest_guards(spark, sf_dir, tmp_path):
+    """A dry-run chain backup must leave the ledger untouched (writing
+    the manifest would advance the watermark past rows never
+    exported); plain-vs-chain manifest mixing is refused both ways."""
+    from timestream_travel_spark.cli import main as cli_main
+    from timestream_travel_spark.pipeline.generations import (
+        backup_next_generation,
+        generation_ledger,
+    )
+
+    dest = str(tmp_path / "chain")
+    src = f"{sf_dir}/events.parquet"
+    base = [
+        "backup", "--source", src, "--dest", dest, "--chain", "--typed",
+        "--tiebreak-col", "event_id", "--from", "2024-01-01 00:00:00",
+        "--to", "2024-01-15 00:00:00",
+    ]
+    # dry-run first: no ledger, no data
+    assert cli_main([*base, "--dry-run"]) == 0
+    assert generation_ledger(spark, dest).count() == 0
+    # real run: gen 0 lands with everything the dry run previewed
+    assert cli_main(base) == 0
+    ledger = generation_ledger(spark, dest).collect()
+    assert [r["gen"] for r in ledger] == [0]
+    # a dry-run between increments also leaves the ledger alone
+    assert cli_main([*base, "--dry-run"]) == 0
+    assert generation_ledger(spark, dest).count() == 1
+
+    # plain backup into a chain dest → refused, ledger survives
+    assert (
+        cli_main(
+            ["backup", "--source", src, "--dest", dest, "--typed",
+             "--from", "2024-01-01 00:00:00", "--to", "2024-01-31 00:00:00"]
+        )
+        == 2
+    )
+    assert [r["gen"] for r in generation_ledger(spark, dest).collect()] == [0]
+
+    # chain into a plain-backup dest → clean ValueError, not a traceback
+    plain = str(tmp_path / "plain")
+    assert (
+        cli_main(
+            ["backup", "--source", src, "--dest", plain, "--typed",
+             "--from", "2024-01-01 00:00:00", "--to", "2024-01-15 00:00:00"]
+        )
+        == 0
+    )
+    import pytest as _pytest
+
+    from timestream_travel_spark.pipeline.backup import BackupConfig
+
+    cfg = BackupConfig(dest=plain, time_from="2024-01-01 00:00:00",
+                       time_to="2024-01-31 00:00:00", faithful=False,
+                       tiebreak_col="event_id")
+    with _pytest.raises(ValueError, match="not generation-tagged"):
+        backup_next_generation(spark, spark.read.parquet(src), cfg)

@@ -122,9 +122,12 @@ def test_daily_from_hourly_on_pre_sketch_store(spark, sf_dir, tmp_path):
     pre_days = sorted(d for d in daily if d < CUT[:10])
     post_days = sorted(d for d in daily if d >= CUT[:10])
     assert pre_days and post_days
-    for d in pre_days[:-1]:  # fully pre-sketch days → honest NULL
+    # any day with an unsketched hour → honest NULL, never a partial
+    # undercount; this includes the HWM boundary day, which the
+    # refresh re-sketched only partially
+    for d in pre_days:
         assert daily[d] is None, (d, daily[d])
-    for d in post_days:  # refreshed days carry sketches → estimates
+    for d in post_days:  # fully refreshed days carry sketches
         assert daily[d] is not None and daily[d] > 0, (d, daily[d])
     # an entirely pre-sketch store also reads (users_sk in no footer)
     dest2 = str(tmp_path / "rollup_old_all")

@@ -350,6 +350,13 @@ def main(argv: list[str] | None = None) -> int:
             )
 
             gen = backup_next_generation(spark, source, cfg)
+            if args.dry_run:
+                log.info(
+                    "dry-run: would export generation %d -> %s (ledger untouched)",
+                    gen,
+                    args.dest,
+                )
+                return 0
             rows = (
                 generation_ledger(spark, args.dest)
                 .filter(F.col("gen") == gen)
@@ -366,6 +373,18 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 log.info("chain generation %d: no rows past the watermark", gen)
             return 0
+        from timestream_travel_spark.pipeline.generations import chain_manifest
+
+        existing = None if args.dry_run else chain_manifest(spark, args.dest)
+        if existing is not None and "gen" in existing.columns:
+            # a plain overwrite of _manifest would silently delete the
+            # chain's whole generation ledger
+            log.error(
+                "%s holds a generation-tagged chain (_manifest/gen=*); "
+                "use backup --chain, or a fresh dest for a plain backup",
+                args.dest,
+            )
+            return 2
         manifest = backup(spark, source, cfg)
         if not args.dry_run:
             # persist the manifest beside the data (underscore prefix →

@@ -67,11 +67,22 @@ def backup_next_generation(
     prev = chain_manifest(spark, cfg.dest)
     gen = 0
     if prev is not None:
+        if "gen" not in prev.columns:
+            raise ValueError(
+                f"{cfg.dest}/{_MANIFEST} is not generation-tagged (plain "
+                "backup manifest) — start the chain in a fresh dest"
+            )
         gen = prev.agg(F.max("gen")).collect()[0][0] + 1
         prev = prev.drop("gen")
         if cfg.write_mode != "append":
             cfg = BackupConfig(**{**cfg.__dict__, "write_mode": "append"})
     manifest = incremental_backup(spark, source, cfg, prev)
+    if cfg.dry_run:
+        # backup() skipped the data write; recording the manifest
+        # anyway would advance the chain watermark past rows that
+        # were never exported — permanent data loss on the next
+        # increment. A dry run must leave the ledger untouched.
+        return gen
     (
         manifest.withColumn("gen", F.lit(gen))
         .write.mode("overwrite")
@@ -85,8 +96,19 @@ def backup_next_generation(
 def generation_ledger(spark: SparkSession, dest: str) -> DataFrame:
     """One row per generation: chunks, rows, and the chain watermark
     after that generation (running max — a generation that added no
-    rows inherits its predecessor's watermark)."""
-    m = spark.read.parquet(f"{dest}/{_MANIFEST}")
+    rows inherits its predecessor's watermark). A never-written chain
+    (e.g. a first increment whose window held zero rows) yields an
+    empty ledger instead of raising."""
+    m = chain_manifest(spark, dest)
+    if m is None:
+        return spark.createDataFrame(
+            [], "gen int, n_chunks bigint, n_rows bigint, watermark_us bigint"
+        )
+    if "gen" not in m.columns:
+        raise ValueError(
+            f"{dest}/{_MANIFEST} is not generation-tagged (plain backup "
+            "manifest) — generation queries need a backup --chain dest"
+        )
     per_gen = m.groupBy("gen").agg(
         F.count("*").alias("n_chunks"),
         F.sum("row_count").cast("bigint").alias("n_rows"),

@@ -183,11 +183,12 @@ def daily_from_hourly(spark: SparkSession, dest: str) -> DataFrame:
             F.sum("sum_value").cast("double").alias("sum_value"),
             F.min("min_value").alias("min_value"),
             F.max("max_value").alias("max_value"),
-            # a day with NO sketched hours (pre-migration store) must
-            # report NULL, not the empty-union estimate 0 — union-agg
-            # skips null sketches, so count() guards the degenerate
+            # a day with ANY unsketched hour (pre-migration store)
+            # must report NULL, not a partial-day undercount —
+            # union-agg silently skips null sketches, so require
+            # every hour of the day to carry one
             F.when(
-                F.count("users_sk") > 0,
+                F.count("users_sk") == F.count(F.lit(1)),
                 F.round(F.hll_sketch_estimate(F.hll_union_agg("users_sk")), 0).cast(
                     "bigint"
                 ),

@@ -35,6 +35,7 @@ from timestream_travel_spark.pipeline.rollup import USERS_SKETCH_LGK
 from timestream_travel_spark.streaming.store_util import (
     COMPACT_EPOCH,
     compact_epoch_store,
+    write_epoch_partition,
 )
 
 __all__ = [
@@ -60,19 +61,13 @@ def maintain_distinct_sketch(
     def update(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        (
-            batch_df.groupBy(
-                "event_type", _HOUR.alias("__hour")
-            )
-            .agg(
+        write_epoch_partition(
+            batch_df.groupBy("event_type", _HOUR.alias("__hour")).agg(
                 F.hll_sketch_agg(key_col, USERS_SKETCH_LGK).alias("users_sk"),
                 F.count(F.lit(1)).alias("n_rows"),
-            )
-            .withColumn("epoch", F.lit(epoch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("epoch")
-            .parquet(store_path)
+            ),
+            store_path,
+            epoch_id,
         )
 
     return (

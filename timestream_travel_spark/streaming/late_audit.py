@@ -91,25 +91,22 @@ def route_late_arrivals(
             )
         tagged = tagged.withColumn("__late", is_late).localCheckpoint(eager=True)
 
-        def land(df: DataFrame, path: str) -> None:
-            (
-                df.withColumn("epoch", F.lit(epoch_id))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("epoch")
-                .parquet(path)
-            )
+        from timestream_travel_spark.streaming.store_util import (
+            write_epoch_partition,
+        )
 
-        land(tagged.filter(~F.col("__late")).drop("__late"), dest_path)
-        land(
+        write_epoch_partition(
+            tagged.filter(~F.col("__late")).drop("__late"), dest_path, epoch_id
+        )
+        write_epoch_partition(
             tagged.filter(F.col("__late"))
             .drop("__late")
             .withColumn("observed_hwm", F.lit(hwm)),
             quarantine_path,
+            epoch_id,
         )
-        land(
-            tagged.agg(F.max("__hour").alias("max_hour")),
-            hwm_path,
+        write_epoch_partition(
+            tagged.agg(F.max("__hour").alias("max_hour")), hwm_path, epoch_id
         )
 
     return (

@@ -42,6 +42,7 @@ __all__ = [
 # epoch-store contract module.
 from timestream_travel_spark.streaming.store_util import (  # noqa: E402
     COMPACT_EPOCH,
+    write_epoch_partition,
 )
 
 
@@ -60,13 +61,8 @@ def maintain_quantile_summary(
     def update(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        (
-            quantile_summary(batch_df, value_col)
-            .withColumn("epoch", F.lit(epoch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("epoch")
-            .parquet(store_path)
+        write_epoch_partition(
+            quantile_summary(batch_df, value_col), store_path, epoch_id
         )
 
     return (

@@ -38,6 +38,7 @@ from timestream_travel_spark.pipeline.rollup import USERS_SKETCH_LGK
 from timestream_travel_spark.streaming.store_util import (
     COMPACT_EPOCH,
     compact_epoch_store,
+    write_epoch_partition,
 )
 
 __all__ = [
@@ -57,20 +58,16 @@ def maintain_rollup_view(stream: DataFrame, store_path: str, checkpoint: str):
     def update(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        (
-            batch_df.groupBy("event_type", _HOUR.alias("__hour"))
-            .agg(
+        write_epoch_partition(
+            batch_df.groupBy("event_type", _HOUR.alias("__hour")).agg(
                 F.count(F.lit(1)).alias("n_events"),
                 F.sum(F.col("value").cast("decimal(20,4)")).alias("sum_value"),
                 F.min("value").alias("min_value"),
                 F.max("value").alias("max_value"),
                 F.hll_sketch_agg("user_id", USERS_SKETCH_LGK).alias("users_sk"),
-            )
-            .withColumn("epoch", F.lit(epoch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("epoch")
-            .parquet(store_path)
+            ),
+            store_path,
+            epoch_id,
         )
 
     return (

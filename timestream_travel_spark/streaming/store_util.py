@@ -42,9 +42,29 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["COMPACT_EPOCH", "compact_epoch_store", "recover_epoch_store"]
+__all__ = [
+    "COMPACT_EPOCH",
+    "compact_epoch_store",
+    "recover_epoch_store",
+    "write_epoch_partition",
+]
 
 COMPACT_EPOCH = -1
+
+
+def write_epoch_partition(df: DataFrame, store_path: str, epoch_id: int) -> None:
+    """THE append-side of the contract: land this batch's rows in
+    their own epoch=<batchId> partition with dynamic partition
+    overwrite, so an at-least-once foreachBatch replay replaces
+    exactly its partition. Every epoch store appends through here —
+    one place to change committer/object-store behavior."""
+    (
+        df.withColumn("epoch", F.lit(epoch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch")
+        .parquet(store_path)
+    )
 
 
 def _paths(store_path: str) -> tuple[str, str, str]:
