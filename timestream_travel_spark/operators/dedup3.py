@@ -10,14 +10,24 @@ sort + a fixed-width window — no pair blowup, no signature
 computation, and it catches prefix-preserving edits LSH can miss at
 low signature budgets.
 
-100 TB shape: blocking key first (here: lang), THEN the sort — the
-window never crosses block boundaries, so the global sort becomes a
-per-block range sort (Spark: one repartition by block + in-partition
-sort; the window's lead() needs no cross-partition rows beyond the
-standard frame exchange). Pair generation is lead(doc_id, j) for
-j < W — output is |corpus|·(W-1) candidates MAX, linear not
-quadratic. Verification is the same in-row shingle Jaccard as
-q_ngram_jaccard_pairs.
+100 TB shape (round-7 rewrite): lang alone is a LOW-CARDINALITY
+block, so `Window.partitionBy("lang")` would sort each language's
+entire corpus slice through one WindowExec task — the same
+single-task-window class the r5/r6 verdicts flagged. The fix is
+range-bucketed blocking: shard the sort key (normalized text) by a
+fixed-length prefix — a mapping that is monotone in the sort order
+and puts equal keys in one bucket — so the corpus-sized window
+partitions by (lang, bucket) and sorts in parallel. Pairs that cross
+a bucket boundary are recovered from a BOUNDARY STRIP: each bucket's
+first and last W-1 rows (<= 2(W-1) rows per bucket, bounded by the
+prefix value domain, not data volume). A per-lang window over just
+the strip emits cross-bucket lead pairs; strip distance equals true
+global distance for every qualifying pair because any over-full
+bucket between the endpoints contributes >= W-1 strip rows (pushing
+both distances past W-1), while an under-full bucket sits in the
+strip entirely. Pair generation stays lead(doc_id, j) for j < W —
+|corpus|·(W-1) candidates MAX, linear not quadratic. Verification is
+the same in-row shingle Jaccard as q_ngram_jaccard_pairs.
 """
 
 from __future__ import annotations
@@ -69,46 +79,110 @@ WHERE c.id_b IS NOT NULL
 """
 
 
+SN_BUCKET_PREFIX = 4  # range-bucket = first 4 chars of the sort key
+
+
 @query("q_sorted_neighborhood_pairs", oracle=_SN_ORACLE)
 def q_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted-neighborhood near-dup pairs: per-lang sort on the
     normalized text, window of SN_WINDOW=4, exact 3-word-shingle
     Jaccard verification at >= SN_MIN_JACCARD=0.2.
 
-    Plan (round-6 rewrite): ONE scan → per-block window where the
-    shingle arrays ride as lead() payloads next to the lead ids →
-    explode of W-1 (id, shingles) structs (linear candidate count) →
-    JVM-side array_intersect Jaccard in the same stage. The r5 form
-    joined the exploded id pairs back to a shingle table twice —
-    three exchanges and two more document scans; carrying the
-    payload through the window costs nothing extra because the sort
-    key is the normalized text itself (document-sized either way)
-    and drops 6.6 s → ~4.3 s at sf0.1 (the per-lang text sort is the
-    remaining cost). No quadratic stage anywhere.
+    Plan (round-7 rewrite — kills the per-lang single-task window):
+    ONE scan → bucket = substring(nt, 1, 4) (monotone in the sort
+    order; equal keys share a bucket) → the corpus-sized window
+    partitions by (lang, bucket) and emits in-bucket lead pairs with
+    the shingle arrays riding as window payloads (no join-back; the
+    r5 form re-scanned documents twice). Cross-bucket pairs come from
+    the boundary strip (first/last W-1 rows of each bucket, found
+    with row_number + a count over the SAME (lang, bucket) exchange):
+    a per-lang window over the strip — bounded by 2(W-1) rows per
+    bucket × the prefix value domain, not by corpus size — emits lead
+    pairs filtered to bucket_a != bucket_b. Strip distance == global
+    distance for every qualifying cross-bucket pair (over-full
+    in-between buckets contribute >= W-1 strip rows, pushing both
+    distances past W-1; under-full buckets sit in the strip whole),
+    so the candidate set is EXACTLY the per-lang W-window pair set
+    and the oracle is unchanged. Jaccard verify stays JVM-side
+    array_intersect in the same stage.
     """
-    d = load_table(spark, sf_dir, "documents").select(
+    raw = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
+        "text",
+        F.substring(normalized_text("text"), 1, SN_BUCKET_PREFIX).alias("bucket"),
+    )
+    # Repartition BEFORE the expensive shingle projection: the scan
+    # stage has as many tasks as parquet row groups, while the
+    # per-(lang, bucket) exchange spreads the regexp/split/distinct
+    # work across the full cluster — and the window's required
+    # distribution is already satisfied, so no second exchange. The
+    # explicit partition count keeps AQE from coalescing the (small
+    # raw-text) shuffle into one task — the point is to parallelize
+    # the CPU-heavy projection above it, not to balance bytes.
+    nshuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    d = raw.repartition(nshuffle, F.col("lang"), F.col("bucket")).select(
+        "doc_id",
+        "lang",
+        "bucket",
         normalized_text("text").alias("nt"),
         word_shingles("text").alias("shingles"),
     )
-    w = Window.partitionBy("lang").orderBy("nt", "doc_id")
-    r = d.select(
+    w_b = Window.partitionBy("lang", "bucket").orderBy("nt", "doc_id")
+    w_cnt = Window.partitionBy("lang", "bucket")
+    base = d.select(
         "doc_id",
+        "lang",
+        "bucket",
+        "nt",
         F.col("shingles").alias("sh_a"),
+        F.row_number().over(w_b).alias("rn"),
+        F.count("*").over(w_cnt).alias("cnt"),
         *[
             F.struct(
-                F.lead("doc_id", j).over(w).alias("id_b"),
-                F.lead("shingles", j).over(w).alias("sh_b"),
+                F.lead("doc_id", j).over(w_b).alias("id_b"),
+                F.lead("shingles", j).over(w_b).alias("sh_b"),
             ).alias(f"n{j}")
             for j in range(1, SN_WINDOW)
         ],
     )
-    cand = r.select(
+    in_bucket = base.select(
         F.col("doc_id").alias("id_a"),
         "sh_a",
         F.explode(F.array(*[f"n{j}" for j in range(1, SN_WINDOW)])).alias("nb"),
     ).filter(F.col("nb.id_b").isNotNull())
+    strip = base.filter(
+        (F.col("rn") <= SN_WINDOW - 1) | (F.col("rn") > F.col("cnt") - (SN_WINDOW - 1))
+    )
+    w_s = Window.partitionBy("lang").orderBy("nt", "doc_id")
+    cross = (
+        strip.select(
+            "doc_id",
+            "bucket",
+            "sh_a",
+            *[
+                F.struct(
+                    F.lead("doc_id", j).over(w_s).alias("id_b"),
+                    F.lead("sh_a", j).over(w_s).alias("sh_b"),
+                    F.lead("bucket", j).over(w_s).alias("bucket_b"),
+                ).alias(f"n{j}")
+                for j in range(1, SN_WINDOW)
+            ],
+        )
+        .select(
+            F.col("doc_id").alias("id_a"),
+            "bucket",
+            "sh_a",
+            F.explode(F.array(*[f"n{j}" for j in range(1, SN_WINDOW)])).alias("nb"),
+        )
+        .filter(F.col("nb.id_b").isNotNull() & (F.col("nb.bucket_b") != F.col("bucket")))
+        .select(
+            "id_a",
+            "sh_a",
+            F.struct(F.col("nb.id_b").alias("id_b"), F.col("nb.sh_b").alias("sh_b")).alias("nb"),
+        )
+    )
+    cand = in_bucket.unionByName(cross)
     inter = F.size(F.array_intersect("sh_a", F.col("nb.sh_b"))).cast("double")
     union = (
         F.size("sh_a")
