@@ -124,11 +124,44 @@ def test_kaplan_meier_no_censoring_is_empirical_survival(spark, tmp_path):
     assert all(a.survival >= b.survival for a, b in zip(out, out[1:]))
 
 
+def test_lcs_contamination_max_df_cap_drops_boilerplate(spark, tmp_path):
+    """A boilerplate 5-gram planted in > LCS_MAX_SHINGLE_DF docs
+    produces NO pairs (the cap fires), while a rare shared 5-gram in
+    the same corpus still pairs — the cap is code, not prose."""
+    from timestream_travel_spark.operators.llm_text16 import (
+        LCS_MAX_SHINGLE_DF,
+        q_lcs_contamination,
+    )
+
+    sf = str(tmp_path / "lcs_cap_sf")
+    boiler = "copyright examplecorp all rights reserved"
+    rare = "zebra quokka axolotl wombat numbat"
+    rows = []
+    # BENCH_MOD = 29: doc_id % 29 == 0 is bench. Plant the boilerplate
+    # in 70 docs (> cap) spanning both sides; the rare shingle in one
+    # train doc (id 1) and one bench doc (id 29).
+    for i in range(70):
+        did = i + 1
+        extra = rare if did in (1, 29) else f"filler{did} pad{did} x{did} y{did} z{did}"
+        rows.append((did, f"{boiler} {extra}", "en", "web", 0))
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    out = q_lcs_contamination(spark, sf).collect()
+    got = {(r.train_id, r.bench_id) for r in out}
+    assert got == {(1, 29)}, got
+    assert 70 > LCS_MAX_SHINGLE_DF
+
+
 def test_lcs_contamination_matches_pure_python(spark, sf_dir):
     """Every (train, bench) pair's DP result equals a direct Python
-    LCS over the same token prefixes, and ratio-1.0 pairs really are
-    subsequence containments."""
+    LCS over the same token prefixes, ratio-1.0 pairs really are
+    subsequence containments, and the emitted pair SET equals the
+    pure-Python candidate generation under the SAME max-df shingle
+    cap (the cap is code on both sides, not prose)."""
+    from timestream_travel_spark.operators.llm_text6 import BENCH_MOD
     from timestream_travel_spark.operators.llm_text16 import (
+        LCS_MAX_SHINGLE_DF,
         LCS_PREFIX_WORDS,
         lcs_len,
         q_lcs_contamination,
@@ -136,9 +169,31 @@ def test_lcs_contamination_matches_pure_python(spark, sf_dir):
 
     out = q_lcs_contamination(spark, sf_dir).collect()
     assert out, "expected at least one candidate pair at this SF"
+    docs = load_table(spark, sf_dir, "documents").collect()
+    # pure-Python candidate pairs: shared 5-gram whose total
+    # occurrence count is within the max-df cap (same statistic as
+    # the engine's hot-shingle count(*) gate)
+    shingle_docs: dict[str, set[int]] = {}
+    shingle_occ: dict[str, int] = {}
+    for r in docs:
+        ws = (r.text or "").split()  # doc_words: non-empty whitespace tokens
+        for i in range(len(ws) - 4):
+            s = " ".join(ws[i : i + 5])
+            shingle_docs.setdefault(s, set()).add(r.doc_id)
+            shingle_occ[s] = shingle_occ.get(s, 0) + 1
+    expect_pairs = set()
+    for s, ids in shingle_docs.items():
+        if shingle_occ[s] > LCS_MAX_SHINGLE_DF:
+            continue
+        bench = [i for i in ids if i % BENCH_MOD == 0]
+        train = [i for i in ids if i % BENCH_MOD != 0]
+        for t in train:
+            for b in bench:
+                expect_pairs.add((t, b))
+    assert {(r.train_id, r.bench_id) for r in out} == expect_pairs
     texts = {
         r.doc_id: r.text.split()[:LCS_PREFIX_WORDS]
-        for r in load_table(spark, sf_dir, "documents").collect()
+        for r in docs
     }
     for r in out:
         a, b = texts[r.train_id], texts[r.bench_id]

@@ -22,6 +22,16 @@ from timestream_travel_spark.registry import query
 from timestream_travel_spark.tables import load_table
 
 LCS_PREFIX_WORDS = 60  # align bounded token prefixes (cost cap per pair)
+# Max-df cap: a 5-gram occurring more than this many times across
+# the corpus is boilerplate, not evidence — its train×bench explode
+# is quadratic in its document frequency, so it is dropped BEFORE
+# pairing. Occurrence count (not distinct-doc count) is the capped
+# statistic: occurrences >= distinct docs, so the quadratic bound
+# still holds, and count(*) keeps the detection agg map-side
+# combinable with scalar per-key state. Same role as PMI_TOP_V in
+# retrieval.py: the bound that keeps the pair stage linear at
+# corpus scale.
+LCS_MAX_SHINGLE_DF = 64
 
 _LCS_SCHEMA = (
     "train_id bigint, bench_id bigint, len_train int, len_bench int,"
@@ -72,11 +82,16 @@ def q_lcs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     incidental.
 
     Scale shape: candidates come from the DISTINCT-shingle equi-join
-    (never all-pairs); the O(n·m) DP runs only on that bounded pair
-    set via Arrow-batched mapInPandas with token prefixes capped at
-    {LCS_PREFIX_WORDS} words. At 100 TB the benchmark side is a fixed
-    eval suite (broadcast), so the candidate join is a broadcast
-    semi-join and the DP cost is per-candidate, not per-document.
+    (never all-pairs), gated by the LCS_MAX_SHINGLE_DF max-df cap —
+    shingles occurring more often than the cap are boilerplate and
+    are dropped before pairing, so the train×bench fan-out is at most
+    CAP² per shingle instead of quadratic in the corpus' hot
+    document frequencies. The O(n·m) DP runs only on that bounded
+    pair set via Arrow-batched mapInPandas with token prefixes capped
+    at {LCS_PREFIX_WORDS} words. At 100 TB the benchmark side is a
+    fixed eval suite (broadcast), so the candidate join is a
+    broadcast semi-join and the DP cost is per-candidate, not
+    per-document.
     Rows-only by design (no SQL-expressible twin); pure-Python parity
     is pinned by pytest."""
     d = load_table(spark, sf_dir, "documents")
@@ -85,12 +100,25 @@ def q_lcs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doc-id sets aggregate per shingle in the same pass (the r5
     # form filtered train/bench BEFORE two separate distincts, so
     # the corpus-sized explode executed twice). Hot-shingle fan-out
-    # is the same quadratic the equi-join form had — a production
-    # corpus additionally drops stopword shingles by a max-df cap
-    # before pairing.
+    # (quadratic in a shingle's document frequency) is bounded by
+    # the LCS_MAX_SHINGLE_DF cap below — boilerplate shingles are
+    # dropped before the train×bench explode, mirroring the
+    # pure-Python parity test's cap.
     sh = d.select("doc_id", F.explode(_shingles(doc_words("text"))).alias("s"))
+    # Hot-shingle detection FIRST: a plain count(*) agg (map-side
+    # combined, scalar per-key state) finds the few boilerplate
+    # shingles over the cap; a broadcast anti-join drops them before
+    # the collect_set, so neither the id-set state nor the pairing
+    # explode ever sees a hot shingle. The hot table is bounded by
+    # |corpus| / CAP — tiny, always broadcastable.
+    hot = (
+        sh.groupBy("s")
+        .agg(F.count("*").alias("occ"))
+        .filter(F.col("occ") > LCS_MAX_SHINGLE_DF)
+        .select("s")
+    )
     is_bench = F.col("doc_id") % BENCH_MOD == 0
-    per_s = sh.groupBy("s").agg(
+    per_s = sh.join(F.broadcast(hot), "s", "left_anti").groupBy("s").agg(
         F.collect_set(F.when(is_bench, F.col("doc_id"))).alias("bench_ids"),
         F.collect_set(F.when(~is_bench, F.col("doc_id"))).alias("train_ids"),
     )
