@@ -182,3 +182,74 @@ def test_compact_rescues_epoch_written_during_fold(spark, tmp_path):
     assert folded_through(store) == 3
     assert _totals(spark, store) == (before[0] + 10, before[1] + sum(range(300, 310)))
     shutil.rmtree(store, ignore_errors=True)
+
+
+def test_late_audit_cli_end_to_end(spark, sf_dir, tmp_path, caplog):
+    """The detect -> name -> repair story drivable from the shell:
+    `late-audit route` splits an out-of-order backlog, `report` names
+    the drifted hours, `suggest-grace` tunes the interval, and
+    `rollup --repair` closes the loop — all through cli.main."""
+    import logging
+
+    from timestream_travel_spark.cli import main as cli_main
+    from timestream_travel_spark.pipeline.rollup import build_rollup
+    from timestream_travel_spark.streaming.late_audit import late_hours
+    from timestream_travel_spark.tables import load_table
+
+    # interleaved buckets make the one-file-per-batch drain arrive
+    # out of event-time order -> guaranteed stragglers
+    src = str(tmp_path / "ev_src")
+    ev = load_table(spark, sf_dir, "events")
+    ev.withColumn("bucket", (F.col("event_id") % 4).cast("int")).write.partitionBy(
+        "bucket"
+    ).mode("overwrite").parquet(src)
+
+    dest = str(tmp_path / "main")
+    quarantine = str(tmp_path / "quarantine")
+    route = [
+        "late-audit", "route",
+        "--source", f"{src}/bucket=*",
+        "--dest", dest,
+        "--quarantine", quarantine,
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--files-per-batch", "1",
+    ]
+    assert cli_main(route) == 0
+    main_df = spark.read.parquet(dest)
+    late_df = spark.read.parquet(quarantine)
+    assert main_df.count() + late_df.count() == ev.count()
+    assert late_df.count() > 0
+
+    with caplog.at_level(logging.INFO):
+        assert cli_main(["late-audit", "report", "--quarantine", quarantine]) == 0
+    hours = late_hours(spark, quarantine)
+    assert f"{len(hours)} drifted hour(s)" in caplog.text
+    assert "stragglers=" in caplog.text
+
+    caplog.clear()
+    with caplog.at_level(logging.INFO):
+        assert cli_main(["late-audit", "suggest-grace", "--quarantine", quarantine]) == 0
+    assert "suggested grace" in caplog.text and "SECONDS" in caplog.text
+
+    # close the loop from the shell: a rollup built over the on-time
+    # store has drifted (late rows are missing); repair rebuilds the
+    # drifted hours from the FULL source
+    rollup_dest = str(tmp_path / "rollup")
+    build_rollup(spark, main_df.drop("__hour", "bucket"), rollup_dest)
+    full_src = str(tmp_path / "ev_full")
+    main_df.drop("__hour", "bucket").unionByName(
+        late_df.drop("__hour", "observed_hwm", "bucket")
+    ).write.mode("overwrite").parquet(full_src)
+    assert (
+        cli_main(["rollup", "--repair", "--source", full_src, "--dest", rollup_dest])
+        == 0
+    )
+    # after repair the rollup matches a clean full build's totals
+    clean = str(tmp_path / "rollup_clean")
+    build_rollup(spark, spark.read.parquet(full_src), clean)
+    got = spark.read.parquet(rollup_dest).agg(F.sum("n_events")).collect()[0][0]
+    want = spark.read.parquet(clean).agg(F.sum("n_events")).collect()[0][0]
+    assert got == want
+
+    # report on an empty/never-created quarantine is a clean exit
+    assert cli_main(["late-audit", "report", "--quarantine", str(tmp_path / "nope")]) == 0

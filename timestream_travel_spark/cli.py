@@ -130,6 +130,32 @@ def build_parser() -> argparse.ArgumentParser:
     rt.add_argument("--dry-run", action="store_true", help="report only, delete nothing")
     rt.add_argument("--verbose", action="store_true")
 
+    la = sub.add_parser(
+        "late-audit",
+        help="route out-of-order ingest to a quarantine, report stragglers, or tune grace",
+    )
+    la.add_argument(
+        "action",
+        choices=["route", "report", "suggest-grace"],
+        help="route: drain --source into --dest with late rows quarantined; "
+        "report: per-hour straggler counts (feed `rollup --repair`); "
+        "suggest-grace: grace interval from the observed lateness quantile",
+    )
+    la.add_argument("--source", default=None, help="parquet path/glob to ingest as a stream (route)")
+    la.add_argument("--dest", default=None, help="main store for on-time rows (route)")
+    la.add_argument("--quarantine", required=True, help="dead-letter store for late rows")
+    la.add_argument("--hwm", default=None, help="high-water-mark store (route; default <quarantine>_hwm)")
+    la.add_argument("--checkpoint", default=None, help="stream checkpoint (route; default <dest>_ckpt)")
+    la.add_argument("--grace", default="INTERVAL 0 SECONDS", help="lateness tolerated as on-time (route)")
+    la.add_argument(
+        "--files-per-batch",
+        type=int,
+        default=0,
+        help="maxFilesPerTrigger for the drain (0 = one batch for the whole backlog)",
+    )
+    la.add_argument("--quantile", type=float, default=0.99, help="lateness quantile (suggest-grace)")
+    la.add_argument("--verbose", action="store_true")
+
     q = sub.add_parser("query", help="run a named engine query against a table directory")
     q.add_argument("name", nargs="?", default=None, help="registry query name (omit to list all)")
     q.add_argument("--data", default=None, help="directory holding the parquet tables")
@@ -256,6 +282,85 @@ def main(argv: list[str] | None = None) -> int:
         for date, n in sorted(dropped.items()):
             log.info("%s %d partition dir(s) for __date=%s", verb, n, date)
         log.info("%s %d expired date(s) before %s", verb, len(dropped), args.keep_from)
+        return 0
+
+    if args.command == "late-audit":
+        from pyspark.errors import AnalysisException
+
+        from timestream_travel_spark.streaming.late_audit import (
+            late_hours,
+            route_late_arrivals,
+            suggest_grace,
+        )
+
+        spark = get_spark("timestream-travel-late-audit")
+
+        if args.action == "route":
+            if not args.source or not args.dest:
+                log.error("route needs --source and --dest")
+                return 2
+            schema = spark.read.parquet(args.source).schema
+            reader = spark.readStream.schema(schema)
+            if args.files_per_batch:
+                reader = reader.option("maxFilesPerTrigger", args.files_per_batch)
+            stream = reader.parquet(args.source)
+            hwm = args.hwm or args.quarantine.rstrip("/") + "_hwm"
+            ckpt = args.checkpoint or args.dest.rstrip("/") + "_ckpt"
+            route_late_arrivals(
+                stream, args.dest, args.quarantine, hwm, ckpt, grace=args.grace
+            ).awaitTermination()
+            hours = late_hours(spark, args.quarantine)
+            n_late = 0
+            try:
+                n_late = spark.read.parquet(args.quarantine).count()
+            except AnalysisException:
+                pass
+            log.info(
+                "routed: %d on-time row(s) -> %s, %d late row(s) over %d hour(s) -> %s",
+                spark.read.parquet(args.dest).count(),
+                args.dest,
+                n_late,
+                len(hours),
+                args.quarantine,
+            )
+            return 0
+
+        if args.action == "report":
+            try:
+                qdf = spark.read.parquet(args.quarantine)
+            except AnalysisException:
+                log.info("no quarantine at %s (nothing was late)", args.quarantine)
+                return 0
+            from pyspark.sql import functions as F
+
+            rows = (
+                qdf.groupBy("__hour")
+                .agg(
+                    F.count("*").alias("n"),
+                    F.max(
+                        F.unix_timestamp(F.col("observed_hwm").cast("timestamp"))
+                        - F.unix_timestamp(F.col("__hour").cast("timestamp"))
+                    ).alias("max_lag_s"),
+                )
+                .orderBy("__hour")
+                .collect()
+            )
+            for r in rows:
+                log.info(
+                    "hour=%s stragglers=%d max_lag=%ds",
+                    r["__hour"], r["n"], r["max_lag_s"],
+                )
+            log.info(
+                "%d drifted hour(s); rebuild them with: rollup --repair --source ... --dest ...",
+                len(rows),
+            )
+            return 0
+
+        g = suggest_grace(spark, args.quarantine, q=args.quantile)
+        if g is None:
+            log.info("no quarantined rows at %s — keep the current grace", args.quarantine)
+        else:
+            log.info("suggested grace (q=%.2f): %s", args.quantile, g)
         return 0
 
     if args.command == "query":

@@ -124,11 +124,14 @@ def compact_hwm_store(spark: SparkSession, hwm_path: str) -> None:
     w.r.t. classification: the compacted epoch (-1) is strictly
     below every real batchId, so it is visible to every later
     batch's strictly-prior filter, and max is merge-equivalent —
-    fold-then-read ≡ read. Run it only while the stream is quiescent
-    (no batch written-but-uncommitted — the standing envelope for
-    every epoch store here): replaying an epoch that was already
-    folded would re-add it beside the baseline, and for THIS store
-    additionally let a replayed batch see its own folded write."""
+    fold-then-read ≡ read. Since round 7 the store's _folded_through
+    watermark makes a replayed already-folded epoch a no-op (it no
+    longer re-adds itself beside the baseline), and crash-interleaved
+    writes are merged back by recovery. The remaining envelope is
+    specific to THIS store's semantics: a replayed batch whose epoch
+    was folded into the baseline would see its OWN max_hour through
+    the strictly-prior filter (epoch -1 < any real id), so run
+    compaction only when no written-but-uncommitted batch exists."""
     from timestream_travel_spark.streaming.store_util import compact_epoch_store
 
     compact_epoch_store(
