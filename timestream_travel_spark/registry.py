@@ -186,3 +186,8 @@ def load_all() -> None:
     from timestream_travel_spark.operators import (  # noqa: F401
         analytics4,
     )
+
+    # round-7 modules — same registered-last rule
+    from timestream_travel_spark.operators import (  # noqa: F401
+        timeseries13,
+    )
