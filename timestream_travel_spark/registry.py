@@ -190,4 +190,5 @@ def load_all() -> None:
     # round-7 modules — same registered-last rule
     from timestream_travel_spark.operators import (  # noqa: F401
         timeseries13,
+        analytics5,
     )
