@@ -191,4 +191,5 @@ def load_all() -> None:
     from timestream_travel_spark.operators import (  # noqa: F401
         timeseries13,
         analytics5,
+        analytics6,
     )
