@@ -82,14 +82,17 @@ WHERE c.id_b IS NOT NULL
 SN_BUCKET_PREFIX = 4  # range-bucket = first 4 chars of the sort key
 
 
-@query("q_sorted_neighborhood_pairs", oracle=_SN_ORACLE)
-def q_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sorted-neighborhood near-dup pairs: per-lang sort on the
-    normalized text, window of SN_WINDOW=4, exact 3-word-shingle
-    Jaccard verification at >= SN_MIN_JACCARD=0.2.
+def snm_candidate_pairs(spark: SparkSession, docs: DataFrame, key_fn) -> DataFrame:
+    """One sorted-neighborhood pass over ``docs`` (doc_id, lang,
+    text): candidates as (id_a, sh_a, nb=struct(id_b, sh_b)) rows —
+    each doc paired with its SN_WINDOW-1 successors in per-lang
+    ``key_fn('text')`` order. Shared by the single-pass query and the
+    multi-pass union (dedup4.py); the range-bucketed plan below makes
+    the corpus-sized window partition by (lang, bucket) instead of
+    one task per language.
 
     Plan (round-7 rewrite — kills the per-lang single-task window):
-    ONE scan → bucket = substring(nt, 1, 4) (monotone in the sort
+    ONE scan → bucket = substring(key, 1, 4) (monotone in the sort
     order; equal keys share a bucket) → the corpus-sized window
     partitions by (lang, bucket) and emits in-bucket lead pairs with
     the shingle arrays riding as window payloads (no join-back; the
@@ -102,15 +105,13 @@ def q_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance for every qualifying cross-bucket pair (over-full
     in-between buckets contribute >= W-1 strip rows, pushing both
     distances past W-1; under-full buckets sit in the strip whole),
-    so the candidate set is EXACTLY the per-lang W-window pair set
-    and the oracle is unchanged. Jaccard verify stays JVM-side
-    array_intersect in the same stage.
+    so the candidate set is EXACTLY the per-lang W-window pair set.
     """
-    raw = load_table(spark, sf_dir, "documents").select(
+    raw = docs.select(
         "doc_id",
         "lang",
         "text",
-        F.substring(normalized_text("text"), 1, SN_BUCKET_PREFIX).alias("bucket"),
+        F.substring(key_fn("text"), 1, SN_BUCKET_PREFIX).alias("bucket"),
     )
     # Repartition BEFORE the expensive shingle projection: the scan
     # stage has as many tasks as parquet row groups, while the
@@ -125,7 +126,7 @@ def q_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         "bucket",
-        normalized_text("text").alias("nt"),
+        key_fn("text").alias("nt"),
         word_shingles("text").alias("shingles"),
     )
     w_b = Window.partitionBy("lang", "bucket").orderBy("nt", "doc_id")
@@ -182,7 +183,14 @@ def q_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(F.col("nb.id_b").alias("id_b"), F.col("nb.sh_b").alias("sh_b")).alias("nb"),
         )
     )
-    cand = in_bucket.unionByName(cross)
+    return in_bucket.unionByName(cross)
+
+
+def snm_verified_pairs(cand: DataFrame) -> DataFrame:
+    """Exact shingle-Jaccard verification of SNM candidates: keep
+    pairs at >= SN_MIN_JACCARD, output (doc_a, doc_b, jaccard) with
+    the canonical least/greatest ordering. JVM-side array_intersect
+    in the same stage as candidate generation."""
     inter = F.size(F.array_intersect("sh_a", F.col("nb.sh_b"))).cast("double")
     union = (
         F.size("sh_a")
@@ -190,11 +198,22 @@ def q_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.size(F.array_intersect("sh_a", F.col("nb.sh_b")))
     )
     jac = inter / union
-    return (
-        cand.filter(jac >= SN_MIN_JACCARD)
-        .select(
-            F.least("id_a", F.col("nb.id_b")).alias("doc_a"),
-            F.greatest("id_a", F.col("nb.id_b")).alias("doc_b"),
-            F.round(jac, 4).alias("jaccard"),
-        )
+    return cand.filter(jac >= SN_MIN_JACCARD).select(
+        F.least("id_a", F.col("nb.id_b")).alias("doc_a"),
+        F.greatest("id_a", F.col("nb.id_b")).alias("doc_b"),
+        F.round(jac, 4).alias("jaccard"),
+    )
+
+
+@query("q_sorted_neighborhood_pairs", oracle=_SN_ORACLE)
+def q_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-dup pairs: per-lang sort on the
+    normalized text, window of SN_WINDOW=4, exact 3-word-shingle
+    Jaccard verification at >= SN_MIN_JACCARD=0.2. Candidate
+    generation and verification live in snm_candidate_pairs /
+    snm_verified_pairs (docstrings there) — shared with the
+    multi-pass variant (dedup4.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return snm_verified_pairs(
+        snm_candidate_pairs(spark, docs, lambda c: normalized_text(c))
     )

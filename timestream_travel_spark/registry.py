@@ -192,4 +192,6 @@ def load_all() -> None:
         timeseries13,
         analytics5,
         analytics6,
+        dedup4,
+        retrieval3,
     )
