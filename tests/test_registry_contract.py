@@ -80,6 +80,25 @@ def test_every_oracled_query_output_is_atomic(spark, sf_dir):
     assert not offenders, offenders
 
 
+def test_no_oracle_emits_hugeint(duck):
+    """DuckDB silently widens SUM over BIGINT (plain and windowed) to
+    HUGEINT, and the external checker's pandas canonicalizer
+    materializes HUGEINT as float64 — so a HUGEINT oracle column
+    hash-mismatches a value-identical Spark BIGINT (`1500.0` vs
+    `1500`). This is exactly what turned q_cramers_v red in r07: one
+    `SUM(o) OVER ()` missed its `CAST(... AS BIGINT)`. Guard every
+    oracle's top-level output via DESCRIBE (binder-only, no
+    execution)."""
+    offenders = []
+    for name, sql in entrymod.oracle_sql().items():
+        for col, typ in (
+            (r[0], r[1]) for r in duck.execute(f"DESCRIBE {sql}").fetchall()
+        ):
+            if "HUGEINT" in typ.upper():
+                offenders.append((name, col, typ))
+    assert not offenders, offenders
+
+
 def test_every_registry_query_builds(spark, sf_dir):
     broken = []
     for name, fn in entrymod.queries().items():

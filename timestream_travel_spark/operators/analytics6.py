@@ -176,7 +176,7 @@ def q_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT seg, nat, o,
              SUM(o) OVER (PARTITION BY seg) AS r,
              SUM(o) OVER (PARTITION BY nat) AS cl,
-             SUM(o) OVER () AS n
+             CAST(SUM(o) OVER () AS BIGINT) AS n
       FROM cells
     ), terms AS (
       SELECT n,

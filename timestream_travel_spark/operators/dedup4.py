@@ -111,13 +111,13 @@ def q_snm_multipass_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snm_verified_pairs(cand).distinct()
 
 
-_CC_SQL = """
+# shingle definition interpolated from dedup3._SHINGLES_SQL (the
+# single source of truth also used by the SNM oracles) so a future
+# change to the 3-word-shingle expression cannot desynchronize the
+# CC oracle from the candidate-generation oracles
+_CC_SQL = f"""
     sh AS (
-      SELECT doc_id,
-             list_distinct(list_transform(
-               generate_series(1, greatest(len(regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) - 2, 1)),
-               i -> array_to_string(regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')[i:i+2], ' ')
-             )) AS shingles
+      SELECT doc_id, {_SHINGLES_SQL} AS shingles
       FROM documents
     ), pairs AS (
       SELECT a.doc_id AS src, b.doc_id AS dst
@@ -183,7 +183,15 @@ def q_cluster_canonical_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned by cluster (cluster cardinality scales with the
     corpus — no single-task window), and the stats are one
     map-side-combined groupBy. Oracle: recursive-CTE reachability
-    over the identical verified pair set."""
+    over the EXHAUSTIVE all-pairs >=0.5-Jaccard edge set, while the
+    Spark side's edges come from probabilistic MinHash-LSH — the
+    same recall argument as dedup.q_lsh_verified_jaccard applies and
+    matters MORE here: a single missed edge splits a cluster and
+    corrupts n_members/chars_saved for every row of that cluster.
+    Equality holds because the fixture's duplicate pairs sit at
+    j ≈ 0.97 where 8-band/3-row recall is 1 − (1 − 0.97³)⁸ ≈
+    1 − 3·10⁻⁹, and no fixture pair lands in the (0.067, 0.9) band
+    where recall could flake (measured at sf0.001/0.01/0.1)."""
     from timestream_travel_spark.operators.dedup import lsh_verified_pairs
     from timestream_travel_spark.operators.dedup2 import connected_components_star
 

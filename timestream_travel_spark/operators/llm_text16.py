@@ -105,20 +105,31 @@ def q_lcs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dropped before the train×bench explode, mirroring the
     # pure-Python parity test's cap.
     sh = d.select("doc_id", F.explode(_shingles(doc_words("text"))).alias("s"))
-    # Hot-shingle detection FIRST: a plain count(*) agg (map-side
-    # combined, scalar per-key state) finds the few boilerplate
-    # shingles over the cap; a broadcast anti-join drops them before
-    # the collect_set, so neither the id-set state nor the pairing
-    # explode ever sees a hot shingle. The hot table is bounded by
-    # |corpus| / CAP — tiny, always broadcastable.
+    # ONE corpus explode: reduce immediately to (s, doc_id, cnt) and
+    # persist THAT (bounded by distinct shingle-doc pairs, far
+    # smaller than the raw explode) so both consumers below — the
+    # hot gate and the id-set aggregation — read the reduced table
+    # instead of re-running the explode+regexp lineage twice (the r7
+    # form fed `sh` to both unpersisted, doubling the corpus pass).
+    # d is already hash-partitioned on doc_id, so every occurrence
+    # of a (s, doc_id) key sits in one partition and the map-side
+    # combine collapses duplicates before the shuffle.
+    sd = sh.groupBy("s", "doc_id").agg(F.count("*").alias("cnt")).persist()
+    # Hot-shingle detection FIRST: sum(cnt) per shingle (map-side
+    # combined, scalar per-key state) recovers the raw occurrence
+    # count and finds the few boilerplate shingles over the cap; a
+    # broadcast anti-join drops them before the collect_set, so the
+    # id-set state and the pairing explode never see a hot shingle.
+    # The hot table is bounded by |corpus| / CAP — always
+    # broadcastable.
     hot = (
-        sh.groupBy("s")
-        .agg(F.count("*").alias("occ"))
+        sd.groupBy("s")
+        .agg(F.sum("cnt").alias("occ"))
         .filter(F.col("occ") > LCS_MAX_SHINGLE_DF)
         .select("s")
     )
     is_bench = F.col("doc_id") % BENCH_MOD == 0
-    per_s = sh.join(F.broadcast(hot), "s", "left_anti").groupBy("s").agg(
+    per_s = sd.join(F.broadcast(hot), "s", "left_anti").groupBy("s").agg(
         F.collect_set(F.when(is_bench, F.col("doc_id"))).alias("bench_ids"),
         F.collect_set(F.when(~is_bench, F.col("doc_id"))).alias("train_ids"),
     )

@@ -36,7 +36,12 @@ TOP_K = 20
 
 _TERMS_SQL = "'" + "', '".join(QUERY_TERMS) + "'"
 
-_BM25_ORACLE = f"""
+# The CTE block and the final SELECT are separate constants so
+# consumers (retrieval3's RM3 oracle) can reuse the scored CTEs
+# directly instead of string-slicing the finished oracle — a slice
+# anchored on the final SELECT's text silently changes the spliced
+# semantics if an alias in the tail is renamed.
+_BM25_CTES = f"""
 WITH toks AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
@@ -67,7 +72,9 @@ WITH toks AS (
            AS DECIMAL(20,8))) AS DOUBLE) AS score
   FROM tf JOIN idf ON tf.term = idf.term, stats
   GROUP BY tf.doc_id
-)
+)"""
+
+_BM25_ORACLE = f"""{_BM25_CTES}
 SELECT doc_id, score FROM scored
 ORDER BY score DESC, doc_id
 LIMIT {TOP_K}

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from timestream_travel_spark.operators.llm_text4 import STOPWORDS, _SW_SQL
 from timestream_travel_spark.operators.retrieval import (
-    _BM25_ORACLE,
+    _BM25_CTES,
     QUERY_TERMS,
     _TERMS_SQL,
     bm25_scores,
@@ -33,12 +33,10 @@ from timestream_travel_spark.tables import load_table
 FB_K = 10  # feedback depth: top-10 BM25 docs estimate the model
 EXP_K = 15  # expansion terms returned
 
-# the BM25 oracle minus its final SELECT — reused as the scored CTE
-_BM25_CTES = _BM25_ORACLE[: _BM25_ORACLE.index("SELECT doc_id, score")].rstrip()
-assert _BM25_CTES.endswith(")"), "BM25 oracle shape changed"
-
-_RM3_ORACLE = f"""
-{_BM25_CTES},
+# retrieval.py exposes its CTE block as a standalone constant (the
+# finished oracle is composed FROM it), so the scored CTEs are
+# reused here directly — no string-slicing of the final SQL.
+_RM3_ORACLE = f"""{_BM25_CTES},
 fb AS (
   SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT {FB_K}
 ), tot AS (
@@ -126,6 +124,22 @@ QL_TOP_K = 20
 
 _QL_TERMS = QUERY_TERMS  # same fixed query as BM25/RRF/RM3
 
+# per-term oracle columns are GENERATED from _QL_TERMS (not
+# hardcoded tf1..tf3), so growing QUERY_TERMS changes both engines'
+# scoring in lockstep instead of the oracle silently scoring only
+# the first three terms
+_QL_TF_SQL = ",\n         ".join(
+    f"len(list_filter(ws, x -> x = '{t}')) AS tf{i+1}"
+    for i, t in enumerate(_QL_TERMS)
+)
+_QL_CF_SQL = ",\n         ".join(
+    f"CAST(SUM(tf{i+1}) AS BIGINT) AS cf{i+1}" for i in range(len(_QL_TERMS))
+)
+_QL_SCORE_SQL = "\n           + ".join(
+    f"ln((tf{i+1} + {QL_MU} * (cf{i+1} * 1.0 / ctot)) / (dl + {QL_MU}))"
+    for i in range(len(_QL_TERMS))
+)
+
 _QL_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id,
@@ -134,21 +148,15 @@ WITH toks AS (
   FROM documents
 ), pd AS (
   SELECT doc_id, len(ws) AS dl,
-         len(list_filter(ws, x -> x = '{_QL_TERMS[0]}')) AS tf1,
-         len(list_filter(ws, x -> x = '{_QL_TERMS[1]}')) AS tf2,
-         len(list_filter(ws, x -> x = '{_QL_TERMS[2]}')) AS tf3
+         {_QL_TF_SQL}
   FROM toks
 ), coll AS (
   SELECT CAST(SUM(dl) AS BIGINT) AS ctot,
-         CAST(SUM(tf1) AS BIGINT) AS cf1,
-         CAST(SUM(tf2) AS BIGINT) AS cf2,
-         CAST(SUM(tf3) AS BIGINT) AS cf3
+         {_QL_CF_SQL}
   FROM pd
 )
 SELECT doc_id,
-       round(ln((tf1 + {QL_MU} * (cf1 * 1.0 / ctot)) / (dl + {QL_MU}))
-           + ln((tf2 + {QL_MU} * (cf2 * 1.0 / ctot)) / (dl + {QL_MU}))
-           + ln((tf3 + {QL_MU} * (cf3 * 1.0 / ctot)) / (dl + {QL_MU})),
+       round({_QL_SCORE_SQL},
              8) AS ql_score
 FROM pd, coll
 ORDER BY ql_score DESC, doc_id
