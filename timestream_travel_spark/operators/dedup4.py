@@ -111,6 +111,21 @@ def q_snm_multipass_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snm_verified_pairs(cand).distinct()
 
 
+# recursive-CTE reachability over a `sym(a, b)` edge CTE → `cc(node,
+# cluster)` min-label components; exposed standalone so every
+# CC-consuming oracle (this module's stats, dedup5's medoid) walks
+# the identical reachability SQL
+_REACH_CC_SQL = """reach AS (
+      WITH RECURSIVE walk(node, seen) AS (
+        SELECT a, a FROM sym
+        UNION
+        SELECT s.b, w.seen FROM walk w JOIN sym s ON s.a = w.node
+      )
+      SELECT * FROM walk
+    ), cc AS (
+      SELECT node, MIN(seen) AS cluster FROM reach GROUP BY node
+    )"""
+
 # shingle definition interpolated from dedup3._SHINGLES_SQL (the
 # single source of truth also used by the SNM oracles) so a future
 # change to the 3-word-shingle expression cannot desynchronize the
@@ -128,16 +143,7 @@ _CC_SQL = f"""
       SELECT src AS a, dst AS b FROM pairs
       UNION
       SELECT dst, src FROM pairs
-    ), reach AS (
-      WITH RECURSIVE walk(node, seen) AS (
-        SELECT a, a FROM sym
-        UNION
-        SELECT s.b, w.seen FROM walk w JOIN sym s ON s.a = w.node
-      )
-      SELECT * FROM walk
-    ), cc AS (
-      SELECT node, MIN(seen) AS cluster FROM reach GROUP BY node
-    )
+    ), {_REACH_CC_SQL}
 """
 
 

@@ -1,0 +1,190 @@
+"""Similarity operators, part 7 (round-8 wave): IVF-PQ composite ANN
+— the production IVFADC layout of Jégou et al., TPAMI'11 §IV: a
+coarse quantizer routes each vector to a cell, product quantization
+encodes the RESIDUAL (x − centroid) rather than x itself, and a
+query scores only the codes of its nprobe nearest cells with a
+per-cell asymmetric-distance table built from the query's residual.
+Residual encoding is why IVFADC beats plain PQ at equal code budget:
+residuals concentrate near 0, so the same K codebook centroids cover
+them with less quantization error.
+
+Composition: the coarse quantizer is similarity2's deterministic
+label-centroid stand-in (same plumbing as a trained k-means); the
+subspace machinery (codebook Lloyd loop, Arrow-vectorized encode,
+ADC lookup, shortlist + exact re-rank) is similarity6's, retrained
+here on residuals.
+
+Reference parity: none (cmd/backup.go) — north-star similarity
+capability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from timestream_travel_spark.functions.vectors import to_double_array
+from timestream_travel_spark.operators.similarity import QUERY_VEC_ID, TOP_K, _query_vec
+from timestream_travel_spark.operators.similarity2 import label_centroids
+from timestream_travel_spark.operators.similarity6 import (
+    PQ_M,
+    PQ_SHORTLIST,
+    _codes_for,
+    _embedding_matrix,
+    _l2sq_lit,
+    _np_books,
+    train_pq_codebooks,
+)
+from timestream_travel_spark.registry import query
+from timestream_travel_spark.tables import load_table
+
+IVFPQ_NPROBE = 3
+
+# memoized per fixture dir for the same reason as similarity6's
+# _BOOKS_CACHE: registry builders must stay cheap after first build,
+# and fixtures are immutable
+_IVFPQ_CACHE: dict[str, tuple[list, list]] = {}
+
+
+def _cents_matrix(cents):
+    import numpy as np
+
+    return np.asarray([c for _, c in cents], dtype=np.float64)  # (k, dim)
+
+
+def _assign_cells(x, C):
+    """(n,) cell indices: argmin squared L2 over the coarse centroids
+    via the ||x||² − 2x·C + ||C||² expansion; np.argmin takes the
+    FIRST minimum → deterministic tie-break toward the lower index."""
+    import numpy as np
+
+    xc = x @ C.T  # (n, k)
+    c2 = (C**2).sum(axis=1)[None, :]
+    return np.argmin(c2 - 2.0 * xc, axis=1)  # ||x||² constant per row
+
+
+def _residuals_df(emb: DataFrame, C) -> DataFrame:
+    """(vec_id, cell, embedding=residual) in one Arrow pass."""
+    Cl = C.tolist()
+
+    def res(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        Cn = np.asarray(Cl, dtype=np.float64)
+        for batch in batches:
+            ids = batch.column("vec_id").to_numpy()
+            x = _embedding_matrix(batch)
+            if x.size == 0:
+                continue
+            cells = _assign_cells(x, Cn)
+            r = x - Cn[cells]
+            yield pa.record_batch(
+                {
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "cell": pa.array(cells.astype("int32"), pa.int32()),
+                    "embedding": pa.array(r.tolist(), pa.list_(pa.float64())),
+                }
+            )
+
+    v = to_double_array(F.col("embedding"))
+    return emb.select("vec_id", v.alias("embedding")).mapInArrow(
+        res, "vec_id bigint, cell int, embedding array<double>"
+    )
+
+
+def _ivfpq_state(spark: SparkSession, sf_dir: str):
+    """(cents, books): the coarse centroid list (label order) and the
+    residual PQ codebooks — bounded driver state, trained once per
+    fixture dir."""
+    if sf_dir in _IVFPQ_CACHE:
+        return _IVFPQ_CACHE[sf_dir]
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sorted(label_centroids(emb), key=lambda lc: lc[0])
+    C = _cents_matrix(cents)
+    resid = _residuals_df(emb, C)
+    books = train_pq_codebooks(resid)
+    _IVFPQ_CACHE[sf_dir] = (cents, books)
+    return cents, books
+
+
+@query("q_ivfpq_topk")
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TOP_K} ANN via IVF-PQ (IVFADC): route every vector to its
+    nearest coarse centroid, PQ-encode the residual, and score only
+    the {IVFPQ_NPROBE} cells nearest the query — each probed cell
+    gets its OWN ADC table built from the query's residual against
+    that cell's centroid — then exact-L2 re-rank the
+    {PQ_SHORTLIST}-candidate shortlist on raw embeddings. Ascending
+    exact distance, vec_id tie-break (the q_pq_ann_topk output
+    contract, so the two PQ paths are directly comparable).
+    Rows-only oracle (learned codebooks); pytest pins recall vs the
+    exact L2 top-k and vs plain PQ at equal code budget.
+
+    Scale shape: ONE Arrow-vectorized pass assigns cells, computes
+    residuals, encodes codes, and emits (vec_id, adc) for probed-cell
+    rows only — no join, no shuffle before the shortlist
+    TakeOrderedAndProject; the bounded shortlist broadcasts back for
+    the exact re-rank. At 100 TB the (cell, codes) table is the
+    persistent index partitioned BY CELL, so a query scans nprobe/k
+    of the index — the IVF pruning plain PQ lacks — while keeping
+    {PQ_M} bytes/vector."""
+    import numpy as np
+
+    cents, books = _ivfpq_state(spark, sf_dir)
+    C = _cents_matrix(cents)
+    b = _np_books(books)
+    qvec = np.asarray(_query_vec(spark, sf_dir), dtype=np.float64)
+    d2 = ((C - qvec[None, :]) ** 2).sum(axis=1)
+    probed = np.argsort(d2, kind="stable")[:IVFPQ_NPROBE]  # cell indices
+    # per-probed-cell ADC tables from the query's residual
+    tables = {}
+    for c in probed.tolist():
+        qr = (qvec - C[c]).reshape(PQ_M, 1, -1)
+        tables[c] = ((qr - b) ** 2).sum(axis=-1)  # (M, K)
+
+    Cl = C.tolist()
+    tbl = {c: t.tolist() for c, t in tables.items()}
+
+    def score(batches):
+        import pyarrow as pa
+
+        Cn = np.asarray(Cl, dtype=np.float64)
+        tn = {c: np.asarray(t) for c, t in tbl.items()}
+        for batch in batches:
+            ids = batch.column("vec_id").to_numpy()
+            x = _embedding_matrix(batch)
+            if x.size == 0:
+                continue
+            cells = _assign_cells(x, Cn)
+            keep = np.isin(cells, list(tn))
+            if not keep.any():
+                continue
+            ids, x, cells = ids[keep], x[keep], cells[keep]
+            codes = _codes_for(x - Cn[cells], b)  # (n, M) residual codes
+            adc = np.empty(len(ids), dtype=np.float64)
+            for c in tn:
+                m = cells == c
+                if m.any():
+                    adc[m] = tn[c][np.arange(PQ_M)[None, :], codes[m]].sum(axis=1)
+            yield pa.record_batch(
+                {"vec_id": pa.array(ids, pa.int64()), "adc": pa.array(adc)}
+            )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = to_double_array(F.col("embedding"))
+    shortlist = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", v.alias("embedding"))
+        .mapInArrow(score, "vec_id bigint, adc double")
+        .orderBy(F.asc("adc"), F.asc("vec_id"))
+        .limit(PQ_SHORTLIST)
+        .select("vec_id")
+    )
+    exact = _l2sq_lit(v, [float(x) for x in qvec.tolist()])
+    return (
+        emb.join(F.broadcast(shortlist), "vec_id")
+        .select("vec_id", F.round(exact, 6).alias("l2sq"))
+        .orderBy(F.asc("l2sq"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )

@@ -195,3 +195,16 @@ def load_all() -> None:
         dedup4,
         retrieval3,
     )
+
+    # round-8 modules — same registered-last rule
+    from timestream_travel_spark.operators import (  # noqa: F401
+        clusterqual,
+        dedup5,
+        llm_text18,
+        similarity7,
+    )
+    from timestream_travel_spark.operators import (  # noqa: F401
+        analytics7,
+        llm_text19,
+        timeseries14,
+    )
