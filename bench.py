@@ -153,6 +153,33 @@ EXTRA = [
     "q_sax_dtw_neardups",           # SAX buckets -> banded DTW verify
     "q_mutual_information",         # bounded cell table + marginal windows
     "q_weighted_quantiles",         # 3-probe sharded prefix sum, one plan
+    # round-7 waves
+    "q_vwap_daily",                 # one map-side-combined lineitem agg
+    "q_stochastic_oscillator",      # 14-day frames on decimal daily levels
+    "q_ks_two_sample",              # integer ECDF gaps on the value domain
+    "q_mann_whitney_u",             # doubled midranks + tie correction
+    "q_spearman_corr",              # doubled midranks on daily series
+    "q_kendall_tau",                # day-pair census + tie corrections
+    "q_cramers_v",                  # observed-cell chi-square identity
+    "q_anova_f",                    # decimal group sufficient statistics
+    "q_snm_multipass_pairs",        # two range-bucketed SNM passes + verify
+    "q_duplicate_span_removal",     # span-DF join + per-doc reassembly
+    "q_rm3_expansion",              # BM25 feedback -> relevance model
+    "q_ql_dirichlet_topk",          # all-docs LM scoring, in-row tf columns
+    # round-8 wave
+    "q_davies_bouldin",             # posexplode reduce + bounded DB matrix
+    "q_dunn_index",                 # same sufficient statistics, min/max
+    "q_cluster_medoid",             # star-CC labels + edge-weight argmax
+    "q_ngram_novelty",              # one explode + first-epoch window
+    "q_ivfpq_topk",                 # residual PQ + per-cell ADC + re-rank
+    "q_jarque_bera",                # decimal power sums through x^4
+    "q_runs_test",                  # integer run counting on daily moves
+    "q_grubbs_outlier",             # moment broadcast + max-deviation scan
+    "q_welch_t",                    # unequal-variance two-sample t
+    "q_bollinger_bands",            # decimal window S/Q + flat band exprs
+    "q_donchian_channels",          # decimal rolling min/max channels
+    "q_mattr",                      # in-row sliding distinct counts
+    "q_hapax_ratio",                # word-count reduce + corpus-count window
 ]
 
 

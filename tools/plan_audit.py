@@ -121,6 +121,26 @@ AUDITED = [
     "q_sax_dtw_neardups",
     "q_mutual_information",
     "q_weighted_quantiles",
+    # round-7 waves
+    "q_vwap_daily",
+    "q_ks_two_sample",
+    "q_mann_whitney_u",
+    "q_cramers_v",
+    "q_anova_f",
+    "q_snm_multipass_pairs",
+    "q_duplicate_span_removal",
+    "q_rm3_expansion",
+    "q_ql_dirichlet_topk",
+    # round-8 wave
+    "q_davies_bouldin",
+    "q_cluster_medoid",
+    "q_ngram_novelty",
+    "q_ivfpq_topk",
+    "q_jarque_bera",
+    "q_runs_test",
+    "q_bollinger_bands",
+    "q_mattr",
+    "q_hapax_ratio",
 ]
 
 
