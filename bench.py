@@ -180,6 +180,21 @@ EXTRA = [
     "q_donchian_channels",          # decimal rolling min/max channels
     "q_mattr",                      # in-row sliding distinct counts
     "q_hapax_ratio",                # word-count reduce + corpus-count window
+    # round-8 second wave (statistical tests 3)
+    "q_kruskal_wallis",             # doubled midranks, literal-pivot k-sum
+    "q_friedman",                   # within-day midranks, integer sum R^2
+    "q_wilcoxon_signed_rank",       # paired half-month means + midranks
+    "q_bartlett",                   # literal-pivot segment ln-variance terms
+    "q_mcnemar",                    # distinct-day engagement b/c counts
+    "q_ljung_box",                  # lag-pivot rho^2 portmanteau sum
+    "q_dickey_fuller",              # five decimal sums -> gamma/se
+    # round-8 third wave (indicators / volatility)
+    "q_aroon",                      # struct-extremum rolling positions
+    "q_atr_keltner",                # decimal OHLC true-range channels
+    "q_parkinson_gk_vol",           # quantized ln^2 range volatility
+    "q_ulcer_index",                # decimal peak + quantized dd^2 mean
+    "q_chande_momentum",            # decimal gain/loss window ratio
+    "q_hurst_rs",                   # hourly dyadic-block R/S slope
 ]
 
 

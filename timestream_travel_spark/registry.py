@@ -208,3 +208,9 @@ def load_all() -> None:
         llm_text19,
         timeseries14,
     )
+
+    # round-8 second-wave modules — same registered-last rule
+    from timestream_travel_spark.operators import (  # noqa: F401
+        analytics8,
+        timeseries15,
+    )

@@ -141,6 +141,15 @@ AUDITED = [
     "q_bollinger_bands",
     "q_mattr",
     "q_hapax_ratio",
+    # round-8 second wave
+    "q_kruskal_wallis",
+    "q_wilcoxon_signed_rank",
+    "q_mcnemar",
+    "q_ljung_box",
+    "q_dickey_fuller",
+    "q_aroon",
+    "q_atr_keltner",
+    "q_hurst_rs",
 ]
 
 
