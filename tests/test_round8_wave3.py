@@ -1,0 +1,156 @@
+"""SURVEY §5.6 statistical-sanity tests for the round-8 third wave
+(timeseries16: complexity / symbolic-dynamics measures).
+
+The DuckDB oracle proves CROSS-ENGINE EQUALITY, not statistical
+correctness (the q_holt_winters lesson): both engines could agree on
+a wrong formula. These tests plant known dynamics and check each
+statistic responds the way the textbook says it must:
+
+- permutation entropy is exactly 0 on a strictly monotone (single
+  ordinal pattern) series and exactly 1 bit on a clean 2-pattern
+  alternation; the tie rule collapses a constant series to the
+  single all-ties pattern (rank string 012);
+- sample entropy is exactly 0 (A = B) on a constant and on a
+  period-2 series — perfectly regular dynamics have zero entropy —
+  and positive on an aperiodic planted series;
+- the matrix profile of an exactly period-24 series is 0 everywhere,
+  with the nearest neighbor at the lowest same-phase window start
+  (the lexicographic (d², j) argmin tie rule);
+- the Markov entropy rate is exactly 0 for a deterministic cycle and
+  exactly 1 bit/step for the AABB... chain whose every row is a
+  fair coin.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from timestream_travel_spark.operators.timeseries16 import (
+    q_markov_entropy_rate,
+    q_matrix_profile,
+    q_permutation_entropy,
+    q_sample_entropy,
+)
+
+_EV_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint,"
+    " event_type string, value double, props string"
+)
+_T0 = datetime(2024, 3, 1, 0, 0, 0)
+
+
+def _write_events(spark, sf, rows):
+    spark.createDataFrame(rows, _EV_SCHEMA).write.mode("overwrite").parquet(
+        f"{sf}/events.parquet"
+    )
+
+
+def _hourly_fixture(spark, tmp_path, series_by_type):
+    """One event per (type, hour): hourly level == the planted value."""
+    sf = str(tmp_path / "sf_hourly")
+    rows, eid = [], 0
+    for t, series in series_by_type.items():
+        for h, v in enumerate(series):
+            eid += 1
+            rows.append((eid, _T0 + timedelta(hours=h), eid, t, float(v), "{}"))
+    _write_events(spark, sf, rows)
+    return sf
+
+
+def test_permutation_entropy_monotone_alternating_constant(spark, tmp_path):
+    sf = _hourly_fixture(
+        spark,
+        tmp_path,
+        {
+            "mono": [float(h) for h in range(26)],
+            "alt": [10.0 if h % 2 == 0 else 1.0 for h in range(26)],
+            "const": [5.0] * 26,
+        },
+    )
+    out = {r.event_type: r for r in q_permutation_entropy(spark, sf).collect()}
+    assert out["mono"].n_patterns == 1
+    assert out["mono"].perm_entropy_bits == 0.0
+    # 26 hours -> 24 triples, split 12/12 between the two alternation
+    # patterns -> exactly 1 bit
+    assert out["alt"].n_patterns == 2
+    assert out["alt"].perm_entropy_bits == 1.0
+    # all-ties collapses to the single stable-order pattern (012)
+    assert out["const"].n_patterns == 1
+    assert out["const"].perm_entropy_bits == 0.0
+
+
+def test_sample_entropy_regular_is_zero_aperiodic_positive(spark, tmp_path):
+    # two-scale construction: the first 9 elements are all within 8
+    # of each other, the last 6 are >= ~1e4 apart from everything;
+    # sigma lands near 2.76e4 so r = 0.2*sigma ~ 5.5e3 separates the
+    # scales with huge margin. Every pair among the 8 all-small
+    # m-templates matches (C(8,2) = 28); extensions match for the 7
+    # whose third element is small (C(7,2) = 21), and template 8's
+    # extension (1e4) matches nothing -> SampEn = -ln(21/28) exactly.
+    rough = [1.0, 2.0, 9.0, 1.0, 2.0, 1.0, 1.0, 2.0, 9.0,
+             10000.0, 30000.0, 60000.0, 90000.0, 20000.0, 50000.0]
+    sf = _hourly_fixture(
+        spark,
+        tmp_path,
+        {
+            "const": [5.0] * 20,
+            "period2": [10.0 if h % 2 == 0 else 1.0 for h in range(20)],
+            "rough": rough,
+        },
+    )
+    out = {r.event_type: r for r in q_sample_entropy(spark, sf).collect()}
+    # constant: r = 0 but every diff is 0 <= 0 -> A = B -> SampEn 0
+    assert out["const"].a_matches == out["const"].b_matches
+    assert out["const"].sampen == 0.0
+    # period-2: matching m-templates are phase-aligned, and alignment
+    # extends to m+1 -> A = B -> SampEn 0
+    assert out["period2"].a_matches == out["period2"].b_matches
+    assert out["period2"].sampen == 0.0
+    # aperiodic: some m-matches fail to extend
+    assert out["rough"].b_matches == 28
+    assert out["rough"].a_matches == 21
+    assert out["rough"].sampen == 0.287682  # round(-ln(21/28), 6)
+
+
+def test_matrix_profile_periodic_series_all_zero(spark, tmp_path):
+    # exactly period-24 series, 72 hours -> 49 window starts; every
+    # window's same-phase twin is an exact match at distance 0
+    base = [float((h * 7) % 24 + 1) for h in range(24)]
+    sf = _hourly_fixture(
+        spark, tmp_path, {"per": [base[h % 24] for h in range(72)]}
+    )
+    rows = q_matrix_profile(spark, sf).collect()
+    assert len(rows) == 49
+    for r in rows:
+        assert r.nn_dist == 0.0
+        j0 = ((r.win_start - 1) % 24) + 1
+        expected = j0 if j0 != r.win_start else (
+            r.win_start + 24 if r.win_start + 24 <= 49 else r.win_start - 24
+        )
+        assert r.nn_start == expected, (r.win_start, r.nn_start, expected)
+
+
+def test_markov_entropy_rate_cycle_zero_fair_coin_one_bit(spark, tmp_path):
+    sf = str(tmp_path / "sf_cycle")
+    rows = []
+    # user 1: deterministic 3-cycle A->B->C->A... (60 events)
+    for k in range(60):
+        rows.append((k + 1, _T0 + timedelta(minutes=k), 1, "ABC"[k % 3], 1.0, "{}"))
+    _write_events(spark, sf, rows)
+    out = q_markov_entropy_rate(spark, sf).collect()[0]
+    assert out.n_transitions == 59
+    assert out.entropy_rate_bits == 0.0
+
+    sf2 = str(tmp_path / "sf_coin")
+    rows = []
+    # user 1: AABB repeated -> from A: half A, half B; same from B ->
+    # every row is a fair coin -> exactly 1 bit/step.  81 events so
+    # the 80 transitions split 20/20/20/20 exactly.
+    seq = ("AABB" * 21)[:81]
+    for k, s in enumerate(seq):
+        rows.append((k + 1, _T0 + timedelta(minutes=k), 1, s, 1.0, "{}"))
+    _write_events(spark, sf2, rows)
+    out = q_markov_entropy_rate(spark, sf2).collect()[0]
+    assert out.n_transitions == 80
+    assert out.n_states == 2
+    assert out.entropy_rate_bits == 1.0

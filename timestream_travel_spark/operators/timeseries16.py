@@ -1,0 +1,464 @@
+"""Round-8 time-series wave D: complexity and symbolic-dynamics
+measures over the hourly level series — permutation entropy (Bandt &
+Pompe, PRL 2002), sample entropy (Richman & Moorman, Am J Physiol
+2000), a brute-force matrix profile (Yeh et al., ICDM 2016 — the
+all-pairs STAMP baseline, not the MASS-accelerated variant), and the
+entropy rate of the per-user event-type Markov chain (Shannon 1948;
+Cover & Thomas ch. 4).
+
+Exactness design (the registry's double-sum discipline):
+- The hourly level series is the exact DECIMAL(20,4) sum reused from
+  timeseries15; ordinal comparisons, template distances and window
+  distances therefore compare exact decimals — no float threshold
+  anywhere in a match predicate.
+- Sample entropy's tolerance r = 0.2·sigma is applied WITHOUT ever
+  computing sigma: the Chebyshev match `maxdiff <= 0.2*sigma` is
+  cross-multiplied to `25 * n^2 * maxdiff^2 <= n*S2 - S1^2` with
+  S1 = Σv, S2 = Σv² kept in DECIMAL — an exact integer-style
+  comparison both engines evaluate identically.
+- Entropy sums use the q_word_entropy pattern: per-term c·log2(c)
+  quantized to DECIMAL before the (order-independent) exact sum, one
+  float division/log at the output boundary.
+
+Scale shape: every query reduces events to the (type, hour) level
+table first — a map-side-combined aggregate whose output is bounded
+by |types| x span-hours (720 at every tested SF), NOT by event
+volume. The all-pairs stages (sample-entropy templates, matrix
+profile windows) are quadratic in that bounded series length only;
+at 100 TB the same plan holds because the series length is a
+time-span bound, not a data-volume bound. The matrix profile notes
+the published scale path (MASS / STOMP's O(n log n) FFT recursion)
+for series that outgrow the quadratic window join.
+
+Reference parity: none (cmd/backup.go has no analytics surface) —
+north-star time-series-analytics capability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from timestream_travel_spark.registry import query
+from timestream_travel_spark.tables import load_table
+
+MP_W = 24  # matrix-profile subsequence length (hours: one day)
+MP_EXCL = MP_W // 2  # trivial-match exclusion zone (|i-j| >= excl)
+
+# hourly DECIMAL level series with a per-type dense index over the
+# OBSERVED hours (gaps in the hour grid close up; the index is the
+# sequence position, matching the Spark row_number build)
+_HOURLY_IDX_SQL = """
+      SELECT t, hr, v,
+             CAST(row_number() OVER (PARTITION BY t ORDER BY hr) AS BIGINT) AS i
+      FROM (
+        SELECT event_type AS t, date_trunc('hour', ts) AS hr,
+               SUM(CAST(value AS DECIMAL(20,4))) AS v
+        FROM events GROUP BY 1, 2
+      )
+"""
+
+
+def _hourly_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(t, hr, v, i): exact-DECIMAL hourly levels with a dense
+    per-type sequence index (row_number over observed hours)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.col("event_type").alias("t"), F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.sum(F.col("value").cast("decimal(20,4)")).alias("v"))
+    w = Window.partitionBy("t").orderBy("hr")
+    return hourly.withColumn("i", F.row_number().over(w).cast("bigint"))
+
+
+@query(
+    "q_permutation_entropy",
+    oracle=f"""
+    WITH hourly AS ({_HOURLY_IDX_SQL}
+    ), tri AS (
+      SELECT t, v AS v0,
+             lead(v, 1) OVER (PARTITION BY t ORDER BY i) AS v1,
+             lead(v, 2) OVER (PARTITION BY t ORDER BY i) AS v2
+      FROM hourly
+    ), pat AS (
+      SELECT t,
+             ((CASE WHEN v1 < v0 THEN 1 ELSE 0 END)
+              + (CASE WHEN v2 < v0 THEN 1 ELSE 0 END)) * 100
+             + ((CASE WHEN v0 <= v1 THEN 1 ELSE 0 END)
+                + (CASE WHEN v2 < v1 THEN 1 ELSE 0 END)) * 10
+             + ((CASE WHEN v0 <= v2 THEN 1 ELSE 0 END)
+                + (CASE WHEN v1 <= v2 THEN 1 ELSE 0 END)) AS pattern
+      FROM tri WHERE v1 IS NOT NULL AND v2 IS NOT NULL
+    ), pc AS (
+      SELECT t, pattern, CAST(COUNT(*) AS BIGINT) AS c
+      FROM pat GROUP BY t, pattern
+    )
+    SELECT t AS event_type,
+           CAST(SUM(c) AS BIGINT) AS n_triples,
+           CAST(COUNT(*) AS BIGINT) AS n_patterns,
+           round(log2(SUM(c))
+                 - CAST(SUM(CAST(c * log2(c) AS DECIMAL(20,6))) AS DOUBLE)
+                   / SUM(c), 6) AS perm_entropy_bits
+    FROM pc GROUP BY t
+    """,
+)
+def q_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-3 permutation entropy (Bandt & Pompe 2002) of each
+    event type's hourly level series: embed consecutive triples
+    (v0, v1, v2), classify each by its ordinal pattern, and take the
+    Shannon entropy of the pattern distribution.
+
+    Rank encoding: rank(position p) = #{q: v_q < v_p} + #{q < p:
+    v_q = v_p} — ties resolve to the EARLIER position (the standard
+    stable-order convention), written as pure decimal comparisons so
+    both engines classify identically. The pattern id is the base-10
+    digit string r0·100 + r1·10 + r2.
+
+    H = log2(N) − Σ c·log2(c)/N with the c·log2(c) terms quantized
+    to DECIMAL before the exact sum (q_word_entropy pattern).
+
+    Scale: one map-side-combined hourly reduce (bounded |types|×720
+    rows out), two lead()s over bounded per-type slices, one bounded
+    group. Nothing downstream of the first aggregate scales with
+    event volume."""
+    hourly = _hourly_idx(spark, sf_dir)
+    w = Window.partitionBy("t").orderBy("i")
+    tri = hourly.select(
+        "t",
+        F.col("v").alias("v0"),
+        F.lead("v", 1).over(w).alias("v1"),
+        F.lead("v", 2).over(w).alias("v2"),
+    ).filter(F.col("v1").isNotNull() & F.col("v2").isNotNull())
+    v0, v1, v2 = F.col("v0"), F.col("v1"), F.col("v2")
+    b = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
+    r0 = b(v1 < v0) + b(v2 < v0)
+    r1 = b(v0 <= v1) + b(v2 < v1)
+    r2 = b(v0 <= v2) + b(v1 <= v2)
+    pat = tri.select("t", (r0 * 100 + r1 * 10 + r2).alias("pattern"))
+    pc = pat.groupBy("t", "pattern").agg(F.count("*").alias("c"))
+    n = F.sum("c")
+    return pc.groupBy(F.col("t").alias("event_type")).agg(
+        n.cast("bigint").alias("n_triples"),
+        F.count("*").cast("bigint").alias("n_patterns"),
+        F.round(
+            F.log2(n)
+            - F.sum((F.col("c") * F.log2("c")).cast("decimal(20,6)")).cast("double")
+            / n,
+            6,
+        ).alias("perm_entropy_bits"),
+    )
+
+
+@query(
+    "q_sample_entropy",
+    oracle=f"""
+    WITH ticks AS (
+      SELECT t, i, CAST(v * 10000 AS BIGINT) AS v
+      FROM ({_HOURLY_IDX_SQL})
+    ), stat AS (
+      SELECT t, CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(v) AS HUGEINT) AS s1,
+             SUM(CAST(v AS HUGEINT) * v) AS s2
+      FROM ticks GROUP BY t
+    ), thr AS (
+      SELECT t, n, n * s2 - s1 * s1 AS rhs, 25 * n * n AS mul FROM stat
+    ), tpl AS (
+      SELECT t, i, v AS v0,
+             lead(v, 1) OVER (PARTITION BY t ORDER BY i) AS v1,
+             lead(v, 2) OVER (PARTITION BY t ORDER BY i) AS v2
+      FROM ticks
+    ), pairs AS (
+      SELECT a.t,
+             CASE WHEN s.mul * (CAST(greatest(abs(a.v0 - b.v0),
+                                              abs(a.v1 - b.v1)) AS HUGEINT)
+                                * greatest(abs(a.v0 - b.v0), abs(a.v1 - b.v1)))
+                  <= s.rhs THEN 1 ELSE 0 END AS mb,
+             CASE WHEN s.mul * (CAST(greatest(abs(a.v0 - b.v0), abs(a.v1 - b.v1),
+                                              abs(a.v2 - b.v2)) AS HUGEINT)
+                                * greatest(abs(a.v0 - b.v0), abs(a.v1 - b.v1),
+                                           abs(a.v2 - b.v2)))
+                  <= s.rhs THEN 1 ELSE 0 END AS ma
+      FROM tpl a
+      JOIN tpl b ON a.t = b.t AND a.i < b.i
+      JOIN thr s ON s.t = a.t
+      WHERE a.v2 IS NOT NULL AND b.v2 IS NOT NULL
+    )
+    SELECT t AS event_type,
+           CAST(SUM(mb) AS BIGINT) AS b_matches,
+           CAST(SUM(ma) AS BIGINT) AS a_matches,
+           round(-ln(CAST(SUM(ma) AS DOUBLE) / SUM(mb)), 6) AS sampen
+    FROM pairs GROUP BY t
+    """,
+)
+def q_sample_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample entropy (Richman & Moorman 2000) of each event type's
+    hourly level series: m = 2, Chebyshev tolerance r = 0.2·sigma.
+    SampEn = −ln(A/B) where B counts template pairs matching at
+    length m and A at length m+1 (both over i < j, self-matches
+    excluded by construction).
+
+    The float-threshold trap is removed by cross-multiplication in
+    integer TICKS (the scale-4 decimal levels times 10⁴, exactly
+    integral): the match predicate `maxdiff <= 0.2·sigma`
+    (population sigma) is evaluated as `25·n²·maxdiff² <= n·S2 −
+    S1²` with S1 = Σv and S2 = Σv² exact tick sums — no engine ever
+    computes sigma, so no borderline pair can flip on an ulp. DuckDB
+    carries the products in HUGEINT; Spark in DECIMAL staged so no
+    single product's inferred precision exceeds 38 (tick² ≤ ~4e16
+    → 17 digits; ×25n² ≤ 8 more; rhs ≤ ~2e22). Both template
+    lengths share one pair join (A's predicate extends B's with the
+    third component); templates are restricted to indices with a
+    defined (m+1)-extension, the standard Richman–Moorman alignment
+    that keeps A ⊆ B and SampEn >= 0.
+
+    Scale: the pair join is quadratic in the SERIES length (≤ 720
+    observed hours per type — a time-span bound), not in event
+    volume; the corpus-sized work is the single hourly reduce."""
+    hourly = _hourly_idx(spark, sf_dir)
+    ticks = hourly.select(
+        "t", "i", (F.col("v") * 10000).cast("bigint").alias("v")
+    )
+    stat = ticks.groupBy("t").agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum(F.col("v").cast("decimal(19,0)") * F.col("v")).alias("s2"),
+    )
+    thr = stat.select(
+        "t",
+        (
+            F.col("n").cast("decimal(6,0)") * F.col("s2")
+            - F.col("s1").cast("decimal(19,0)") * F.col("s1")
+        ).alias("rhs"),
+        (F.lit(25) * F.col("n") * F.col("n")).cast("decimal(12,0)").alias("mul"),
+    )
+    w = Window.partitionBy("t").orderBy("i")
+    tpl = ticks.select(
+        "t",
+        "i",
+        F.col("v").alias("v0"),
+        F.lead("v", 1).over(w).alias("v1"),
+        F.lead("v", 2).over(w).alias("v2"),
+    ).filter(F.col("v2").isNotNull())
+    a = tpl.select(
+        F.col("t").alias("ta"),
+        F.col("i").alias("ia"),
+        F.col("v0").alias("a0"),
+        F.col("v1").alias("a1"),
+        F.col("v2").alias("a2"),
+    )
+    b_ = tpl.select(
+        F.col("t").alias("tb"),
+        F.col("i").alias("ib"),
+        F.col("v0").alias("b0"),
+        F.col("v1").alias("b1"),
+        F.col("v2").alias("b2"),
+    )
+    joined = (
+        a.join(b_, (F.col("ta") == F.col("tb")) & (F.col("ia") < F.col("ib")))
+        .join(F.broadcast(thr), F.col("ta") == F.col("t"))
+    )
+    d0 = F.abs(F.col("a0") - F.col("b0"))
+    d1 = F.abs(F.col("a1") - F.col("b1"))
+    d2 = F.abs(F.col("a2") - F.col("b2"))
+    maxd_b = F.greatest(d0, d1)
+    maxd_a = F.greatest(d0, d1, d2)
+    lhs = lambda md: F.col("mul") * (md.cast("decimal(19,0)") * md)  # noqa: E731
+    pairs = joined.select(
+        F.col("ta").alias("t"),
+        F.when(lhs(maxd_b) <= F.col("rhs"), 1).otherwise(0).alias("mb"),
+        F.when(lhs(maxd_a) <= F.col("rhs"), 1).otherwise(0).alias("ma"),
+    )
+    return pairs.groupBy(F.col("t").alias("event_type")).agg(
+        F.sum("mb").cast("bigint").alias("b_matches"),
+        F.sum("ma").cast("bigint").alias("a_matches"),
+        F.round(
+            -F.log(F.sum("ma").cast("double") / F.sum("mb")), 6
+        ).alias("sampen"),
+    )
+
+
+@query(
+    "q_matrix_profile",
+    oracle=f"""
+    WITH ticks AS (
+      SELECT t, i, CAST(v * 10000 AS BIGINT) AS v
+      FROM ({_HOURLY_IDX_SQL})
+    ), nmax AS (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS n FROM ticks GROUP BY t
+    ), win AS (
+      SELECT h.t, h.i,
+             list_transform(
+               list_sort(list({{'k': h.i, 'x': h.v}}) OVER (
+                 PARTITION BY h.t ORDER BY h.i
+                 ROWS BETWEEN CURRENT ROW AND {MP_W - 1} FOLLOWING)),
+               s -> s.x) AS wv
+      FROM ticks h
+    ), full_win AS (
+      SELECT w.t, w.i, w.wv
+      FROM win w JOIN nmax m ON m.t = w.t
+      WHERE w.i <= m.n - {MP_W} + 1
+    ), pairs AS (
+      SELECT a.t, a.i, b.i AS j,
+             list_sum(list_transform(list_zip(a.wv, b.wv),
+                 p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+      FROM full_win a
+      JOIN full_win b ON a.t = b.t AND abs(a.i - b.i) >= {MP_EXCL}
+    )
+    SELECT t AS event_type, i AS win_start,
+           min({{'d': d2, 'j': j}})['j'] AS nn_start,
+           round(sqrt(CAST(min({{'d': d2, 'j': j}})['d'] AS DOUBLE)) / 10000.0, 6)
+             AS nn_dist
+    FROM pairs GROUP BY t, i
+    """,
+)
+def q_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix profile (Yeh et al., ICDM 2016) of each event type's
+    hourly level series with subsequence length w = {MP_W}: for every
+    length-w window, the index of and (non-normalized) Euclidean
+    distance to its nearest neighbor at least {MP_EXCL} positions
+    away (the trivial-match exclusion zone).
+
+    Windows are materialized as integer-TICK arrays (scale-4 levels
+    x 10^4, exactly integral) via a sort-by-index struct collect
+    (frame-order-independent on both engines); d² is the exact
+    64-bit integer sum of {MP_W} squared tick diffs — exact while the
+    hourly |level| stays under ~1.5e5 (observed max 3.5e3; DuckDB's
+    list_sum widens to int128 regardless), far cheaper than a
+    BigDecimal fold in Spark's generated code. The argmin over
+    (d², j) is an exact lexicographic struct min; the single float
+    op per output row is the final sqrt (de-scaled by 10^4).
+
+    Scale: quadratic in the series length only (≤ 697 windows/type —
+    a time-span bound), after one map-side-combined hourly reduce of
+    the full corpus. For series that outgrow the window join, the
+    published scale path is STOMP's O(n²) → MASS's O(n log n)
+    FFT-convolution distance profile computed per shard of window
+    starts — same output contract, swap the pairs stage only."""
+    hourly = _hourly_idx(spark, sf_dir).select(
+        "t", "i", (F.col("v") * 10000).cast("bigint").alias("v")
+    )
+    nmax = hourly.groupBy("t").agg(F.count("*").alias("n"))
+    fw = Window.partitionBy("t").orderBy("i").rowsBetween(0, MP_W - 1)
+    win = hourly.select(
+        "t",
+        "i",
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("i").alias("k"), F.col("v").alias("x"))).over(fw)
+            ),
+            lambda s: s["x"],
+        ).alias("wv"),
+    )
+    full_win = win.join(F.broadcast(nmax), "t").filter(
+        F.col("i") <= F.col("n") - MP_W + 1
+    ).select("t", "i", "wv")
+    # the windows table is span-bounded (<= |types| x 720 rows), so
+    # BROADCAST one side and spread the probe side across partitions:
+    # with only |types| distinct join keys a shuffle join would run
+    # the whole quadratic distance fold in |types| tasks
+    a = full_win.repartition(32, "t", "i").select(
+        F.col("t").alias("ta"), F.col("i").alias("ia"), F.col("wv").alias("wa")
+    )
+    b = full_win.select(
+        F.col("t").alias("tb"), F.col("i").alias("ib"), F.col("wv").alias("wb")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("wa"), F.col("wb"), lambda p, q: (p - q) * (p - q)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.join(
+            F.broadcast(b),
+            (F.col("ta") == F.col("tb"))
+            & (F.abs(F.col("ia") - F.col("ib")) >= MP_EXCL),
+        )
+        .select(
+            F.col("ta").alias("t"),
+            F.col("ia").alias("i"),
+            F.col("ib").alias("j"),
+            d2.alias("d2"),
+        )
+    )
+    best = F.min(F.struct(F.col("d2").alias("d"), F.col("j").alias("j")))
+    return pairs.groupBy(
+        F.col("t").alias("event_type"), F.col("i").alias("win_start")
+    ).agg(
+        best["j"].alias("nn_start"),
+        F.round(F.sqrt(best["d"].cast("double")) / 10000.0, 6).alias("nn_dist"),
+    )
+
+
+@query(
+    "q_markov_entropy_rate",
+    oracle="""
+    WITH tr AS (
+      SELECT lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS a,
+             event_type AS b
+      FROM events
+    ), cij AS (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tr WHERE a IS NOT NULL GROUP BY a, b
+    ), ci AS (
+      SELECT a, CAST(SUM(c) AS BIGINT) AS ca FROM cij GROUP BY a
+    ), tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_edges,
+             CAST(SUM(CAST(c * log2(c) AS DECIMAL(20,6))) AS DOUBLE) AS sij
+      FROM cij
+    ), rows_ AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_states,
+             CAST(SUM(CAST(ca * log2(ca) AS DECIMAL(20,6))) AS DOUBLE) AS si
+      FROM ci
+    )
+    SELECT t.n AS n_transitions, r.n_states, t.n_edges,
+           round((r.si - t.sij) / t.n, 6) AS entropy_rate_bits
+    FROM tot t, rows_ r
+    """,
+)
+def q_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the empirical event-type Markov chain (Cover
+    & Thomas §4.2): each user's event stream ordered by (ts,
+    event_id) yields transitions a→b; with c_ij the transition
+    counts, c_i the row sums and N = Σc_ij,
+
+        H_rate = Σ_i (c_i/N)·H(row_i)
+               = [Σ_i c_i·log2(c_i) − Σ_ij c_ij·log2(c_ij)] / N
+
+    bits per step — the plug-in estimate under the empirical state
+    distribution. Both Σ·log2(·) sums quantize each term to DECIMAL
+    before the exact sum (q_word_entropy pattern); the one float op
+    is the final division.
+
+    Scale: the per-user lag() shuffles on user_id (the natural
+    partitioning); everything after runs on the |types|² transition
+    table. No collect, no global window."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = ev.select(
+        F.lag("event_type").over(w).alias("a"), F.col("event_type").alias("b")
+    ).filter(F.col("a").isNotNull())
+    cij = tr.groupBy("a", "b").agg(F.count("*").alias("c"))
+    ci = cij.groupBy("a").agg(F.sum("c").alias("ca"))
+    tot = cij.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("n_edges"),
+        F.sum((F.col("c") * F.log2("c")).cast("decimal(20,6)"))
+        .cast("double")
+        .alias("sij"),
+    )
+    rows_ = ci.agg(
+        F.count("*").cast("bigint").alias("n_states"),
+        F.sum((F.col("ca") * F.log2("ca")).cast("decimal(20,6)"))
+        .cast("double")
+        .alias("si"),
+    )
+    return tot.crossJoin(rows_).select(
+        F.col("n").alias("n_transitions"),
+        "n_states",
+        "n_edges",
+        F.round((F.col("si") - F.col("sij")) / F.col("n"), 6).alias(
+            "entropy_rate_bits"
+        ),
+    )

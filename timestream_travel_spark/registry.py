@@ -214,3 +214,8 @@ def load_all() -> None:
         analytics8,
         timeseries15,
     )
+
+    # round-8 third-wave modules — same registered-last rule
+    from timestream_travel_spark.operators import (  # noqa: F401
+        timeseries16,
+    )
