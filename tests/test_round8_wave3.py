@@ -130,6 +130,64 @@ def test_matrix_profile_periodic_series_all_zero(spark, tmp_path):
         assert r.nn_start == expected, (r.win_start, r.nn_start, expected)
 
 
+def test_graph4_matches_pure_python_recompute(spark, sf_dir):
+    """Clustering coefficient and Jaccard link prediction recomputed
+    from the collected (<= 100-row) top-edge set in plain Python —
+    an oracle-independent check of both formulas and tie policies."""
+    from timestream_travel_spark.operators.graph3 import top_trade_edges
+    from timestream_travel_spark.operators.graph4 import (
+        LP_TOP_K,
+        q_clustering_coefficient,
+        q_jaccard_link_prediction,
+    )
+    from timestream_travel_spark.tables import load_table
+
+    edges = {(r.a, r.b) for r in top_trade_edges(spark, sf_dir).collect()}
+    names = {
+        r.n_nationkey: r.n_name
+        for r in load_table(spark, sf_dir, "nation").collect()
+    }
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    got_cc = {r.nation: r for r in q_clustering_coefficient(spark, sf_dir).collect()}
+    assert set(got_cc) == {names[u] for u in adj}
+    for u, nb in adj.items():
+        d = len(nb)
+        tri = sum(
+            1
+            for x in nb
+            for y in nb
+            if x < y and (min(x, y), max(x, y)) in edges
+        )
+        row = got_cc[names[u]]
+        assert row.degree == d
+        assert row.triangles == tri
+        expect = 2.0 * tri / (d * (d - 1)) if d >= 2 else 0.0
+        assert abs(row.clustering_coeff - expect) < 1e-6
+
+    scored = []
+    nodes = sorted(adj)
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1 :]:
+            if (a, b) in edges:
+                continue
+            cn = len(adj[a] & adj[b])
+            if cn == 0:
+                continue
+            j = cn / (len(adj[a]) + len(adj[b]) - cn)
+            scored.append((-j, names[a], names[b], cn))
+    scored.sort()
+    expect_top = [(na, nb, cn) for _, na, nb, cn in scored[:LP_TOP_K]]
+    got = [
+        (r.nation_a, r.nation_b, r.common_neighbors)
+        for r in q_jaccard_link_prediction(spark, sf_dir).collect()
+    ]
+    assert got == expect_top
+
+
 def test_markov_entropy_rate_cycle_zero_fair_coin_one_bit(spark, tmp_path):
     sf = str(tmp_path / "sf_cycle")
     rows = []

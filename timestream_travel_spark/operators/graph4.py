@@ -1,0 +1,229 @@
+"""Graph analytics, part 4: local clustering coefficients and
+common-neighbor (Jaccard) link prediction on the nation trade graph
+— the standard third and fourth graph primitives after PageRank
+(graph.py), triangles (graph2.py) and assortativity/k-core
+(graph3.py). Watts & Strogatz (Nature 1998) define the local
+clustering coefficient; Liben-Nowell & Kleinberg (CIKM'03) establish
+common-neighbors/Jaccard as the classic link-prediction baselines.
+
+The graph is graph3's top-100-by-revenue trade graph
+(graph3._TOP_EDGES_SQL / top_trade_edges — imported, not re-stated,
+so the edge definition cannot drift between modules). The ANY-trade
+graph (graph2) saturates to the complete 25-node graph at sf >=
+0.01, where every clustering coefficient is 1 and no non-edges
+remain to predict; the revenue-thresholded graph stays sparse
+(~100 of 300 possible edges) at every SF, so both statistics carry
+signal everywhere the driver checks them.
+
+100 TB shape (same argument as graph2): the heavy work is edge
+EXTRACTION — lineitem-scale joins planned as broadcast-dim hash
+joins with map-side distinct — after which every downstream join
+runs on the bounded nation graph. For billion-edge graphs the CC
+plan upgrades the same way triangle counting does (degree-ordered
+edge orientation, Schank & Wagner WEA'05) and link prediction
+bounds the candidate fan-out by joining on the common NEIGHBOR
+(wedge enumeration), never by pairing all non-edges.
+
+Reference parity: none (cmd/backup.go has no graph surface) —
+north-star analytics capability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from timestream_travel_spark.operators.graph3 import (
+    _TOP_EDGES_SQL,
+    top_trade_edges,
+)
+from timestream_travel_spark.registry import query
+from timestream_travel_spark.tables import load_table
+
+LP_TOP_K = 20  # predicted links emitted
+
+
+def trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graph3's top-revenue edge set, materialized once
+    (localCheckpoint) because callers self-join the edge set several
+    times — without the cut each reference re-runs the full
+    lineitem-scale extraction."""
+    return top_trade_edges(spark, sf_dir).coalesce(1).localCheckpoint(eager=True)
+
+
+def _sym(edges: DataFrame) -> DataFrame:
+    """Both orientations: (u, w) for every undirected edge."""
+    return edges.select(F.col("a").alias("u"), F.col("b").alias("w")).unionAll(
+        edges.select(F.col("b").alias("u"), F.col("a").alias("w"))
+    )
+
+
+@query(
+    "q_clustering_coefficient",
+    oracle=f"""
+    WITH {_TOP_EDGES_SQL},
+    sym AS (
+      SELECT a AS u, b AS w FROM edges
+      UNION ALL SELECT b, a FROM edges
+    ), deg AS (
+      SELECT u, CAST(COUNT(*) AS BIGINT) AS degree FROM sym GROUP BY u
+    ), tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM edges e1
+      JOIN edges e2 ON e1.b = e2.a
+      JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), pernode AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+      FROM (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+      )
+      GROUP BY node
+    )
+    SELECT n.n_name AS nation, d.degree,
+           COALESCE(p.triangles, 0) AS triangles,
+           CASE WHEN d.degree >= 2
+                THEN round(2.0 * COALESCE(p.triangles, 0)
+                           / (d.degree * (d.degree - 1)), 6)
+                ELSE 0.0 END AS clustering_coeff
+    FROM deg d
+    LEFT JOIN pernode p ON p.node = d.u
+    JOIN nation n ON n.n_nationkey = d.u
+    ORDER BY nation
+    """,
+)
+def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watts–Strogatz local clustering coefficient per nation:
+    C(v) = 2·T(v) / (deg(v)·(deg(v)−1)) with T(v) the number of
+    triangles through v — the fraction of a node's neighbor pairs
+    that are themselves connected (0 when deg < 2).
+
+    Plan: one fact-scan edge extraction (broadcast dims, map-side
+    distinct), then degree and the a<b<c triangle enumeration both
+    run on the bounded materialized edge set; the nation-name join
+    broadcasts. The integer pair (T, deg) feeds ONE float division
+    per output row."""
+    edges = trade_edges(spark, sf_dir)
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    deg = _sym(edges).groupBy("u").agg(F.count("*").alias("degree"))
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z")
+        )
+    )
+    pernode = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("triangles"))
+    )
+    t = F.coalesce(F.col("triangles"), F.lit(0))
+    return (
+        deg.join(pernode, deg.u == pernode.node, "left")
+        .join(F.broadcast(nation), deg.u == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            "degree",
+            t.cast("bigint").alias("triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    F.lit(2.0) * t / (F.col("degree") * (F.col("degree") - 1)), 6
+                ),
+            )
+            .otherwise(0.0)
+            .alias("clustering_coeff"),
+        )
+        .orderBy("nation")
+    )
+
+
+@query(
+    "q_jaccard_link_prediction",
+    oracle=f"""
+    WITH {_TOP_EDGES_SQL},
+    sym AS (
+      SELECT a AS u, b AS w FROM edges
+      UNION ALL SELECT b, a FROM edges
+    ), deg AS (
+      SELECT u, CAST(COUNT(*) AS BIGINT) AS degree FROM sym GROUP BY u
+    ), cn AS (
+      SELECT s1.u AS a, s2.u AS b, CAST(COUNT(*) AS BIGINT) AS common
+      FROM sym s1 JOIN sym s2 ON s1.w = s2.w AND s1.u < s2.u
+      GROUP BY s1.u, s2.u
+    ), nonedge AS (
+      SELECT cn.a, cn.b, cn.common
+      FROM cn ANTI JOIN edges e ON e.a = cn.a AND e.b = cn.b
+    )
+    SELECT na.n_name AS nation_a, nb.n_name AS nation_b,
+           ne.common AS common_neighbors,
+           round(CAST(ne.common AS DOUBLE)
+                 / (da.degree + db.degree - ne.common), 6) AS jaccard
+    FROM nonedge ne
+    JOIN deg da ON da.u = ne.a
+    JOIN deg db ON db.u = ne.b
+    JOIN nation na ON na.n_nationkey = ne.a
+    JOIN nation nb ON nb.n_nationkey = ne.b
+    ORDER BY jaccard DESC, nation_a, nation_b
+    LIMIT {LP_TOP_K}
+    """,
+)
+def q_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction (Liben-Nowell & Kleinberg
+    2003): for every NON-adjacent nation pair sharing at least one
+    neighbor, the Jaccard score |N(a)∩N(b)| / |N(a)∪N(b)| — the
+    top-{LP_TOP_K} candidate links the trade graph "should" close
+    next. |N(a)∪N(b)| = deg(a)+deg(b)−common (a, b non-adjacent, so
+    neither set contains the other endpoint).
+
+    Plan: candidate pairs come from the WEDGE join (two sym-edge
+    references joined on the shared NEIGHBOR) — the scale-safe
+    enumeration that never pairs non-interacting nodes — then an
+    anti-join against the edge set keeps non-edges only; degrees and
+    names broadcast. Integer (common, deg) stats feed one float
+    division per row; the top-k orders by (jaccard, names) — a full
+    deterministic tiebreak."""
+    edges = trade_edges(spark, sf_dir)
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sym = _sym(edges)
+    deg = sym.groupBy("u").agg(F.count("*").alias("degree"))
+    s1 = sym.select(F.col("u").alias("a"), F.col("w").alias("w1"))
+    s2 = sym.select(F.col("u").alias("b"), F.col("w").alias("w2"))
+    cn = (
+        s1.join(s2, (F.col("w1") == F.col("w2")) & (F.col("a") < F.col("b")))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("common"))
+    )
+    nonedge = cn.join(
+        edges.select(F.col("a").alias("ea"), F.col("b").alias("eb")),
+        (F.col("a") == F.col("ea")) & (F.col("b") == F.col("eb")),
+        "left_anti",
+    )
+    da = deg.select(F.col("u").alias("ua"), F.col("degree").alias("deg_a"))
+    db = deg.select(F.col("u").alias("ub"), F.col("degree").alias("deg_b"))
+    na = nation.select(F.col("n_nationkey").alias("ka"), F.col("n_name").alias("nation_a"))
+    nb = nation.select(F.col("n_nationkey").alias("kb"), F.col("n_name").alias("nation_b"))
+    return (
+        nonedge.join(F.broadcast(da), F.col("a") == F.col("ua"))
+        .join(F.broadcast(db), F.col("b") == F.col("ub"))
+        .join(F.broadcast(na), F.col("a") == F.col("ka"))
+        .join(F.broadcast(nb), F.col("b") == F.col("kb"))
+        .select(
+            "nation_a",
+            "nation_b",
+            F.col("common").alias("common_neighbors"),
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "nation_a", "nation_b")
+        .limit(LP_TOP_K)
+    )
