@@ -130,6 +130,62 @@ def test_matrix_profile_periodic_series_all_zero(spark, tmp_path):
         assert r.nn_start == expected, (r.win_start, r.nn_start, expected)
 
 
+_DOC_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+
+def _write_docs(spark, sf, docs):
+    rows = [(i + 1, t, "en", "s0", len(t)) for i, t in enumerate(docs)]
+    spark.createDataFrame(rows, _DOC_SCHEMA).write.mode("overwrite").parquet(
+        f"{sf}/documents.parquet"
+    )
+    return sf
+
+
+def test_gopher_filter_each_rule_fires_on_its_planted_doc(spark, tmp_path):
+    from timestream_travel_spark.operators.llm_text20 import (
+        q_gopher_quality_filter,
+    )
+
+    good = "the quick brown fox and a dog ran over hills " * 6  # 60 words, has the+a
+    docs = [
+        good,                                    # passes everything
+        "tiny doc with the a stopwords here",    # fails word count only (7 words)
+        good + "#### ### ## # ### ## # ## # #",  # symbol ratio pushed over 0.1
+        good.replace("quick", "123456"),         # alpha words 54/60 = 0.9 still ok
+        " ".join(["12345"] * 60),                # fails alpha AND stopwords
+        " ".join(["extraordinarily"] * 60),      # mean word len 15 > 10, no stopword
+    ]
+    sf = _write_docs(spark, str(tmp_path / "sf_gopher"), docs)
+    r = q_gopher_quality_filter(spark, sf).collect()[0]
+    assert r.n_docs == 6
+    assert r.pass_word_count == 5       # only the 7-word doc fails
+    assert r.pass_mean_word_len == 5    # only the 15-char-word doc fails
+    assert r.pass_symbol_ratio == 5     # only the #-doc fails (10 syms / 70 words)
+    assert r.pass_alpha_ratio == 5      # only the all-digit doc fails
+    assert r.pass_stopwords == 4        # digit doc + long-word doc lack 2 stopwords
+    assert r.pass_all == 2              # the good doc and the digit-replaced one
+    assert abs(r.pass_rate - 2 / 6) < 1e-6
+
+
+def test_heaps_law_exact_on_constructed_growth(spark, tmp_path):
+    from timestream_travel_spark.operators.llm_text20 import q_heaps_law
+
+    # every word globally unique -> V(n) = T(n) -> beta = 1, ln K = 0
+    docs = [" ".join(f"w{i}_{j}" for j in range(5 + i)) for i in range(30)]
+    sf = _write_docs(spark, str(tmp_path / "sf_heaps1"), docs)
+    r = q_heaps_law(spark, sf).collect()[0]
+    assert r.n_docs == 30
+    assert r.heaps_beta == 1.0
+    assert r.heaps_ln_k == 0.0
+
+    # single repeated word -> V(n) = 1 -> y = 0 everywhere -> beta = 0
+    docs = [" ".join(["w"] * (5 + i)) for i in range(30)]
+    sf = _write_docs(spark, str(tmp_path / "sf_heaps2"), docs)
+    r = q_heaps_law(spark, sf).collect()[0]
+    assert r.heaps_beta == 0.0
+    assert r.heaps_ln_k == 0.0
+
+
 def test_graph4_matches_pure_python_recompute(spark, sf_dir):
     """Clustering coefficient and Jaccard link prediction recomputed
     from the collected (<= 100-row) top-edge set in plain Python —

@@ -218,5 +218,6 @@ def load_all() -> None:
     # round-8 third-wave modules — same registered-last rule
     from timestream_travel_spark.operators import (  # noqa: F401
         graph4,
+        llm_text20,
         timeseries16,
     )
