@@ -244,6 +244,53 @@ def test_graph4_matches_pure_python_recompute(spark, sf_dir):
     assert got == expect_top
 
 
+def test_pl2_matches_pure_python_recompute(spark, sf_dir):
+    """PL2 scores recomputed in plain Python over the tokenized
+    fixture corpus — an oracle-independent check of the DFR formula
+    (Poisson model, Laplace after-effect, H2 normalization)."""
+    import math
+    import re
+
+    from timestream_travel_spark.operators.retrieval import QUERY_TERMS, TOP_K
+    from timestream_travel_spark.operators.retrieval4 import (
+        LOG2_E,
+        PL2_C,
+        TWO_PI,
+        q_pl2_topk,
+    )
+    from timestream_travel_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    toks = {
+        r.doc_id: [w for w in re.split(r"[^a-z0-9]+", r.text.lower()) if w]
+        for r in docs
+    }
+    n_docs = len(toks)
+    avgdl = sum(len(ws) for ws in toks.values()) / n_docs
+    cf = {t: sum(ws.count(t) for ws in toks.values()) for t in QUERY_TERMS}
+    scores = {}
+    for doc_id, ws in toks.items():
+        s = 0.0
+        for t in QUERY_TERMS:
+            tf = ws.count(t)
+            if tf == 0:
+                continue
+            tfn = tf * math.log2(1.0 + PL2_C * avgdl / len(ws))
+            lam = cf[t] / n_docs
+            s += (1.0 / (tfn + 1.0)) * (
+                tfn * math.log2(tfn / lam)
+                + (lam - tfn) * LOG2_E
+                + 0.5 * math.log2(TWO_PI * tfn)
+            )
+        if s != 0.0:
+            scores[doc_id] = s
+    expect = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:TOP_K]
+    got = [(r.doc_id, r.score) for r in q_pl2_topk(spark, sf_dir).collect()]
+    assert [d for d, _ in got] == [d for d, _ in expect]
+    for (_, a), (_, b) in zip(got, expect):
+        assert abs(a - b) < 1e-6
+
+
 def test_markov_entropy_rate_cycle_zero_fair_coin_one_bit(spark, tmp_path):
     sf = str(tmp_path / "sf_cycle")
     rows = []

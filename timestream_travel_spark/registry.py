@@ -219,5 +219,6 @@ def load_all() -> None:
     from timestream_travel_spark.operators import (  # noqa: F401
         graph4,
         llm_text20,
+        retrieval4,
         timeseries16,
     )
