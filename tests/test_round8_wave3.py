@@ -244,6 +244,39 @@ def test_graph4_matches_pure_python_recompute(spark, sf_dir):
     assert got == expect_top
 
 
+def test_silhouette_planted_geometry(spark, tmp_path):
+    """Tight isolated cluster -> mean silhouette exactly 1; two
+    clusters sharing the same centroid and spread -> exactly 0."""
+    from timestream_travel_spark.operators.clusterqual import (
+        q_silhouette_centroid,
+    )
+
+    sf = str(tmp_path / "sf_sil")
+    rows = []
+    vid = 0
+    for _ in range(8):  # label 0: all points AT the centroid (0,...)
+        vid += 1
+        rows.append((vid, [0.0, 0.0, 0.0, 0.0], 0))
+    for _ in range(8):  # label 1: all points at (100,...)
+        vid += 1
+        rows.append((vid, [100.0, 0.0, 0.0, 0.0], 1))
+    for lab in (2, 3):  # labels 2/3: same centroid (50), same spread
+        for k in range(8):
+            vid += 1
+            rows.append((vid, [49.0 if k % 2 == 0 else 51.0, 0.0, 0.0, 0.0], lab))
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{sf}/embeddings.parquet")
+    out = {r.label: r for r in q_silhouette_centroid(spark, sf).collect()}
+    assert out[0].n_members == 8
+    # a = 0 (points on own centroid), b = 50 (nearest overlap cell)
+    assert out[0].mean_silhouette == 1.0
+    assert out[1].mean_silhouette == 1.0
+    # identical centroid + spread: a = b = 1 for every point
+    assert out[2].mean_silhouette == 0.0
+    assert out[3].mean_silhouette == 0.0
+
+
 def test_pl2_matches_pure_python_recompute(spark, sf_dir):
     """PL2 scores recomputed in plain Python over the tokenized
     fixture corpus — an oracle-independent check of the DFR formula

@@ -208,3 +208,118 @@ def q_dunn_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("min_sep") / F.col("max_diam"), 6).alias("dunn"),
         )
     )
+
+
+@query(
+    "q_silhouette_centroid",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id, label,
+             CAST(generate_subscripts(embedding, 1) AS INT) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ), per AS (
+      -- mirrors _CQ_CTES' per-(label, pos) DECIMAL stats (restated
+      -- because silhouette also needs vec_id in the x CTE)
+      SELECT label AS c, pos,
+             SUM(CAST(v AS DECIMAL(14,9))) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM x GROUP BY label, pos
+    ), cent AS (
+      SELECT c, pos,
+             CAST(CAST(s AS VARCHAR) AS DOUBLE) / n AS mu
+      FROM per
+    ), dj AS (
+      SELECT x.vec_id, x.label, cent.c,
+             SUM(CAST((x.v - cent.mu) * (x.v - cent.mu)
+                      AS DECIMAL(26,12))) AS d2
+      FROM x JOIN cent ON cent.pos = x.pos
+      GROUP BY x.vec_id, x.label, cent.c
+    ), ab AS (
+      SELECT vec_id, label,
+             MAX(CASE WHEN c = label THEN d2 END) AS a2,
+             MIN(CASE WHEN c <> label THEN d2 END) AS b2
+      FROM dj GROUP BY vec_id, label
+    ), sil AS (
+      SELECT label,
+             CAST(CASE WHEN greatest(
+                    sqrt(CAST(CAST(a2 AS VARCHAR) AS DOUBLE)),
+                    sqrt(CAST(CAST(b2 AS VARCHAR) AS DOUBLE))) = 0.0
+               THEN 0.0
+               ELSE (sqrt(CAST(CAST(b2 AS VARCHAR) AS DOUBLE))
+                     - sqrt(CAST(CAST(a2 AS VARCHAR) AS DOUBLE)))
+                    / greatest(
+                        sqrt(CAST(CAST(a2 AS VARCHAR) AS DOUBLE)),
+                        sqrt(CAST(CAST(b2 AS VARCHAR) AS DOUBLE)))
+               END AS DECIMAL(16,9)) AS s
+      FROM ab
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members,
+           round(CAST(CAST(SUM(s) AS VARCHAR) AS DOUBLE) / COUNT(*), 6)
+             AS mean_silhouette
+    FROM sil GROUP BY label ORDER BY label
+    """,
+)
+def q_silhouette_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette per label cell
+    (Rousseeuw 1987 silhouette; the centroid approximation of
+    Hruschka et al. 2004 that replaces all-pairs member distances
+    with point-to-centroid distances — the form that scales): for
+    each point, a = distance to its own cell centroid, b = the
+    nearest OTHER centroid's distance, s = (b − a)/max(a, b); emit
+    the per-cell mean. Negative means flag points parked nearer a
+    neighboring centroid — the same geometry q_davies_bouldin scores
+    at cell granularity, here attributed point-by-point.
+
+    Exactness: centroids bridge DECIMAL→double per the _CQ_CTES
+    pattern; per-(point, centroid) squared distances quantize each
+    squared gap to DECIMAL(26,12) and exact-sum over the 64
+    dimensions, so the nearest-other argmin compares exact decimals;
+    the flat per-point float expression (two sqrts, one division)
+    then quantizes to DECIMAL(16,9) before the per-cell exact mean.
+
+    Scale: ONE corpus-sized posexplode joined to the BROADCAST
+    k×dim centroid table — k·dim rows per point, reduced map-side to
+    k distances per point; no all-pairs stage anywhere."""
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(to_double_array(F.col("embedding"))).alias("pos0", "v"),
+    ).select("vec_id", "label", (F.col("pos0") + 1).cast("int").alias("pos"), "v")
+    per = x.groupBy(F.col("label").alias("c"), "pos").agg(
+        F.sum(F.col("v").cast("decimal(14,9)")).alias("s"),
+        F.count("*").alias("n"),
+    )
+    cent = per.select(
+        "c", "pos", (F.col("s").cast("double") / F.col("n")).alias("mu")
+    )
+    gap = F.col("v") - F.col("mu")
+    dj = (
+        x.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "label", "c")
+        .agg(F.sum((gap * gap).cast("decimal(26,12)")).alias("d2"))
+    )
+    ab = dj.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("c") == F.col("label"), F.col("d2"))).alias("a2"),
+        F.min(F.when(F.col("c") != F.col("label"), F.col("d2"))).alias("b2"),
+    )
+    a = F.sqrt(F.col("a2").cast("double"))
+    b = F.sqrt(F.col("b2").cast("double"))
+    sil = ab.select(
+        "label",
+        F.when(F.greatest(a, b) == 0.0, F.lit(0.0))
+        .otherwise((b - a) / F.greatest(a, b))
+        .cast("decimal(16,9)")
+        .alias("s"),
+    )
+    return (
+        sil.groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.round(F.sum("s").cast("double") / F.count("*"), 6).alias(
+                "mean_silhouette"
+            ),
+        )
+        .orderBy("label")
+    )
