@@ -195,6 +195,17 @@ EXTRA = [
     "q_ulcer_index",                # decimal peak + quantized dd^2 mean
     "q_chande_momentum",            # decimal gain/loss window ratio
     "q_hurst_rs",                   # hourly dyadic-block R/S slope
+    # round-8 fourth wave (complexity / corpus quality / graph / IR)
+    "q_permutation_entropy",        # ordinal-pattern reduce on hourly levels
+    "q_sample_entropy",             # integer-tick Chebyshev template pairs
+    "q_matrix_profile",             # broadcast window join, long-tick d^2
+    "q_markov_entropy_rate",        # per-user lag + bounded transition table
+    "q_gopher_quality_filter",      # in-row integer rule panel
+    "q_heaps_law",                  # sharded global cumsum + decimal OLS
+    "q_clustering_coefficient",     # top-edge graph triangles / degree
+    "q_jaccard_link_prediction",    # wedge-join candidates + anti-join
+    "q_pl2_topk",                   # DFR scoring on pruned postings
+    "q_silhouette_centroid",        # posexplode x broadcast centroid table
 ]
 
 

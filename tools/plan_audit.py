@@ -150,6 +150,17 @@ AUDITED = [
     "q_aroon",
     "q_atr_keltner",
     "q_hurst_rs",
+    # round-8 fourth wave
+    "q_permutation_entropy",
+    "q_sample_entropy",
+    "q_matrix_profile",
+    "q_markov_entropy_rate",
+    "q_gopher_quality_filter",
+    "q_heaps_law",
+    "q_clustering_coefficient",
+    "q_jaccard_link_prediction",
+    "q_pl2_topk",
+    "q_silhouette_centroid",
 ]
 
 
