@@ -206,6 +206,13 @@ EXTRA = [
     "q_jaccard_link_prediction",    # wedge-join candidates + anti-join
     "q_pl2_topk",                   # DFR scoring on pruned postings
     "q_silhouette_centroid",        # posexplode x broadcast centroid table
+    # round-8 fifth wave (ordered tests / spectra / risk ratios)
+    "q_page_trend",                 # within-day midranks, integer L
+    "q_jonckheere_terpstra",        # linear value-grid pair census
+    "q_cochran_q",                  # user x type binary panel, all-integer
+    "q_spectral_entropy",           # 5-harmonic hod folds + literal chain
+    "q_higuchi_fd",                 # stride-join curve lengths, literal OLS
+    "q_sharpe_sortino",             # quantized daily returns, flat ratios
 ]
 
 

@@ -222,3 +222,7 @@ def load_all() -> None:
         retrieval4,
         timeseries16,
     )
+    from timestream_travel_spark.operators import (  # noqa: F401
+        analytics9,
+        timeseries17,
+    )

@@ -161,6 +161,13 @@ AUDITED = [
     "q_jaccard_link_prediction",
     "q_pl2_topk",
     "q_silhouette_centroid",
+    # round-8 fifth wave
+    "q_page_trend",
+    "q_jonckheere_terpstra",
+    "q_cochran_q",
+    "q_spectral_entropy",
+    "q_higuchi_fd",
+    "q_sharpe_sortino",
 ]
 
 
