@@ -213,6 +213,13 @@ EXTRA = [
     "q_spectral_entropy",           # 5-harmonic hod folds + literal chain
     "q_higuchi_fd",                 # stride-join curve lengths, literal OLS
     "q_sharpe_sortino",             # quantized daily returns, flat ratios
+    # round-8 sixth wave (containment / stylometry / point process)
+    "q_containment_pairs",          # blocked in-row asymmetric containment
+    "q_adamic_adar",                # wedge join + broadcast neighbor degree
+    "q_dfa_alpha",                  # exact integer-scaled profile + box OLS
+    "q_interevent_burstiness",      # per-user lag, microsecond integers
+    "q_burrows_delta",              # capped-vocab z-scores, bounded pairs
+    "q_js_divergence_sources",      # dense pair x vocab grid, flat terms
 ]
 
 

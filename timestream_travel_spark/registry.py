@@ -226,3 +226,8 @@ def load_all() -> None:
         analytics9,
         timeseries17,
     )
+    from timestream_travel_spark.operators import (  # noqa: F401
+        dedup6,
+        llm_text21,
+        timeseries18,
+    )

@@ -168,6 +168,13 @@ AUDITED = [
     "q_spectral_entropy",
     "q_higuchi_fd",
     "q_sharpe_sortino",
+    # round-8 sixth wave
+    "q_containment_pairs",
+    "q_adamic_adar",
+    "q_dfa_alpha",
+    "q_interevent_burstiness",
+    "q_burrows_delta",
+    "q_js_divergence_sources",
 ]
 
 
