@@ -320,6 +320,35 @@ def main() -> None:
         for d in pq_dirs:
             shutil.rmtree(d, ignore_errors=True)
 
+    # persisted IVFADC index: the composite (coarse cells + residual
+    # PQ) variant — build-once/read-many, and the read path prunes to
+    # nprobe cell partitions (the delta vs q_pq_from_index is the IVF
+    # pruning saving at equal code budget)
+    from timestream_travel_spark.operators.similarity7 import (
+        build_ivfpq_index,
+        ivfpq_topk_from_index,
+    )
+
+    ivfpq_dirs = [tempfile.mkdtemp(prefix="ivfpq_idx_") for _ in range(reps)]
+    try:
+        ivfpq_iter = iter(ivfpq_dirs)
+        record(
+            "ivfpq_index_build",
+            lambda: build_ivfpq_index(spark, sf_dir, next(ivfpq_iter)),
+        )
+        record(
+            "q_ivfpq_from_index",
+            lambda: ivfpq_topk_from_index(spark, sf_dir, ivfpq_dirs[0])
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+        )
+    except Exception as exc:  # noqa: BLE001 — same isolation as record()
+        errors["ivfpq_index"] = f"{type(exc).__name__}: {exc}"[:500]
+    finally:
+        for d in ivfpq_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+
     # scheduled rollup: the recurring dashboard paths. The one-time
     # build (~agg 2 s + a 720-hour-dir partitioned write, amortized
     # across every later refresh/read) runs once UNTIMED as setup;

@@ -27,6 +27,7 @@ from timestream_travel_spark.functions.vectors import to_double_array
 from timestream_travel_spark.operators.similarity import QUERY_VEC_ID, TOP_K, _query_vec
 from timestream_travel_spark.operators.similarity2 import label_centroids
 from timestream_travel_spark.operators.similarity6 import (
+    PQ_K,
     PQ_M,
     PQ_SHORTLIST,
     _codes_for,
@@ -181,6 +182,132 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(PQ_SHORTLIST)
         .select("vec_id")
     )
+    exact = _l2sq_lit(v, [float(x) for x in qvec.tolist()])
+    return (
+        emb.join(F.broadcast(shortlist), "vec_id")
+        .select("vec_id", F.round(exact, 6).alias("l2sq"))
+        .orderBy(F.asc("l2sq"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+def encode_ivfpq_codes(emb: DataFrame, cents, books) -> DataFrame:
+    """(vec_id, cell, codes array<int>) — the persistent IVFADC index
+    payload: ONE Arrow-vectorized pass assigns each vector to its
+    coarse cell, forms the residual, and PQ-encodes it against the
+    frozen codebooks. {PQ_M} small ints + a cell id per vector."""
+    Cl = _cents_matrix(cents).tolist()
+
+    def enc(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        Cn = np.asarray(Cl, dtype=np.float64)
+        bn = _np_books(books)
+        for batch in batches:
+            ids = batch.column("vec_id").to_numpy()
+            x = _embedding_matrix(batch)
+            if x.size == 0:
+                continue
+            cells = _assign_cells(x, Cn)
+            codes = _codes_for(x - Cn[cells], bn)
+            yield pa.record_batch(
+                {
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "cell": pa.array(cells.astype("int32"), pa.int32()),
+                    "codes": pa.array(codes.tolist(), pa.list_(pa.int32())),
+                }
+            )
+
+    v = to_double_array(F.col("embedding"))
+    return emb.select("vec_id", v.alias("embedding")).mapInArrow(
+        enc, "vec_id bigint, cell int, codes array<int>"
+    )
+
+
+def build_ivfpq_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Materialize the IVFADC index: the (vec_id, cell, codes) table
+    PARTITIONED BY cell, plus the frozen coarse centroids and residual
+    codebooks, all parquet. Build-once/read-many, the same contract as
+    build_pq_index — and because codes are laid out by cell, a query
+    scans only its nprobe cell directories (partition pruning), which
+    is the access pattern that makes IVF the scale path at 100 TB."""
+    cents, books = _ivfpq_state(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    encode_ivfpq_codes(emb, cents, books).write.partitionBy("cell").mode(
+        "overwrite"
+    ).parquet(f"{path}/codes")
+    # coarse centroids in row order (= cell index) — k bounded rows
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, (_lbl, c) in enumerate(cents)],
+        "cell int, cent array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/coarse")
+    rows = [
+        (m, k, [float(x) for x in books[m][k]])
+        for m in range(PQ_M)
+        for k in range(PQ_K)
+    ]
+    spark.createDataFrame(rows, "m int, k int, cent array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/codebook")
+
+
+def ivfpq_topk_from_index(spark: SparkSession, sf_dir: str, path: str) -> DataFrame:
+    """Top-{TOP_K} from a pre-built IVFADC index: load the frozen
+    coarse centroids + codebook (bounded driver state), pick the
+    query's {IVFPQ_NPROBE} nearest cells, scan ONLY those cell
+    partitions of the codes table (PartitionFilters prune the rest),
+    score stored codes with the per-cell ADC table dispatched by a
+    bounded CASE over the probed cells, shortlist, exact re-rank.
+    Identical output contract to q_ivfpq_topk — the roundtrip pytest
+    asserts exact row equality (both sides sum the M ADC terms
+    left-to-right, so the doubles match bit-for-bit)."""
+    import numpy as np
+
+    coarse = sorted(
+        spark.read.parquet(f"{path}/coarse").collect(), key=lambda r: r["cell"]
+    )
+    C = np.asarray([list(r["cent"]) for r in coarse], dtype=np.float64)
+    cb = spark.read.parquet(f"{path}/codebook").collect()
+    books = [[None] * PQ_K for _ in range(PQ_M)]
+    for r in cb:
+        books[r["m"]][r["k"]] = list(r["cent"])
+    b = _np_books(books)
+    qvec = np.asarray(_query_vec(spark, sf_dir), dtype=np.float64)
+    d2 = ((C - qvec[None, :]) ** 2).sum(axis=1)
+    probed = [int(c) for c in np.argsort(d2, kind="stable")[:IVFPQ_NPROBE]]
+
+    adc = None
+    for c in probed:
+        qr = (qvec - C[c]).reshape(PQ_M, 1, -1)
+        t = ((qr - b) ** 2).sum(axis=-1)  # (M, K) — bounded literal
+        t_lit = F.array(
+            *[F.array(*[F.lit(float(x)) for x in row]) for row in t.tolist()]
+        )
+        terms = [
+            F.element_at(
+                F.element_at(t_lit, m + 1), F.element_at("codes", m + 1) + 1
+            )
+            for m in range(PQ_M)
+        ]
+        s = terms[0]
+        for x in terms[1:]:
+            s = s + x
+        adc = F.when(F.col("cell") == c, s) if adc is None else adc.when(
+            F.col("cell") == c, s
+        )
+
+    shortlist = (
+        spark.read.parquet(f"{path}/codes")
+        .filter(F.col("cell").isin(probed))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", adc.alias("adc"))
+        .orderBy(F.asc("adc"), F.asc("vec_id"))
+        .limit(PQ_SHORTLIST)
+        .select("vec_id")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = to_double_array(F.col("embedding"))
     exact = _l2sq_lit(v, [float(x) for x in qvec.tolist()])
     return (
         emb.join(F.broadcast(shortlist), "vec_id")

@@ -87,3 +87,38 @@ def maintain_pq_index(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def maintain_ivfpq_index(
+    stream,
+    index_path: str,
+    checkpoint: str,
+    cents,
+    books: list[list[list[float]]],
+):
+    """Streaming IVFADC-index maintenance: assign each micro-batch's
+    vectors to their coarse cell and PQ-encode the RESIDUAL against
+    the frozen coarse centroids + codebooks (train-once/code-forever,
+    the maintain_pq_index contract extended to the composite index),
+    appending (vec_id, cell, codes) partitioned BY CELL so queries
+    keep pruning to their nprobe cell directories as the index grows.
+    Replay-safe for the same reason as the PQ sink: cell assignment
+    and encoding are deterministic (argmin takes the first minimum),
+    so a replayed batch writes identical rows."""
+    from pyspark.sql import DataFrame
+
+    from timestream_travel_spark.operators.similarity7 import encode_ivfpq_codes
+
+    def update(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        encode_ivfpq_codes(batch_df, cents, books).write.partitionBy(
+            "cell"
+        ).mode("append").parquet(f"{index_path}/codes")
+
+    return (
+        stream.writeStream.foreachBatch(update)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
