@@ -99,3 +99,50 @@ def test_streaming_ivfpq_maintenance_matches_batch_encode(spark, sf_dir, tmp_pat
         for r in encode_ivfpq_codes(emb, cents, books).collect()
     }
     assert streamed == batch
+
+
+def test_index_cli_end_to_end(spark, sf_dir, tmp_path, caplog):
+    """The index lifecycle drivable from the shell: `index build`
+    materializes each kind, `index query` searches from the stored
+    index, and the ivfpq CLI path returns exactly the direct query's
+    rows — all through cli.main."""
+    import logging
+
+    from timestream_travel_spark.cli import main as cli_main
+    from timestream_travel_spark.operators.similarity7 import q_ivfpq_topk
+
+    for kind in ("minhash", "pq", "ivfpq"):
+        idx = str(tmp_path / f"{kind}_idx")
+        assert (
+            cli_main(
+                ["index", "build", "--kind", kind, "--data", sf_dir, "--index", idx]
+            )
+            == 0
+        )
+        caplog.clear()
+        with caplog.at_level(logging.INFO):
+            assert (
+                cli_main(
+                    [
+                        "index", "query",
+                        "--kind", kind,
+                        "--data", sf_dir,
+                        "--index", idx,
+                        "--limit", "0",
+                    ]
+                )
+                == 0
+            )
+        assert f"{kind} index query:" in caplog.text
+
+    # the CLI-built ivfpq index serves exactly the direct query's rows
+    from timestream_travel_spark.operators.similarity7 import ivfpq_topk_from_index
+
+    direct = [(r.vec_id, r.l2sq) for r in q_ivfpq_topk(spark, sf_dir).collect()]
+    via_cli_index = [
+        (r.vec_id, r.l2sq)
+        for r in ivfpq_topk_from_index(
+            spark, sf_dir, str(tmp_path / "ivfpq_idx")
+        ).collect()
+    ]
+    assert direct == via_cli_index

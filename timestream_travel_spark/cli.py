@@ -156,6 +156,27 @@ def build_parser() -> argparse.ArgumentParser:
     la.add_argument("--quantile", type=float, default=0.99, help="lateness quantile (suggest-grace)")
     la.add_argument("--verbose", action="store_true")
 
+    ix = sub.add_parser(
+        "index",
+        help="build or query a persisted similarity/dedup index "
+        "(minhash signatures, PQ codes, cell-partitioned IVFADC)",
+    )
+    ix.add_argument(
+        "action",
+        choices=["build", "query"],
+        help="build: materialize the index from --data; "
+        "query: run the from-index search (candidates / top-k)",
+    )
+    ix.add_argument(
+        "--kind", required=True, choices=["minhash", "pq", "ivfpq"],
+        help="minhash: dedup signature table (documents); "
+        "pq / ivfpq: ANN code tables (embeddings)",
+    )
+    ix.add_argument("--data", required=True, help="directory holding the parquet tables")
+    ix.add_argument("--index", required=True, help="index directory (build target / query source)")
+    ix.add_argument("--limit", type=int, default=20, help="rows to show on query (0 = just the count)")
+    ix.add_argument("--verbose", action="store_true")
+
     q = sub.add_parser("query", help="run a named engine query against a table directory")
     q.add_argument("name", nargs="?", default=None, help="registry query name (omit to list all)")
     q.add_argument("--data", default=None, help="directory holding the parquet tables")
@@ -361,6 +382,53 @@ def main(argv: list[str] | None = None) -> int:
             log.info("no quarantined rows at %s — keep the current grace", args.quarantine)
         else:
             log.info("suggested grace (q=%.2f): %s", args.quantile, g)
+        return 0
+
+    if args.command == "index":
+        from timestream_travel_spark.tables import load_table
+
+        spark = get_spark("timestream-travel-index")
+        if args.action == "build":
+            if args.kind == "minhash":
+                from timestream_travel_spark.operators.dedup import build_minhash_index
+
+                build_minhash_index(
+                    load_table(spark, args.data, "documents"), args.index
+                )
+            elif args.kind == "pq":
+                from timestream_travel_spark.operators.similarity6 import build_pq_index
+
+                build_pq_index(spark, args.data, args.index)
+            else:
+                from timestream_travel_spark.operators.similarity7 import (
+                    build_ivfpq_index,
+                )
+
+                build_ivfpq_index(spark, args.data, args.index)
+            log.info("built %s index -> %s", args.kind, args.index)
+            return 0
+        if args.kind == "minhash":
+            from timestream_travel_spark.operators.dedup import (
+                minhash_candidates_from_index,
+            )
+
+            df = minhash_candidates_from_index(spark, args.index)
+        elif args.kind == "pq":
+            from timestream_travel_spark.operators.similarity6 import (
+                pq_topk_from_index,
+            )
+
+            df = pq_topk_from_index(spark, args.data, args.index)
+        else:
+            from timestream_travel_spark.operators.similarity7 import (
+                ivfpq_topk_from_index,
+            )
+
+            df = ivfpq_topk_from_index(spark, args.data, args.index)
+        n = df.count()
+        if args.limit:
+            df.show(args.limit, truncate=False)
+        log.info("%s index query: %d rows", args.kind, n)
         return 0
 
     if args.command == "query":
