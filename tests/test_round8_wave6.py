@@ -146,3 +146,64 @@ def test_index_cli_end_to_end(spark, sf_dir, tmp_path, caplog):
         ).collect()
     ]
     assert direct == via_cli_index
+
+
+def test_ivfpq_index_compaction_preserves_results(spark, sf_dir, tmp_path):
+    """Streaming maintenance appends one file-set per micro-batch —
+    the classic small-file pathology. compact_parquet rewrites the
+    codes table (preserving the cell partitioning) and the from-index
+    query returns identical rows from strictly fewer files."""
+    from timestream_travel_spark.operators.similarity7 import (
+        _ivfpq_state,
+        build_ivfpq_index,
+        ivfpq_topk_from_index,
+    )
+    from timestream_travel_spark.pipeline.compact import compact_parquet
+    from timestream_travel_spark.streaming.index_maintain import (
+        maintain_ivfpq_index,
+    )
+
+    # frozen state (coarse + codebook) from the batch build…
+    idx = str(tmp_path / "ivfpq_idx")
+    build_ivfpq_index(spark, sf_dir, idx)
+    # …but the CODES arrive via streaming maintenance, one file-set
+    # per micro-batch — overwrite the batch codes with the streamed
+    # ones so the table is genuinely fragmented
+    import shutil
+
+    shutil.rmtree(f"{idx}/codes")
+    cents, books = _ivfpq_state(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = str(tmp_path / "emb_src")
+    emb.withColumn("bucket", (F.col("vec_id") % 4).cast("int")).write.partitionBy(
+        "bucket"
+    ).mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/bucket=*")
+    )
+    q = maintain_ivfpq_index(stream, idx, str(tmp_path / "ckpt"), cents, books)
+    q.awaitTermination(180)
+
+    before = [
+        (r.vec_id, r.l2sq)
+        for r in ivfpq_topk_from_index(spark, sf_dir, idx).collect()
+    ]
+
+    compacted = str(tmp_path / "ivfpq_compacted")
+    stats = compact_parquet(
+        spark, f"{idx}/codes", f"{compacted}/codes", partition_by=["cell"]
+    )
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["rows"] == spark.read.parquet(f"{idx}/codes").count()
+    # the compacted index needs the frozen state alongside the codes
+    for part in ("coarse", "codebook"):
+        spark.read.parquet(f"{idx}/{part}").write.mode("overwrite").parquet(
+            f"{compacted}/{part}"
+        )
+    after = [
+        (r.vec_id, r.l2sq)
+        for r in ivfpq_topk_from_index(spark, sf_dir, compacted).collect()
+    ]
+    assert before == after
