@@ -53,31 +53,68 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinction). The higher direction names the CONTAINED (more
     redundant) document.
 
-    Plan: identical blocked self-join to q_ngram_jaccard_pairs —
-    3-word shingle arrays stay in-row, intersection sizes are
-    integers, two divisions per emitted row."""
+    Plan: co-occurrence-gated, NOT blocked all-pairs. The distinct
+    shingles explode once; an equi-join on (lang, source, shingle)
+    emits one integer row per SHARED shingle, and |A∩B| is a count
+    aggregation — pairs sharing nothing never materialize (their
+    containment is 0 < {CONTAIN_MIN}, so skipping them is exact).
+    At sf0.1 that is ~16k tiny count rows instead of ~159k
+    array_intersect evaluations; at 100 TB the fan-out is
+    Σ_shingle C(df,2) within a block — df-bounded co-occurrence, the
+    same shape as q_lcs_contamination's shingle join, where a max-df
+    hot-shingle cap is the documented relief valve if a corpus
+    develops boilerplate shingles.
+
+    |A| is the exploded-row count per doc (word_shingles is
+    distinct), broadcast back onto the pair counts — deliberately
+    NOT a size() column computed beside the explode: CollapseProject
+    would inline the whole shingle expression into the post-Generate
+    projection and recompute it from `text` once per exploded row
+    (the minhash_candidates lesson, dedup.py)."""
     d = load_table(spark, sf_dir, "documents")
-    a = d.select(
-        F.col("doc_id").alias("doc_a"), "lang", "source",
-        word_shingles("text").alias("sh_a"),
+    # persist(): the exploded table feeds FOUR branches (both join
+    # sides + both size lookups); without the barrier each branch
+    # re-runs the regexp/split/transform shingle pipeline over the
+    # corpus (the minhash_candidates precedent, dedup.py — measured
+    # 8.0 s → 2.6 s at sf0.1). On a cluster the persisted form is
+    # small: (ids, block keys, one shingle string) per row.
+    ex = d.select(
+        "doc_id", "lang", "source",
+        F.explode(word_shingles("text")).alias("s"),
+    ).persist()
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = ex.select(
+        F.col("doc_id").alias("doc_a"), "lang", "source", "s",
     )
-    b = load_table(spark, sf_dir, "documents").select(
+    b = ex.select(
         F.col("doc_id").alias("doc_b"),
         F.col("lang").alias("lang_b"),
         F.col("source").alias("source_b"),
-        word_shingles("text").alias("sh_b"),
+        F.col("s").alias("s_b"),
     )
-    joined = a.join(
-        b,
-        (F.col("lang") == F.col("lang_b"))
-        & (F.col("source") == F.col("source_b"))
-        & (F.col("doc_a") < F.col("doc_b")),
+    pairs = (
+        a.join(
+            b,
+            (F.col("s") == F.col("s_b"))
+            & (F.col("lang") == F.col("lang_b"))
+            & (F.col("source") == F.col("source_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("double").alias("inter"))
+        .join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))),
+            "doc_b",
+        )
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    c_ab = inter / F.size("sh_a")
-    c_ba = inter / F.size("sh_b")
+    c_ab = F.col("inter") / F.col("n_a")
+    c_ba = F.col("inter") / F.col("n_b")
     return (
-        joined.filter((c_ab >= CONTAIN_MIN) | (c_ba >= CONTAIN_MIN))
+        pairs.filter((c_ab >= CONTAIN_MIN) | (c_ba >= CONTAIN_MIN))
         .select(
             "doc_a",
             "doc_b",
