@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from timestream_travel_spark.functions.vectors import to_double_array
 from timestream_travel_spark.operators.similarity import QUERY_VEC_ID, TOP_K, _query_vec
 from timestream_travel_spark.registry import query
-from timestream_travel_spark.tables import load_table
+from timestream_travel_spark.tables import bounded_df, load_table
 
 PQ_M = 8  # subspaces
 PQ_D = 8  # dims per subspace (M * D = 64 = embedding dim)
@@ -210,7 +210,9 @@ def build_pq_index(spark: SparkSession, sf_dir: str, path: str) -> None:
         for m in range(PQ_M)
         for k in range(PQ_K)
     ]
-    spark.createDataFrame(rows, "m int, k int, cent array<double>").coalesce(
+    # bounded_df: Arrow path — the default converter costs ~5 s on
+    # this array-columned table (see tables.bounded_df)
+    bounded_df(spark, rows, "m int, k int, cent array<double>").coalesce(
         1
     ).write.mode("overwrite").parquet(f"{path}/codebook")
 

@@ -37,7 +37,7 @@ from timestream_travel_spark.operators.similarity6 import (
     train_pq_codebooks,
 )
 from timestream_travel_spark.registry import query
-from timestream_travel_spark.tables import load_table
+from timestream_travel_spark.tables import bounded_df, load_table
 
 IVFPQ_NPROBE = 3
 
@@ -237,8 +237,11 @@ def build_ivfpq_index(spark: SparkSession, sf_dir: str, path: str) -> None:
     encode_ivfpq_codes(emb, cents, books).write.partitionBy("cell").mode(
         "overwrite"
     ).parquet(f"{path}/codes")
-    # coarse centroids in row order (= cell index) — k bounded rows
-    spark.createDataFrame(
+    # coarse centroids in row order (= cell index) — k bounded rows.
+    # bounded_df: the default local->DataFrame converter costs ~5 s
+    # per array-columned table; the Arrow path is ~0.25 s
+    bounded_df(
+        spark,
         [(i, [float(x) for x in c]) for i, (_lbl, c) in enumerate(cents)],
         "cell int, cent array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/coarse")
@@ -247,7 +250,7 @@ def build_ivfpq_index(spark: SparkSession, sf_dir: str, path: str) -> None:
         for m in range(PQ_M)
         for k in range(PQ_K)
     ]
-    spark.createDataFrame(rows, "m int, k int, cent array<double>").coalesce(
+    bounded_df(spark, rows, "m int, k int, cent array<double>").coalesce(
         1
     ).write.mode("overwrite").parquet(f"{path}/codebook")
 

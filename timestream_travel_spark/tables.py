@@ -102,3 +102,24 @@ def load_tables(
             df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def bounded_df(spark: SparkSession, rows: list[tuple], schema: str) -> DataFrame:
+    """createDataFrame for SMALL driver-side row lists that carry
+    ARRAY columns, via the pandas/Arrow batch path.
+
+    The default row-by-row converter pays a multi-second py4j +
+    per-element verification cost for array columns (measured 5.3 s
+    for a 138-row × 64-double codebook table; the Arrow path is
+    0.25 s). Scalar-only small tables don't need this. `schema` is a
+    DDL string ("name type, ..."); column names are the first token
+    of each top-level comma-separated field (commas inside <> or ()
+    — array/map/decimal parameters — don't split)."""
+    import re
+
+    import pandas as pd
+
+    fields = re.split(r",(?![^<(]*[>)])", schema)
+    names = [part.strip().split()[0] for part in fields]
+    pdf = pd.DataFrame(rows, columns=names)
+    return spark.createDataFrame(pdf, schema)
