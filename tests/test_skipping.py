@@ -1,0 +1,223 @@
+"""File-stats manifest + manifest-pruned scan planning
+(pipeline/skipping.py): pruning is observable (fewer files read),
+exact (always equals the naive full-scan filter), invisible to
+ordinary scans (_manifest is a hidden dir), and compounds with the
+z-order layout on two-column box predicates."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from timestream_travel_spark.pipeline.skipping import (
+    collect_file_stats,
+    prune_files,
+    pruned_read,
+    read_manifest,
+    verify_manifest,
+    write_manifest,
+)
+from timestream_travel_spark.pipeline.zorder import write_linear, write_zordered
+
+
+@pytest.fixture(scope="module")
+def ts_store(spark, sf_dir, tmp_path_factory):
+    """events laid out sorted by ts, 8 files, manifest on (ts,
+    user_id, value)."""
+    path = str(tmp_path_factory.mktemp("skip") / "events_by_ts")
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    n = ev.count()
+    (
+        ev.repartition(1)
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max(1, n // 8))
+        .parquet(path)
+    )
+    write_manifest(spark, path, ["ts", "user_id", "value"])
+    return path, n
+
+
+def test_manifest_matches_footers_and_data(spark, ts_store):
+    path, n = ts_store
+    m = read_manifest(spark, path)
+    stats = collect_file_stats(path, ["ts", "user_id", "value"])
+    assert m.count() == len(stats) >= 8
+    assert sum(s["row_count"] for s in stats) == n
+    # footer stats agree with a from-the-data recompute, every file
+    assert verify_manifest(spark, path, ["ts", "user_id", "value"]).count() == 0
+
+
+def test_manifest_dir_invisible_to_plain_scans(spark, ts_store):
+    path, n = ts_store
+    # _manifest lives INSIDE the table dir yet a normal read sees
+    # only the data (underscore-prefix convention)
+    assert spark.read.parquet(path).count() == n
+
+
+def test_ts_predicate_prunes_and_stays_exact(spark, ts_store):
+    path, n = ts_store
+    full = spark.read.parquet(path)
+    total_files = len(full.inputFiles())
+    lo, hi = dt.datetime(2024, 1, 10), dt.datetime(2024, 1, 12)
+    conj = [("ts", "between", (lo, hi))]
+    kept = prune_files(spark, path, conj)
+    # a 2-day slice of a ~30-day ts-sorted store touches a strict
+    # minority of files
+    assert 0 < len(kept) < total_files / 2
+    got = pruned_read(spark, path, conj)
+    assert set(os.path.normpath(p.replace("file:", "")) for p in got.inputFiles()) <= {
+        os.path.normpath(k) for k in kept
+    }
+    naive = full.filter(F.col("ts").between(F.lit(lo), F.lit(hi)))
+    assert got.count() == naive.count() > 0
+    # boundary-inclusive exactness: same rows, not just same count
+    assert got.exceptAll(naive).count() == 0
+    assert naive.exceptAll(got).count() == 0
+
+
+def test_unsorted_column_does_not_prune_but_stays_exact(spark, ts_store):
+    path, _ = ts_store
+    full = spark.read.parquet(path)
+    conj = [("user_id", "=", 3)]
+    kept = prune_files(spark, path, conj)
+    # user_id is uncorrelated with the ts sort: every file's
+    # [min,max] spans it → no files pruned (conservatism, not a bug)
+    assert len(kept) == len(full.inputFiles())
+    assert (
+        pruned_read(spark, path, conj).count()
+        == full.filter(F.col("user_id") == 3).count()
+    )
+
+
+def test_empty_survivor_set_returns_empty_with_schema(spark, ts_store):
+    path, _ = ts_store
+    conj = [("value", ">", 1e12)]
+    assert prune_files(spark, path, conj) == []
+    got = pruned_read(spark, path, conj)
+    assert got.count() == 0
+    assert got.columns == spark.read.parquet(path).columns
+
+
+def test_conjunction_prunes_intersection(spark, ts_store):
+    path, _ = ts_store
+    lo, hi = dt.datetime(2024, 1, 10), dt.datetime(2024, 1, 12)
+    both = prune_files(
+        spark, path, [("ts", "between", (lo, hi)), ("value", ">", 1e12)]
+    )
+    assert both == []  # impossible value term kills every ts survivor
+
+
+def test_zorder_manifest_prunes_both_dimensions(spark, sf_dir, tmp_path):
+    """The composition argument: z-order makes per-file (user_id, ts)
+    boxes tight, so the SAME manifest machinery prunes on either
+    dimension — while the ts-linear layout prunes only on ts."""
+    from timestream_travel_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    zpath = str(tmp_path / "z")
+    lpath = str(tmp_path / "lin")
+    n_z = write_zordered(ev, zpath, "user_id", "ts", rows_per_file=120)
+    n_l = write_linear(ev, lpath, "ts", rows_per_file=120)
+    assert n_z >= 6 and n_l >= 6
+    write_manifest(spark, zpath, ["user_id", "ts"])
+    write_manifest(spark, lpath, ["user_id", "ts"])
+
+    conj = [("user_id", "between", (2, 3))]
+    z_kept = prune_files(spark, zpath, conj)
+    l_kept = prune_files(spark, lpath, conj)
+    # z-order: a 2-of-15 user band skips most files; linear-by-ts
+    # layout cannot skip any
+    assert len(z_kept) < n_z / 2
+    assert len(l_kept) == n_l
+    # and the z-ordered pruned read is still exact
+    got = pruned_read(spark, zpath, conj)
+    want = ev.filter(F.col("user_id").between(2, 3))
+    assert got.count() == want.count() > 0
+
+
+def test_update_manifest_incremental_append_and_delete(spark, tmp_path):
+    import glob
+    import shutil
+
+    from timestream_travel_spark.pipeline.skipping import update_manifest
+
+    path = str(tmp_path / "inc")
+    spark.range(0, 300).withColumn("v", F.col("id") * 2).repartition(
+        1
+    ).sortWithinPartitions("id").write.mode("overwrite").option(
+        "maxRecordsPerFile", 100
+    ).parquet(path)
+    # first call on a bare store == full build
+    r0 = update_manifest(spark, path, ["id", "v"])
+    assert r0["removed"] == 0 and r0["added"] == r0["total"] >= 3
+    # append a new file out-of-band (the ingest pattern)
+    extra = str(tmp_path / "extra")
+    spark.range(1000, 1100).withColumn("v", F.col("id") * 2).coalesce(
+        1
+    ).write.mode("overwrite").parquet(extra)
+    newf = glob.glob(os.path.join(extra, "*.parquet"))[0]
+    dest = os.path.join(path, "part-appended.parquet")
+    shutil.copy(newf, dest)
+    r1 = update_manifest(spark, path, ["id", "v"])
+    assert r1["added"] == 1 and r1["removed"] == 0 and r1["total"] == r0["total"] + 1
+    # the appended file is findable through the manifest
+    kept = prune_files(spark, path, [("id", ">=", 1000)])
+    assert kept == [dest]
+    assert pruned_read(spark, path, [("id", ">=", 1000)]).count() == 100
+    # delete it (retention) → the row is dropped, not resurrected
+    os.remove(dest)
+    r2 = update_manifest(spark, path, ["id", "v"])
+    assert r2["added"] == 0 and r2["removed"] == 1 and r2["total"] == r0["total"]
+    assert prune_files(spark, path, [("id", ">=", 1000)]) == []
+    assert verify_manifest(spark, path, ["id", "v"]).count() == 0
+
+
+def test_manifest_cli_end_to_end(spark, sf_dir, tmp_path, capsys):
+    from timestream_travel_spark.cli import main
+
+    path = str(tmp_path / "cli_store")
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ev.repartition(1).sortWithinPartitions("user_id").write.mode(
+        "overwrite"
+    ).option("maxRecordsPerFile", 150).parquet(path)
+    assert main(["manifest", "build", "--table", path, "--cols", "user_id,value"]) == 0
+    assert main(["manifest", "verify", "--table", path, "--cols", "user_id,value"]) == 0
+    assert (
+        main(["manifest", "prune", "--table", path, "--where", "user_id:=:3"]) == 0
+    )
+    kept_stdout = [
+        line for line in capsys.readouterr().out.splitlines() if line.strip()
+    ]
+    total = len(spark.read.parquet(path).inputFiles())
+    assert 0 < len(kept_stdout) < total  # user_id-sorted layout prunes
+    assert main(["manifest", "update", "--table", path, "--cols", "user_id,value"]) == 0
+    # missing --cols on build is a usage error, not a crash
+    assert main(["manifest", "build", "--table", path]) == 2
+
+
+def test_isnull_predicate_uses_null_counts(spark, tmp_path):
+    path = str(tmp_path / "nullable")
+    df = spark.range(0, 400).select(
+        F.col("id"),
+        F.when(F.col("id") < 100, None).otherwise(F.col("id")).alias("v"),
+    )
+    # id-sorted 4-file layout → nulls concentrate in file 1
+    (
+        df.repartition(1)
+        .sortWithinPartitions("id")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 100)
+        .parquet(path)
+    )
+    write_manifest(spark, path, ["id", "v"])
+    kept = prune_files(spark, path, [("v", "isnull", None)])
+    assert len(kept) == 1
+    assert pruned_read(spark, path, [("v", "isnull", None)]).count() == 100
+    # comparison predicates correctly skip the all-NULL-stats file
+    kept_cmp = prune_files(spark, path, [("v", ">=", 0)])
+    assert len(kept_cmp) == 3
+    assert pruned_read(spark, path, [("v", ">=", 0)]).count() == 300

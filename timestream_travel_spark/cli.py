@@ -177,6 +177,30 @@ def build_parser() -> argparse.ArgumentParser:
     ix.add_argument("--limit", type=int, default=20, help="rows to show on query (0 = just the count)")
     ix.add_argument("--verbose", action="store_true")
 
+    mf = sub.add_parser(
+        "manifest",
+        help="file-stats manifest for a parquet table dir: build/"
+        "update it from footers, prune a scan with it, or audit it",
+    )
+    mf.add_argument(
+        "action",
+        choices=["build", "update", "prune", "verify"],
+        help="build: full footer pass; update: incremental (new files "
+        "appended, deleted files dropped); prune: list surviving files "
+        "for --where; verify: recompute stats from data and diff",
+    )
+    mf.add_argument("--table", required=True, help="parquet table directory")
+    mf.add_argument(
+        "--cols", default=None,
+        help="comma-separated stat columns (build/update/verify)",
+    )
+    mf.add_argument(
+        "--where", action="append", default=[],
+        help="prune conjunct as col:op:value (op in <,<=,>,>=,=; "
+        "repeatable; value parsed as number else kept as string)",
+    )
+    mf.add_argument("--verbose", action="store_true")
+
     q = sub.add_parser("query", help="run a named engine query against a table directory")
     q.add_argument("name", nargs="?", default=None, help="registry query name (omit to list all)")
     q.add_argument("--data", default=None, help="directory holding the parquet tables")
@@ -429,6 +453,49 @@ def main(argv: list[str] | None = None) -> int:
         if args.limit:
             df.show(args.limit, truncate=False)
         log.info("%s index query: %d rows", args.kind, n)
+        return 0
+
+    if args.command == "manifest":
+        from timestream_travel_spark.pipeline import skipping
+
+        spark = get_spark("timestream-travel-manifest")
+        if args.action in ("build", "update", "verify") and not args.cols:
+            log.error("--cols is required for %s", args.action)
+            return 2
+        cols = [c.strip() for c in args.cols.split(",")] if args.cols else []
+        if args.action == "build":
+            mpath = skipping.write_manifest(spark, args.table, cols)
+            n = skipping.read_manifest(spark, args.table).count()
+            log.info("manifest built: %d file(s) -> %s", n, mpath)
+            return 0
+        if args.action == "update":
+            r = skipping.update_manifest(spark, args.table, cols)
+            log.info(
+                "manifest updated: +%d -%d = %d file(s)",
+                r["added"], r["removed"], r["total"],
+            )
+            return 0
+        if args.action == "verify":
+            bad = skipping.verify_manifest(spark, args.table, cols).collect()
+            for r in bad:
+                log.error("stale stats: %s", r["file"])
+            if bad:
+                log.error("manifest verification FAILED for %d file(s)", len(bad))
+                return 1
+            log.info("manifest verification OK")
+            return 0
+        conj = []
+        for w in args.where:
+            col, op, raw = w.split(":", 2)
+            try:
+                val = float(raw) if "." in raw or "e" in raw.lower() else int(raw)
+            except ValueError:
+                val = raw
+            conj.append((col, op, val))
+        kept = skipping.prune_files(spark, args.table, conj)
+        for f in kept:
+            print(f)
+        log.info("%d file(s) survive the manifest prune", len(kept))
         return 0
 
     if args.command == "query":
