@@ -139,6 +139,14 @@ def main() -> int:
 
     import __spark_entry__ as entrymod
 
+    if "--staged" in flags:
+        # also gate next-round queries that load_all() doesn't import
+        # yet (registry.STAGED_MODULES) — they register on top of the
+        # live surface for this process only
+        from timestream_travel_spark import registry
+
+        registry.load_staged()
+
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
 
