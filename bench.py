@@ -365,10 +365,21 @@ def main() -> None:
     from timestream_travel_spark.tables import load_table as _lt
 
     ru_dir = tempfile.mkdtemp(prefix="rollup_")
+    rollup_files = rollup_partitions = None
     try:
         ev = _lt(spark, sf_dir, "events")
         build_rollup(spark, ev, ru_dir)
         record("rollup_refresh", lambda: refresh_rollup(spark, ev, ru_dir))
+        # store-shape audit: fragmentation regressions (file count
+        # creeping past partition count after repeated refreshes) are
+        # attributable from the BENCH record alone
+        rollup_files = sum(
+            len([f for f in fs if f.endswith(".parquet")])
+            for _, _, fs in os.walk(ru_dir)
+        )
+        rollup_partitions = len(
+            [d for d in os.listdir(ru_dir) if d.startswith("__hour=")]
+        )
         record(
             "q_rollup_daily_read",
             lambda: daily_from_hourly(spark, ru_dir)
@@ -394,6 +405,8 @@ def main() -> None:
         "queries": timings,
         "queries_min": minima,
         "sf": sf,
+        "rollup_store_files": rollup_files,
+        "rollup_store_partitions": rollup_partitions,
     }
     if errors:
         payload["errors"] = errors

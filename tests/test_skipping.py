@@ -221,3 +221,158 @@ def test_isnull_predicate_uses_null_counts(spark, tmp_path):
     kept_cmp = prune_files(spark, path, [("v", ">=", 0)])
     assert len(kept_cmp) == 3
     assert pruned_read(spark, path, [("v", ">=", 0)]).count() == 300
+
+
+def test_partitioned_store_manifest_and_pruned_read(spark, sf_dir, tmp_path):
+    """A hive-partitioned (key=value subdir) layout is a table too:
+    the manifest recurses into it, pruned_read keeps the partition
+    columns (basePath), and results stay exactly equal to the naive
+    full-scan filter."""
+    from timestream_travel_spark.tables import load_table
+
+    path = str(tmp_path / "part_store")
+    ev = load_table(spark, sf_dir, "events")
+    (
+        ev.withColumn("day", F.to_date("ts"))
+        .repartition("day")
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(path)
+    )
+    write_manifest(spark, path, ["ts", "value"])
+    stats = collect_file_stats(path, ["ts", "value"])
+    assert len(stats) == read_manifest(spark, path).count() > 1
+    full = spark.read.parquet(path)
+    lo = full.agg(F.min("ts")).collect()[0][0]
+    hi = lo + dt.timedelta(days=2)
+    conj = [("ts", "between", (lo, hi))]
+    kept = prune_files(spark, path, conj)
+    assert 0 < len(kept) < len(full.inputFiles())
+    got = pruned_read(spark, path, conj)
+    assert set(got.columns) == set(full.columns)  # partition col kept
+    naive = full.filter(F.col("ts").between(F.lit(lo), F.lit(hi)))
+    assert got.exceptAll(naive).count() == 0
+    assert naive.exceptAll(got).count() == 0
+    assert got.count() == naive.count() > 0
+    # partition keys are not footer columns — naming one is a clear
+    # error, not a KeyError from deep inside pyarrow
+    with pytest.raises(ValueError, match="not data columns"):
+        write_manifest(spark, path, ["day"])
+
+
+def test_distributed_build_equals_driver_build(spark, sf_dir, tmp_path):
+    """write_manifest(distributed=True) — binaryFile listing + Arrow
+    executor-side footer reads — produces the identical manifest."""
+    path = str(tmp_path / "dist_store")
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    (
+        ev.repartition(1)
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max(1, ev.count() // 6))
+        .parquet(path)
+    )
+    write_manifest(spark, path, ["ts", "user_id"])
+    driver_rows = sorted(map(tuple, read_manifest(spark, path).collect()))
+    write_manifest(spark, path, ["ts", "user_id"], distributed=True)
+    dist_rows = sorted(map(tuple, read_manifest(spark, path).collect()))
+    assert dist_rows == driver_rows and len(dist_rows) >= 6
+
+
+def test_statless_file_is_kept_not_pruned(spark, tmp_path):
+    """A file written WITHOUT parquet statistics (foreign writer) has
+    NULL manifest min/max — it must stay a 'may match' for comparison
+    predicates (dropping it would violate pruned_read's exactness);
+    a provably all-NULL file is still dropped."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    path = str(tmp_path / "mixed")
+    os.makedirs(path)
+    spark.createDataFrame([(i, float(i)) for i in range(100)], "id long, v double") \
+        .coalesce(1).write.mode("append").parquet(path)
+    # foreign file: no statistics, but rows that MATCH the predicate
+    papq.write_table(
+        pa.table({"id": pa.array([1000, 1001], pa.int64()),
+                  "v": pa.array([9e6, 9e6 + 1], pa.float64())}),
+        os.path.join(path, "foreign-no-stats.parquet"),
+        write_statistics=False,
+    )
+    # all-NULL v file: provably cannot match any comparison
+    papq.write_table(
+        pa.table({"id": pa.array([2000, 2001], pa.int64()),
+                  "v": pa.array([None, None], pa.float64())}),
+        os.path.join(path, "all-null.parquet"),
+    )
+    write_manifest(spark, path, ["v"])
+    m = {os.path.basename(r["file"]): r for r in read_manifest(spark, path).collect()}
+    assert m["foreign-no-stats.parquet"]["min_v"] is None
+    conj = [("v", ">", 1e6)]
+    kept = [os.path.basename(p) for p in prune_files(spark, path, conj)]
+    assert "foreign-no-stats.parquet" in kept       # may match → kept
+    assert "all-null.parquet" not in kept           # provably NULL → dropped
+    got = pruned_read(spark, path, conj)
+    naive = spark.read.parquet(path).filter(F.col("v") > 1e6)
+    assert got.count() == naive.count() == 2
+    # isnull with unknown null_count keeps the stats-less file too
+    kept_null = [os.path.basename(p) for p in prune_files(spark, path, [("v", "isnull", None)])]
+    assert "all-null.parquet" in kept_null and "foreign-no-stats.parquet" in kept_null
+
+
+def test_verify_manifest_reports_stale_rows(spark, tmp_path):
+    """An orphan manifest row (file deleted out-of-band) is a
+    verification FAILURE — otherwise a later pruned_read hands a
+    nonexistent path to the scan."""
+    import glob
+
+    path = str(tmp_path / "stale")
+    spark.range(0, 200).withColumn("v", F.col("id") * 3).repartition(
+        1
+    ).sortWithinPartitions("id").write.mode("overwrite").option(
+        "maxRecordsPerFile", 50
+    ).parquet(path)
+    write_manifest(spark, path, ["id"])
+    assert verify_manifest(spark, path, ["id"]).count() == 0
+    victim = sorted(glob.glob(os.path.join(path, "*.parquet")))[0]
+    os.remove(victim)
+    bad = verify_manifest(spark, path, ["id"]).collect()
+    assert [r["issue"] for r in bad] == ["stale_manifest_row"]
+    assert bad[0]["file"] == victim
+    # no .tmp/.old residue from the atomic swap path
+    from timestream_travel_spark.pipeline.skipping import update_manifest
+    update_manifest(spark, path, ["id"])
+    assert verify_manifest(spark, path, ["id"]).count() == 0
+    assert not os.path.exists(os.path.join(path, "_manifest.tmp"))
+    assert not os.path.exists(os.path.join(path, "_manifest.old"))
+
+
+def test_streaming_manifest_maintenance(spark, tmp_path):
+    """foreachBatch twin: arrivals append to the table AND the
+    manifest follows, so pruned_read plans over a current manifest
+    without a rebuild."""
+    from timestream_travel_spark.streaming.index_maintain import maintain_manifest
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    spark.range(0, 300).withColumn("v", F.col("id") * 2).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = maintain_manifest(stream, table, ckpt, ["id", "v"])
+    q.awaitTermination(120)
+    m = read_manifest(spark, table)
+    assert m.count() == len(spark.read.parquet(table).inputFiles())
+    assert verify_manifest(spark, table, ["id", "v"]).count() == 0
+    assert pruned_read(spark, table, [("id", ">=", 250)]).count() == 50
+    # second wave of arrivals: incremental maintenance, still exact
+    spark.range(1000, 1100).withColumn("v", F.col("id") * 2).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q2 = maintain_manifest(
+        spark.readStream.schema(schema).parquet(src), table, ckpt, ["id", "v"]
+    )
+    q2.awaitTermination(120)
+    assert pruned_read(spark, table, [("id", ">=", 1000)]).count() == 100
+    assert verify_manifest(spark, table, ["id", "v"]).count() == 0

@@ -24,6 +24,19 @@ from timestream_travel_spark.tables import load_table
 
 CONTAIN_MIN = 0.5  # report pairs where either direction >= 0.5
 
+# Max-df hot-shingle cap (the relief valve q_lcs_contamination
+# already carries, LCS_MAX_SHINGLE_DF in llm_text16.py): the
+# co-occurrence join fans out Σ_shingle C(df, 2) rows, so ONE
+# boilerplate shingle shared by a large fraction of a block is
+# quadratic in the corpus. A shingle appearing in more than this
+# many documents is boilerplate, not evidence of containment —
+# containment is computed over the CAPPED vocabulary on BOTH sides
+# (numerator and denominator), so the statistic stays a true
+# set-containment of the informative shingles and the oracle can
+# express the identical cap. word_shingles is distinct-per-doc, so
+# count(*) per shingle IS document frequency.
+CONTAIN_MAX_SHINGLE_DF = 64
+
 
 @query(
     "q_containment_pairs",
@@ -31,18 +44,30 @@ CONTAIN_MIN = 0.5  # report pairs where either direction >= 0.5
     WITH sh AS (
       SELECT doc_id, lang, source, {_SHINGLES_SQL} AS shingles
       FROM documents
+    ),
+    ex AS (
+      SELECT doc_id, lang, source, unnest(shingles) AS s FROM sh
+    ),
+    hot AS (
+      SELECT s FROM ex GROUP BY s HAVING count(*) > {CONTAIN_MAX_SHINGLE_DF}
+    ),
+    kept AS (SELECT ex.* FROM ex ANTI JOIN hot USING (s)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS DOUBLE) AS i
+      FROM kept a JOIN kept b
+        ON a.s = b.s AND a.lang = b.lang AND a.source = b.source
+       AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-                 / len(a.shingles), 4) AS contain_a_in_b,
-           round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-                 / len(b.shingles), 4) AS contain_b_in_a
-    FROM sh a JOIN sh b
-      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-            / len(a.shingles) >= {CONTAIN_MIN}
-       OR CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-            / len(b.shingles) >= {CONTAIN_MIN}
+    SELECT doc_a, doc_b,
+           round(i / sa.n, 4) AS contain_a_in_b,
+           round(i / sb.n, 4) AS contain_b_in_a
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE i / sa.n >= {CONTAIN_MIN} OR i / sb.n >= {CONTAIN_MIN}
     """,
 )
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -54,16 +79,20 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     redundant) document.
 
     Plan: co-occurrence-gated, NOT blocked all-pairs. The distinct
-    shingles explode once; an equi-join on (lang, source, shingle)
-    emits one integer row per SHARED shingle, and |A∩B| is a count
-    aggregation — pairs sharing nothing never materialize (their
-    containment is 0 < {CONTAIN_MIN}, so skipping them is exact).
-    At sf0.1 that is ~16k tiny count rows instead of ~159k
-    array_intersect evaluations; at 100 TB the fan-out is
-    Σ_shingle C(df,2) within a block — df-bounded co-occurrence, the
-    same shape as q_lcs_contamination's shingle join, where a max-df
-    hot-shingle cap is the documented relief valve if a corpus
-    develops boilerplate shingles.
+    shingles explode once; shingles over the CONTAIN_MAX_SHINGLE_DF
+    document-frequency cap (boilerplate) are dropped by a broadcast
+    anti-join BEFORE anything pairs — the hot table is bounded by
+    |corpus| / CAP, always broadcastable — then an equi-join on
+    (lang, source, shingle) emits one integer row per SHARED kept
+    shingle, and |A∩B| is a count aggregation — pairs sharing nothing
+    never materialize (their containment is 0 < {CONTAIN_MIN}, so
+    skipping them is exact). Containment is over the capped
+    vocabulary on both sides (sizes count kept shingles too), so the
+    SQL oracle expresses the identical statistic. At 100 TB the
+    fan-out is Σ_shingle C(df,2) with df ≤ CAP — at most CAP²/2 rows
+    per shingle, linear in the distinct-shingle count, never
+    quadratic in a hot shingle's corpus frequency (the same valve as
+    q_lcs_contamination's LCS_MAX_SHINGLE_DF).
 
     |A| is the exploded-row count per doc (word_shingles is
     distinct), broadcast back onto the pair counts — deliberately
@@ -72,16 +101,32 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection and recompute it from `text` once per exploded row
     (the minhash_candidates lesson, dedup.py)."""
     d = load_table(spark, sf_dir, "documents")
-    # persist(): the exploded table feeds FOUR branches (both join
-    # sides + both size lookups); without the barrier each branch
-    # re-runs the regexp/split/transform shingle pipeline over the
-    # corpus (the minhash_candidates precedent, dedup.py — measured
-    # 8.0 s → 2.6 s at sf0.1). On a cluster the persisted form is
-    # small: (ids, block keys, one shingle string) per row.
-    ex = d.select(
+    # persist() the RAW exploded table once: it feeds the hot gate
+    # plus (through the lazy anti-join) both join sides and both size
+    # lookups. Without the barrier each branch re-runs the
+    # regexp/split/transform shingle pipeline over the corpus (the
+    # minhash_candidates precedent, dedup.py — measured 8.0 s → 2.6 s
+    # at sf0.1). The capped table `ex` is deliberately NOT persisted:
+    # re-deriving it is one broadcast anti-join over the cached rows,
+    # far cheaper than a second corpus-sized cache materialization.
+    # On a cluster the persisted form is small: (ids, block keys,
+    # one shingle string) per row.
+    raw = d.select(
         "doc_id", "lang", "source",
         F.explode(word_shingles("text")).alias("s"),
     ).persist()
+    # hot-shingle gate FIRST (df = count(*) since shingles are
+    # distinct-per-doc): map-side-combined scalar agg, then a
+    # broadcast anti-join drops boilerplate shingles before sizes or
+    # pairs ever see them — the quadratic C(df,2) fan-out is capped
+    # at C(CAP,2) per shingle.
+    hot = (
+        raw.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > CONTAIN_MAX_SHINGLE_DF)
+        .select("s")
+    )
+    ex = raw.join(F.broadcast(hot), "s", "left_anti")
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = ex.select(
         F.col("doc_id").alias("doc_a"), "lang", "source", "s",

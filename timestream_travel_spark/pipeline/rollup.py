@@ -38,6 +38,30 @@ ROLLUP_AGGS = (
     "users_sk (mergeable HLL)"
 )
 
+# The rollup store's schema is FIXED by _hourly's aggregate list, so
+# every read passes it explicitly instead of inferring: with ~720
+# hour partitions of tiny files (8.8k at a year of data), schema
+# inference is a footer-listing job per read, and the old
+# mergeSchema=true migration path read EVERY footer. An explicit
+# schema costs zero jobs and gives the same migration semantics for
+# free — parquet fills columns missing from an old file's footer
+# (pre-sketch stores without users_sk) with NULLs per file. Measured
+# at sf0.1/local[32]: daily read 2.5 s → 1.6 s, refresh 3.6 s → 2.3 s.
+ROLLUP_SCHEMA = (
+    "event_type string, n_events bigint, sum_value decimal(30,4), "
+    "min_value double, max_value double, n_users bigint, "
+    "users_sk binary, __hour string"
+)
+
+
+def read_rollup(spark: SparkSession, dest: str) -> DataFrame:
+    """Read the rollup store with the explicit ROLLUP_SCHEMA (no
+    inference job, no mergeSchema footer sweep; `__hour` comes back
+    as the canonical string instead of partition-inferred timestamp).
+    Old pre-sketch hour partitions surface users_sk as NULL per file —
+    the same mixed-store semantics mergeSchema provided, for free."""
+    return spark.read.schema(ROLLUP_SCHEMA).parquet(dest)
+
 # lgConfigK for the per-hour user sketch: 2^12 registers ≈ 1.6% std
 # error — the rollup's distinct column is a dashboard estimate, and
 # 4 KiB/hour/type of sketch bytes is negligible next to the row.
@@ -81,17 +105,13 @@ def build_rollup(spark: SparkSession, events: DataFrame, dest: str) -> None:
 
 def rollup_hwm(spark: SparkSession, dest: str) -> str | None:
     """Latest materialized hour (the partition key IS the HWM — no
-    separate manifest to drift). Partition-column type inference
-    reads `__hour` back as TIMESTAMP, so normalize to the canonical
-    'yyyy-MM-dd HH:mm:ss' string. Returns None when the destination
-    has never been built (missing path or empty rollup), so refresh
-    can fall back to a full build instead of failing."""
+    separate manifest to drift). ROLLUP_SCHEMA types `__hour` as the
+    canonical 'yyyy-MM-dd HH:mm:ss' string directly. Returns None
+    when the destination has never been built (missing path or empty
+    rollup), so refresh can fall back to a full build instead of
+    failing."""
     try:
-        row = (
-            spark.read.parquet(dest)
-            .agg(F.max(F.col("__hour").cast("string")).alias("h"))
-            .collect()[0]
-        )
+        row = read_rollup(spark, dest).agg(F.max("__hour").alias("h")).collect()[0]
     except AnalysisException:
         return None
     return row["h"]
@@ -120,12 +140,12 @@ def refresh_rollup(
     hwm = rollup_hwm(spark, dest)
     if hwm is None:
         build_rollup(spark, events, dest)
-        return spark.read.parquet(dest).select("__hour").distinct().count()
+        return read_rollup(spark, dest).select("__hour").distinct().count()
     if audit_tail:
         src_n = events.filter(F.col("ts") < F.lit(hwm).cast("timestamp")).count()
         dst_n = (
-            spark.read.parquet(dest)
-            .filter(F.col("__hour").cast("string") < hwm)
+            read_rollup(spark, dest)
+            .filter(F.col("__hour") < hwm)
             .agg(F.sum("n_events").cast("bigint").alias("n"))
             .collect()[0]["n"]
             or 0
@@ -165,14 +185,14 @@ def daily_from_hourly(spark: SparkSession, dest: str) -> DataFrame:
 
     Schema migration: a store built before the sketch column (or one
     whose refresh only re-wrote tail partitions) has hour partitions
-    WITHOUT `users_sk` — read with mergeSchema so mixed footers
-    resolve, union-agg skips the null sketches, and a day whose
-    hours ALL predate the column reports `n_users_est` NULL (honest
-    "unknown") rather than an undercount. Backfill by `repair_rollup`
-    after touching the old hours, or a one-time `build_rollup`."""
-    r = spark.read.option("mergeSchema", "true").parquet(dest)
-    if "users_sk" not in r.columns:  # store entirely pre-sketch
-        r = r.withColumn("users_sk", F.lit(None).cast("binary"))
+    WITHOUT `users_sk` — the explicit ROLLUP_SCHEMA read surfaces
+    those files' sketches as NULL (parquet fills requested-but-absent
+    columns per file; no mergeSchema footer sweep needed), union-agg
+    skips the null sketches, and a day whose hours ALL predate the
+    column reports `n_users_est` NULL (honest "unknown") rather than
+    an undercount. Backfill by `repair_rollup` after touching the old
+    hours, or a one-time `build_rollup`."""
+    r = read_rollup(spark, dest)
     return (
         r.groupBy(
             "event_type",
@@ -218,10 +238,7 @@ def repair_rollup(spark: SparkSession, events: DataFrame, dest: str) -> list[str
         build_rollup(spark, events, dest)
         return sorted(
             r["__hour"]
-            for r in spark.read.parquet(dest)
-            .select(F.col("__hour").cast("string").alias("__hour"))
-            .distinct()
-            .collect()
+            for r in read_rollup(spark, dest).select("__hour").distinct().collect()
         )
     src = (
         events.groupBy(
@@ -232,8 +249,8 @@ def repair_rollup(spark: SparkSession, events: DataFrame, dest: str) -> list[str
         .agg(F.count(F.lit(1)).alias("src_n"))
     )
     dst = (
-        spark.read.parquet(dest)
-        .groupBy(F.col("__hour").cast("string").alias("__hour"))
+        read_rollup(spark, dest)
+        .groupBy("__hour")
         .agg(F.sum("n_events").cast("bigint").alias("dst_n"))
     )
     drift = (

@@ -24,10 +24,14 @@ reads zero data pages. Pruning is conservative and exact:
   the predicate, and the full predicate is re-applied to the rows
   that are read (file granularity prunes, the residual filter keeps
   row-level exactness);
-- parquet min/max statistics exclude NULLs, so an all-NULL file
-  carries NULL stats and is dropped — correct for every comparison
-  predicate (SQL: NULL fails them all); `("col", "isnull", None)`
-  keeps files via the null_count stat instead.
+- parquet min/max statistics exclude NULLs. A file whose stats are
+  absent is dropped for a comparison predicate ONLY when it is
+  provably all-NULL (null_count == row_count; SQL comparisons fail
+  on NULL); a file whose writer simply omitted statistics keeps its
+  "may match" status — foreign-written files (the out-of-band-append
+  ingest pattern update_manifest exists for) must never be silently
+  pruned. `("col", "isnull", None)` keeps files via the null_count
+  stat, conservatively keeping files whose null_count is unknown.
 """
 
 from __future__ import annotations
@@ -52,41 +56,76 @@ def _local(path: str) -> str:
     return p.path if p.scheme in ("file", "") else path
 
 
-def collect_file_stats(data_path: str, stat_cols: list[str]) -> list[dict]:
-    """One dict per data file: row_count plus min_/max_/nulls_ for each
-    stat column, aggregated over the file's row groups — read from
-    parquet footers only (no data pages). Driver-side file listing is
-    the same cost class compact_parquet already accepts for
-    maintenance jobs; at cluster scale run this per-partition over a
-    binaryFile listing instead."""
-    root = _local(data_path)
-    files = sorted(
-        os.path.join(root, f)
-        for f in os.listdir(root)
-        if f.endswith(".parquet") and not f.startswith(("_", "."))
-    ) if os.path.isdir(root) else [root]
-    rows = []
-    for fp in files:
-        md = pq.ParquetFile(fp).metadata
-        idx = {md.schema.column(i).path: i for i in range(md.num_columns)}
-        rec: dict = {"file": fp, "row_count": md.num_rows}
-        for col in stat_cols:
+def _list_parquet(root: str) -> list[str]:
+    """All data files under `root`, RECURSIVELY — partitioned layouts
+    (key=value subdirs) are tables too. Hidden dirs/files (`_`/`.`
+    prefix: _manifest, _SUCCESS, .crc side-files) are skipped at
+    every level, matching what a Spark scan of the same path sees."""
+    if not os.path.isdir(root):
+        return [root]
+    out: list[str] = []
+    for dirpath, dirnames, filenames in os.walk(root):
+        dirnames[:] = [d for d in dirnames if not d.startswith(("_", "."))]
+        out += [
+            os.path.join(dirpath, f)
+            for f in filenames
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        ]
+    return sorted(out)
+
+
+def _file_stats_record(fp: str, stat_cols: list[str]) -> dict:
+    """Footer-only stats for ONE parquet file. Missing statistics are
+    honest NULLs, never guesses:
+    - min/max are populated only when EVERY row group either carries
+      min/max or is provably all-NULL (its non-null values are zero,
+      so it cannot widen the file interval); one stats-less row group
+      with data ⇒ the file's interval is unknown ⇒ NULL min/max;
+    - nulls is NULL as soon as any row group omits null_count.
+    _survival() treats NULL stats as 'may match' unless the file is
+    provably all-NULL — conservative, so foreign writers that skip
+    statistics cost pruning efficiency, never correctness."""
+    md = pq.ParquetFile(fp).metadata
+    idx = {md.schema.column(i).path: i for i in range(md.num_columns)}
+    rec: dict = {"file": fp, "row_count": md.num_rows}
+    for col in stat_cols:
+        lo = hi = None
+        nulls: int | None = 0
+        bounded = True  # min/max cover every non-null value so far
+        for rg in range(md.num_row_groups):
+            rgmeta = md.row_group(rg)
+            st = rgmeta.column(idx[col]).statistics
+            if st is None:
+                nulls = None
+                bounded = False
+                break
+            if nulls is not None and st.null_count is not None:
+                nulls += st.null_count
+            else:
+                nulls = None
+            if st.has_min_max:
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            elif st.null_count != rgmeta.num_rows:
+                # data rows without bounds → file interval unknown
+                bounded = False
+        if not bounded:
             lo = hi = None
-            nulls = 0
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(idx[col]).statistics
-                if st is None:
-                    nulls = None
-                    break
-                nulls += st.null_count if st.null_count is not None else 0
-                if st.has_min_max:
-                    lo = st.min if lo is None else min(lo, st.min)
-                    hi = st.max if hi is None else max(hi, st.max)
-            rec[f"min_{col}"] = lo
-            rec[f"max_{col}"] = hi
-            rec[f"nulls_{col}"] = nulls
-        rows.append(rec)
-    return rows
+        rec[f"min_{col}"] = lo
+        rec[f"max_{col}"] = hi
+        rec[f"nulls_{col}"] = nulls
+    return rec
+
+
+def collect_file_stats(data_path: str, stat_cols: list[str]) -> list[dict]:
+    """One dict per data file (recursive over partitioned layouts):
+    row_count plus min_/max_/nulls_ for each stat column, aggregated
+    over the file's row groups — read from parquet footers only (no
+    data pages). Driver-side sequential loop: the same cost class
+    compact_parquet already accepts for maintenance jobs at this
+    scale; `write_manifest(distributed=True)` is the executor-side
+    path for 100k+-file stores."""
+    return [_file_stats_record(fp, stat_cols) for fp in _list_parquet(_local(data_path))]
 
 
 def _spark_type(arrow_type):
@@ -108,31 +147,28 @@ def _spark_type(arrow_type):
     raise TypeError(f"no stats mapping for arrow type {arrow_type}")
 
 
-def write_manifest(
-    spark: SparkSession, data_path: str, stat_cols: list[str]
-) -> str:
-    """Build the stats manifest for `data_path` and persist it INSIDE
-    the table directory at `<data_path>/_manifest` — the underscore
-    prefix keeps every ordinary Spark/parquet scan of the table from
-    picking it up (same convention as _SUCCESS/_metadata). Returns the
-    manifest path.
-
-    The schema is EXPLICIT, mapped from the table's arrow schema: an
-    all-NULL file must surface as a true SQL NULL stat (pandas
-    inference would float it to NaN, and Spark orders NaN above every
-    number — `NaN >= v` is TRUE — which would silently disable the
-    null-stats pruning rule)."""
+def _manifest_schema(data_path: str, stat_cols: list[str]):
+    """Explicit manifest schema, mapped from one data file's arrow
+    schema: an all-NULL file must surface as a true SQL NULL stat
+    (pandas inference would float it to NaN, and Spark orders NaN
+    above every number — `NaN >= v` is TRUE — which would silently
+    disable the null-stats pruning rule)."""
     from pyspark.sql import types as T
 
-    stats = collect_file_stats(data_path, stat_cols)
-    root = _local(data_path)
-    mpath = os.path.join(root, MANIFEST_DIR)
-    sample = next(
-        os.path.join(root, f)
-        for f in sorted(os.listdir(root))
-        if f.endswith(".parquet") and not f.startswith(("_", "."))
-    ) if os.path.isdir(root) else root
-    arrow_schema = pq.ParquetFile(sample).schema_arrow
+    files = _list_parquet(_local(data_path))
+    if not files:
+        raise ValueError(
+            f"no parquet data files under {data_path!r} — cannot infer a "
+            "manifest schema for an empty store"
+        )
+    arrow_schema = pq.ParquetFile(files[0]).schema_arrow
+    missing = [c for c in stat_cols if c not in arrow_schema.names]
+    if missing:
+        raise ValueError(
+            f"stat columns {missing} are not data columns of {data_path!r} — "
+            "partition keys live in directory names, not parquet footers; "
+            "manifest stats apply to footer-backed columns only"
+        )
     fields = [
         T.StructField("file", T.StringType(), False),
         T.StructField("row_count", T.LongType(), False),
@@ -144,12 +180,92 @@ def write_manifest(
             T.StructField(f"max_{c}", ct, True),
             T.StructField(f"nulls_{c}", T.LongType(), True),
         ]
-    schema = T.StructType(fields)
-    rows = [tuple(rec[f.name] for f in fields) for rec in stats]
-    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(mpath)
+    return T.StructType(fields)
+
+
+def _stats_df(
+    spark: SparkSession, data_path: str, stat_cols: list[str], distributed: bool
+) -> DataFrame:
+    """Stats rows as a DataFrame with the explicit manifest schema.
+
+    distributed=True is the 100k+-file path: Spark's binaryFile
+    source LISTS the store (distributed listing, `content` column
+    never selected so no data bytes move) and the footer reads run
+    executor-side in an Arrow-batched mapInPandas — build cost is
+    per-executor, not driver-bound. The driver loop (default) stays
+    correct for small stores and for the incremental per-file calls
+    update_manifest makes."""
+    schema = _manifest_schema(data_path, stat_cols)
+    if not distributed:
+        rows = [
+            tuple(rec[f.name] for f in schema.fields)
+            for rec in collect_file_stats(data_path, stat_cols)
+        ]
+        return spark.createDataFrame(rows, schema)
+
+    import pandas as pd
+
+    names = [f.name for f in schema.fields]
+    cols = list(stat_cols)
+
+    def footer_stats(batches):
+        for pdf in batches:
+            recs = [
+                _file_stats_record(_local(p), cols) for p in pdf["path"].to_list()
+            ]
+            yield pd.DataFrame(
+                {n: [r[n] for r in recs] for n in names}, dtype=object
+            )
+
+    listing = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .load(_local(data_path))
+        .select("path")
+    )
+    par = spark.sparkContext.defaultParallelism
+    return listing.repartition(par).mapInPandas(footer_stats, schema)
+
+
+def write_manifest(
+    spark: SparkSession,
+    data_path: str,
+    stat_cols: list[str],
+    distributed: bool = False,
+) -> str:
+    """Build the stats manifest for `data_path` (recursing into
+    partitioned key=value layouts) and persist it INSIDE the table
+    directory at `<data_path>/_manifest` — the underscore prefix
+    keeps every ordinary Spark/parquet scan of the table from picking
+    it up (same convention as _SUCCESS/_metadata). Returns the
+    manifest path. `distributed=True` lists via Spark's binaryFile
+    source and footer-reads executor-side (the path for stores too
+    large to list on the driver)."""
+    root = _local(data_path)
+    mpath = os.path.join(root, MANIFEST_DIR)
+    stats = _stats_df(spark, data_path, stat_cols, distributed)
+    _swap_in(stats, mpath)
     return mpath
+
+
+def _swap_in(df: DataFrame, mpath: str) -> None:
+    """Replace the manifest dir so a VALID manifest exists at every
+    instant: write to `.tmp`, rename any current manifest aside to
+    `.old`, promote `.tmp` with an atomic rename, then delete `.old`.
+    A crash between steps leaves either the old or the new manifest
+    in place (plus a stray temp dir the next swap clears) — never a
+    window where read_manifest sees nothing."""
+    import shutil
+
+    tmp, old = mpath + ".tmp", mpath + ".old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    if os.path.isdir(mpath):
+        os.replace(mpath, old)
+    os.replace(tmp, mpath)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def update_manifest(
@@ -172,28 +288,23 @@ def update_manifest(
     known = {
         r["file"] for r in read_manifest(spark, data_path).select("file").collect()
     }
-    on_disk = {
-        os.path.join(root, f)
-        for f in os.listdir(root)
-        if f.endswith(".parquet") and not f.startswith(("_", "."))
-    }
+    on_disk = set(_list_parquet(root))
     new_files, gone = sorted(on_disk - known), known - on_disk
     survivors = read_manifest(spark, data_path).filter(
         ~F.col("file").isin(list(gone)) if gone else F.lit(True)
     )
     if new_files:
-        fresh_rows = []
-        for fp in new_files:
-            fresh_rows += collect_file_stats(fp, stat_cols)
+        fresh_rows = [
+            tuple(rec[f.name] for f in survivors.schema.fields)
+            for fp in new_files
+            for rec in collect_file_stats(fp, stat_cols)
+        ]
         fresh = spark.createDataFrame(fresh_rows, survivors.schema)
         survivors = survivors.unionByName(fresh)
-    # rewrite via a temp dir: the plan reads the dir being replaced
-    tmp = mpath + ".tmp"
-    survivors.coalesce(1).write.mode("overwrite").parquet(tmp)
-    import shutil
-
-    shutil.rmtree(mpath)
-    os.replace(tmp, mpath)
+    # the plan reads the dir being replaced, so materialize to a temp
+    # dir first; _swap_in keeps a valid manifest visible at every
+    # instant (rename-aside, never an rmtree-then-rename window)
+    _swap_in(survivors, mpath)
     total = read_manifest(spark, data_path).count()
     return {"added": len(new_files), "removed": len(gone), "total": total}
 
@@ -205,23 +316,38 @@ def read_manifest(spark: SparkSession, data_path: str) -> DataFrame:
 def _survival(col: str, op: str, val) -> F.Column:
     """Manifest-side condition under which a file MAY contain a row
     satisfying (col op val). Conservative by construction: interval
-    overlap, never value equality."""
+    overlap, never value equality — and NULL stats only prune when
+    they PROVE absence. A comparison's interval test is SQL-NULL when
+    min/max are NULL, which happens both for all-NULL files (parquet
+    min/max exclude NULLs) and for files whose writer omitted
+    statistics; only the first may be dropped (comparisons fail on
+    NULL values), so the fallback keeps the file unless
+    nulls == row_count proves it all-NULL. An unknown null_count
+    keeps the file too."""
     lo, hi, nulls = F.col(f"min_{col}"), F.col(f"max_{col}"), F.col(f"nulls_{col}")
+    # NULL-stat fallback for comparison ops: may match, unless the
+    # file is provably all-NULL (then no comparison can succeed)
+    no_stats_keep = F.coalesce(nulls != F.col("row_count"), F.lit(True))
+
+    def cmp(test: F.Column) -> F.Column:
+        return F.coalesce(test, no_stats_keep)
+
     if op == "<":
-        return lo < F.lit(val)
+        return cmp(lo < F.lit(val))
     if op == "<=":
-        return lo <= F.lit(val)
+        return cmp(lo <= F.lit(val))
     if op == ">":
-        return hi > F.lit(val)
+        return cmp(hi > F.lit(val))
     if op == ">=":
-        return hi >= F.lit(val)
+        return cmp(hi >= F.lit(val))
     if op == "=":
-        return (lo <= F.lit(val)) & (hi >= F.lit(val))
+        return cmp((lo <= F.lit(val)) & (hi >= F.lit(val)))
     if op == "between":
         b_lo, b_hi = val
-        return (lo <= F.lit(b_hi)) & (hi >= F.lit(b_lo))
+        return cmp((lo <= F.lit(b_hi)) & (hi >= F.lit(b_lo)))
     if op == "isnull":
-        return nulls > 0
+        # unknown null_count → may contain NULLs → keep
+        return F.coalesce(nulls > 0, F.lit(True))
     raise ValueError(f"op must be one of {_OPS}, got {op!r}")
 
 
@@ -274,7 +400,10 @@ def pruned_read(
     if not kept:
         # correct empty result with the table's schema, no file reads
         return spark.read.parquet(_local(data_path)).filter(F.lit(False))
-    df = spark.read.parquet(*kept)
+    # basePath: surviving leaf files under a partitioned (key=value)
+    # layout keep their partition columns, so the result schema is
+    # identical to the naive full-table scan
+    df = spark.read.option("basePath", _local(data_path)).parquet(*kept)
     return df.filter(residual) if residual is not None else df
 
 
@@ -282,9 +411,14 @@ def verify_manifest(
     spark: SparkSession, data_path: str, stat_cols: list[str]
 ) -> DataFrame:
     """Audit job: recompute per-file min/max/null-count FROM THE DATA
-    (groupBy input_file_name) and anti-join against the manifest —
-    returns the files whose stored stats disagree (empty = manifest
-    faithful). Full-scan cost, run like any table maintenance."""
+    (groupBy input_file_name) and diff BOTH directions against the
+    manifest — returns one row per discrepancy with an `issue`
+    column: 'data_disagrees' for files whose on-disk stats differ
+    from (or are absent in) the manifest, 'stale_manifest_row' for
+    manifest rows whose file is gone or whose stats no data backs —
+    the orphan rows that would otherwise hand pruned_read a
+    nonexistent path. Empty = manifest faithful. Full-scan cost, run
+    like any table maintenance."""
     aggs = [F.count("*").alias("row_count")]
     for c in stat_cols:
         aggs += [
@@ -300,4 +434,8 @@ def verify_manifest(
         .agg(*aggs)
     )
     manifest = read_manifest(spark, data_path).select(actual.columns)
-    return actual.exceptAll(manifest)
+    return actual.exceptAll(manifest).withColumn(
+        "issue", F.lit("data_disagrees")
+    ).unionByName(
+        manifest.exceptAll(actual).withColumn("issue", F.lit("stale_manifest_row"))
+    )

@@ -122,3 +122,33 @@ def maintain_ivfpq_index(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def maintain_manifest(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    stat_cols: list[str],
+):
+    """Streaming file-stats-manifest maintenance (pipeline/skipping):
+    each micro-batch appends its rows to the parquet table, then
+    update_manifest footer-reads ONLY the files that append created —
+    incremental cost is O(batch files), not O(table), the same
+    train-once/maintain-forever contract as the MinHash and PQ index
+    sinks above. The manifest swap keeps a valid manifest visible at
+    every instant, so concurrent pruned_read planners never see a
+    missing store. Exactly-once per micro-batch via the checkpoint."""
+    from timestream_travel_spark.pipeline.skipping import update_manifest
+
+    def update(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df.write.mode("append").parquet(table_path)
+        update_manifest(batch_df.sparkSession, table_path, stat_cols)
+
+    return (
+        stream.writeStream.foreachBatch(update)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
