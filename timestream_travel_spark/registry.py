@@ -232,15 +232,30 @@ def load_all() -> None:
         timeseries18,
     )
 
+    # round-9 modules — same registered-last rule. analytics10 and
+    # retrieval5 were staged during round 8 (strict-verified then;
+    # promoted here so the driver's unverified-first queue drains
+    # them at the head of round 9's slots).
+    from timestream_travel_spark.operators import (  # noqa: F401
+        analytics10,
+        retrieval5,
+    )
+    from timestream_travel_spark.operators import (  # noqa: F401
+        clusterqual2,
+        llm_text22,
+        similarity8,
+        timeseries19,
+    )
 
-# Round-9 modules, STAGED: written, oracled, and strict-verified in
-# round 8 but NOT loaded by load_all() — the round-8 registry is
-# frozen at the driver's ~50-slot drain capacity (ROADMAP.md), so
-# registering these now would leave never-checked rows in
-# CORRECTNESS_r08. Round 9 promotes them by moving the module names
-# into load_all()'s tail (registered-last rule). Until then they are
+
+# Next-round modules, STAGED: written, oracled, and strict-verified
+# this round but NOT loaded by load_all() — the registry freezes at
+# the driver's ~50-slot drain capacity per round (ROADMAP.md), so
+# registering more would leave never-checked rows in CORRECTNESS.
+# The next round promotes them by moving the module names into
+# load_all()'s tail (registered-last rule). Until then they are
 # exercised by pytest and `tools/oracle_check.py --staged`.
-STAGED_MODULES: tuple[str, ...] = ("analytics10", "retrieval5")
+STAGED_MODULES: tuple[str, ...] = ()
 
 
 def load_staged() -> None:

@@ -40,6 +40,14 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # INT64-micros timestamps (not legacy INT96): INT96 carries
+        # NO parquet min/max statistics, which blinds both row-group
+        # pushdown and the file-stats manifest (pipeline/skipping) on
+        # every instant-typed ts column — at 100 TB that is the
+        # difference between pruning on time (the dominant predicate)
+        # and full scans. Micros also round-trips the fixtures'
+        # timestamp[us] exactly.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # Single mid-size parquet files must still fan out across
         # cores: with the default 4 MiB open-cost a 20 MB file scans
         # as ~3 tasks on 32 cores. 512 KiB open-cost lets split size
