@@ -246,6 +246,14 @@ def load_all() -> None:
         similarity8,
         timeseries19,
     )
+    from timestream_travel_spark.operators import (  # noqa: F401
+        analytics11,
+        timeseries20,
+    )
+    from timestream_travel_spark.operators import (  # noqa: F401
+        graph5,
+        llm_text23,
+    )
 
 
 # Next-round modules, STAGED: written, oracled, and strict-verified
