@@ -220,6 +220,22 @@ EXTRA = [
     "q_interevent_burstiness",      # per-user lag, microsecond integers
     "q_burrows_delta",              # capped-vocab z-scores, bounded pairs
     "q_js_divergence_sources",      # dense pair x vocab grid, flat terms
+    # round-9 waves
+    "q_matrix_profile_stomp",       # per-series int64 diagonal recurrence
+    "q_loss_mask_manifest",         # span-df keeper -> run-grouped intervals
+    "q_quality_card",               # 3-branch per-doc signal join + tercile
+    "q_mood_median_test",           # weighted median + literal-pivot chi2
+    "q_g_test",                     # decimal-quantized O*ln terms
+    "q_durbin_watson",              # scaled-out centering, decimal sums
+    "q_goodman_kruskal_gamma",      # 4x4 ordinal cell census
+    "q_cci",                        # in-row window-array mean deviation
+    "q_williams_r",                 # decimal window extrema
+    "q_vortex",                     # decimal VM/TR window sums
+    "q_readability_flesch_fog",     # per-word vowel-group HOF counts
+    "q_yules_k",                    # frequency-spectrum reduces
+    "q_char_trigram_entropy",       # corpus trigram explode + reduce
+    "q_rich_club",                  # backbone degree census
+    "q_ivfpq_cell_recall",          # Arrow scoring pass + cell windows
 ]
 
 

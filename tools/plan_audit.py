@@ -175,6 +175,18 @@ AUDITED = [
     "q_interevent_burstiness",
     "q_burrows_delta",
     "q_js_divergence_sources",
+    # round-9 waves
+    "q_matrix_profile_stomp",
+    "q_loss_mask_manifest",
+    "q_quality_card",
+    "q_mood_median_test",
+    "q_g_test",
+    "q_durbin_watson",
+    "q_cci",
+    "q_readability_flesch_fog",
+    "q_char_trigram_entropy",
+    "q_rich_club",
+    "q_ivfpq_cell_recall",
 ]
 
 
