@@ -1,0 +1,256 @@
+"""SURVEY §5.6 sanity tests for the STAGED round-10 modules
+(analytics12, timeseries21) — they register next round; until then
+pytest + `oracle_check --staged` are their gates. Each statistic is
+pinned against a pure-Python recompute on the same fixture."""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+from timestream_travel_spark.registry import load_staged
+from timestream_travel_spark.tables import load_table
+
+load_staged()
+
+
+def _daily_levels(spark, sf_dir):
+    rows = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", "value"
+    ).collect()
+    daily = defaultdict(float)
+    for r in rows:
+        daily[(r.event_type, r.ts.date())] += round(r.value, 4)
+    out = defaultdict(list)
+    for (t, day) in sorted(daily):
+        out[t].append(round(daily[(t, day)], 4))
+    return out
+
+
+def test_yule_q_matches_kappa_cells(spark, sf_dir):
+    from timestream_travel_spark.operators.analytics11 import q_cohens_kappa
+    from timestream_travel_spark.operators.analytics12 import q_yule_q
+
+    kap = q_cohens_kappa(spark, sf_dir).collect()[0]
+    yq = q_yule_q(spark, sf_dir).collect()[0]
+    assert (yq.a, yq.b, yq.c, yq.d) == (kap.a, kap.b, kap.c, kap.d)
+    want = (yq.a * yq.d - yq.b * yq.c) / (yq.a * yq.d + yq.b * yq.c)
+    assert abs(yq.yule_q - want) < 1e-6 and -1 <= yq.yule_q <= 1
+
+
+def test_kendalls_w_from_friedman(spark, sf_dir):
+    from timestream_travel_spark.operators.analytics8 import q_friedman
+    from timestream_travel_spark.operators.analytics12 import q_kendalls_w
+
+    fr = q_friedman(spark, sf_dir).collect()[0]
+    kw = q_kendalls_w(spark, sf_dir).collect()[0]
+    assert (kw.n_blocks, kw.k) == (fr.n_blocks, fr.k)
+    want = fr.chi2_f / (fr.n_blocks * (fr.k - 1))
+    assert abs(kw.kendalls_w - want) < 1e-5
+    assert 0 <= kw.kendalls_w <= 1
+
+
+def test_sign_test_recompute(spark, sf_dir):
+    from timestream_travel_spark.operators.analytics12 import (
+        SIGN_A,
+        SIGN_B,
+        q_sign_test,
+    )
+
+    series = _daily_levels(spark, sf_dir)
+    rows = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", "value"
+    ).collect()
+    daily = defaultdict(float)
+    for r in rows:
+        daily[(r.event_type, r.ts.date())] += round(r.value, 4)
+    days = sorted({d for (t, d) in daily if t in (SIGN_A, SIGN_B)})
+    pos = neg = 0
+    for d in days:
+        if (SIGN_A, d) in daily and (SIGN_B, d) in daily:
+            va, vb = round(daily[(SIGN_A, d)], 4), round(daily[(SIGN_B, d)], 4)
+            pos += va > vb
+            neg += va < vb
+    got = q_sign_test(spark, sf_dir).collect()[0]
+    assert (got.n_pos, got.n_neg) == (pos, neg)
+    m = pos + neg
+    assert abs(got.z - (2 * pos - m) / math.sqrt(m)) < 1e-6
+    assert series  # fixture sanity
+
+
+def test_variance_ratio_recompute(spark, sf_dir):
+    from timestream_travel_spark.operators.analytics12 import VR_Q, q_variance_ratio
+
+    series = _daily_levels(spark, sf_dir)
+    got = {r.event_type: r for r in q_variance_ratio(spark, sf_dir).collect()}
+    for t, xs in series.items():
+        d1 = [xs[i + 1] - xs[i] for i in range(len(xs) - 1)]
+        dq = [xs[i + VR_Q] - xs[i] for i in range(len(xs) - VR_Q)]
+        var = lambda d: sum(x * x for x in d) / len(d) - (sum(d) / len(d)) ** 2  # noqa: E731
+        want = var(dq) / (VR_Q * var(d1))
+        assert abs(got[t].vr - want) < 1e-4, (t, got[t].vr, want)
+        assert got[t].n_1 == len(d1) and got[t].n_q == len(dq)
+
+
+def test_distribution_distances_recompute(spark, sf_dir):
+    from collections import Counter
+
+    from timestream_travel_spark.operators.analytics12 import (
+        q_distribution_distances,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text").collect()
+    wc = defaultdict(Counter)
+    for r in docs:
+        wc[r.source].update(r.text.strip().split())
+    got = {
+        (r.source_a, r.source_b): r
+        for r in q_distribution_distances(spark, sf_dir).collect()
+    }
+    srcs = sorted(wc)
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1 :]:
+            na, nb = sum(wc[sa].values()), sum(wc[sb].values())
+            vocab = set(wc[sa]) | set(wc[sb])
+            bc = sum(
+                math.sqrt(wc[sa][w] * wc[sb][w] / (na * nb)) for w in vocab
+            )
+            tv = sum(abs(wc[sa][w] / na - wc[sb][w] / nb) for w in vocab) / 2
+            r = got[(sa, sb)]
+            assert abs(r.bhattacharyya - bc) < 1e-4
+            assert abs(r.hellinger - math.sqrt(max(1 - bc, 0))) < 1e-4
+            assert abs(r.total_variation - tv) < 1e-4
+            assert 0 <= r.hellinger <= 1 and 0 <= r.total_variation <= 1
+
+
+def test_yule_walker_recompute(spark, sf_dir):
+    import numpy as np
+
+    from timestream_travel_spark.operators.timeseries21 import q_yule_walker_ar2
+
+    rows = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", "value"
+    ).collect()
+    hourly = defaultdict(float)
+    for r in rows:
+        hourly[(r.event_type, r.ts.replace(minute=0, second=0, microsecond=0))] += round(
+            r.value, 4
+        )
+    series = defaultdict(list)
+    for (t, h) in sorted(hourly):
+        series[t].append(round(hourly[(t, h)], 4))
+    got = {r.event_type: r for r in q_yule_walker_ar2(spark, sf_dir).collect()}
+    for t, xs in series.items():
+        x = np.asarray(xs) - np.mean(xs)
+        c0 = float(x @ x)
+        c1 = float(x[1:] @ x[:-1])
+        c2 = float(x[2:] @ x[:-2])
+        r1, r2 = c1 / c0, c2 / c0
+        g = got[t]
+        assert abs(g.r1 - r1) < 1e-4 and abs(g.r2 - r2) < 1e-4
+        assert abs(g.phi2_pacf2 - (r2 - r1 * r1) / (1 - r1 * r1)) < 1e-4
+        assert abs(g.phi1 - r1 * (1 - r2) / (1 - r1 * r1)) < 1e-4
+
+
+def test_allan_variance_recompute(spark, sf_dir):
+    from timestream_travel_spark.operators.timeseries21 import (
+        ALLAN_BLOCKS,
+        q_allan_variance,
+    )
+
+    rows = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", "value"
+    ).collect()
+    hourly = defaultdict(float)
+    for r in rows:
+        hourly[(r.event_type, r.ts.replace(minute=0, second=0, microsecond=0))] += round(
+            r.value, 4
+        )
+    series = defaultdict(list)
+    for (t, h) in sorted(hourly):
+        series[t].append(round(hourly[(t, h)], 4))
+    got = {(r.event_type, r.tau_hours): r
+           for r in q_allan_variance(spark, sf_dir).collect()}
+    for t, xs in series.items():
+        for b in ALLAN_BLOCKS:
+            means = [
+                sum(xs[i : i + b]) / b for i in range(0, len(xs) - b + 1, b)
+            ]
+            if len(means) < 2:
+                continue
+            av = sum(
+                (means[i + 1] - means[i]) ** 2 for i in range(len(means) - 1)
+            ) / (2 * (len(means) - 1))
+            r = got[(t, b)]
+            assert r.n_pairs == len(means) - 1
+            assert abs(r.avar - av) < max(1e-3, abs(av) * 1e-5), (t, b, r.avar, av)
+
+
+def test_katz_petrosian_recompute(spark, sf_dir):
+    from timestream_travel_spark.operators.timeseries21 import q_katz_petrosian_fd
+
+    rows = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", "value"
+    ).collect()
+    hourly = defaultdict(float)
+    for r in rows:
+        hourly[(r.event_type, r.ts.replace(minute=0, second=0, microsecond=0))] += round(
+            r.value, 4
+        )
+    series = defaultdict(list)
+    for (t, h) in sorted(hourly):
+        series[t].append(round(hourly[(t, h)], 4))
+    got = {r.event_type: r for r in q_katz_petrosian_fd(spark, sf_dir).collect()}
+    for t, xs in series.items():
+        n = len(xs)
+        L = sum(abs(xs[i] - xs[i - 1]) for i in range(1, n))
+        d = max(abs(x - xs[0]) for x in xs)
+        diffs = [xs[i] - xs[i - 1] for i in range(1, n)]
+        nd = sum(
+            1 for i in range(1, len(diffs)) if diffs[i] * diffs[i - 1] < 0
+        )
+        katz = math.log10(n - 1) / (math.log10(n - 1) + math.log10(d / L))
+        pet = math.log10(n) / (math.log10(n) + math.log10(n / (n + 0.4 * nd)))
+        g = got[t]
+        assert g.n_sign_changes == nd
+        assert abs(g.katz_fd - katz) < 1e-4
+        assert abs(g.petrosian_fd - pet) < 1e-5
+
+
+def test_money_flow_recompute(spark, sf_dir):
+    from timestream_travel_spark.operators.timeseries15 import _daily_ohlc
+    from timestream_travel_spark.operators.timeseries21 import (
+        CMF_W,
+        q_accumulation_distribution,
+        q_chaikin_money_flow,
+    )
+
+    rows = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type"
+    ).collect()
+    vol = defaultdict(int)
+    for r in rows:
+        vol[(r.event_type, r.ts.date())] += 1
+    ohlc = defaultdict(list)
+    for r in sorted(_daily_ohlc(spark, sf_dir).collect(), key=lambda r: (r.t, r.day)):
+        ohlc[r.t].append((r.day.date(), float(r.hi), float(r.lo), float(r.cl)))
+    ad = {(r.event_type, r.day): r.ad_line
+          for r in q_accumulation_distribution(spark, sf_dir).collect()}
+    cmf = {(r.event_type, r.day): r.cmf
+           for r in q_chaikin_money_flow(spark, sf_dir).collect()}
+    assert ad and cmf
+    for t, days in ohlc.items():
+        mfvs = []
+        vols = []
+        run = 0.0
+        for day, hi, lo, cl in days:
+            v = vol[(t, day)]
+            mfv = 0.0 if hi == lo else v * (2 * cl - hi - lo) / (hi - lo)
+            mfvs.append(mfv)
+            vols.append(v)
+            run += mfv
+            key = (t, str(day))
+            assert abs(ad[key] - run) < 2e-4 * max(1, len(mfvs))
+            if len(mfvs) >= CMF_W:
+                want = sum(mfvs[-CMF_W:]) / sum(vols[-CMF_W:])
+                assert abs(cmf[key] - want) < 1e-4

@@ -305,7 +305,7 @@ def q_odds_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(COUNT(DISTINCT source) AS BIGINT) AS nc
       FROM cells
     )
-    SELECT MAX(t.n) AS n_docs,
+    SELECT CAST(MAX(t.n) AS BIGINT) AS n_docs,
            CAST((SELECT (nr - 1) * (nc - 1) FROM dims) AS BIGINT) AS df,
            round(2.0 * CAST(SUM(t.term) AS DOUBLE), 6) AS g_stat
     FROM terms t
