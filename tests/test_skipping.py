@@ -376,3 +376,42 @@ def test_streaming_manifest_maintenance(spark, tmp_path):
     q2.awaitTermination(120)
     assert pruned_read(spark, table, [("id", ">=", 1000)]).count() == 100
     assert verify_manifest(spark, table, ["id", "v"]).count() == 0
+
+
+def test_verify_manifest_accepts_statless_files_flags_wrong_stats(spark, tmp_path):
+    """A foreign stats-less file's NULL manifest stats are CORRECT
+    conservative entries (verify must not flag them); a manifest row
+    whose stored stats disagree with the data IS flagged."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    path = str(tmp_path / "vstat")
+    os.makedirs(path)
+    spark.createDataFrame([(i, float(i)) for i in range(50)], "id long, v double") \
+        .coalesce(1).write.mode("append").parquet(path)
+    papq.write_table(
+        pa.table({"id": pa.array([100, 101], pa.int64()),
+                  "v": pa.array([5.0, 6.0], pa.float64())}),
+        os.path.join(path, "foreign.parquet"),
+        write_statistics=False,
+    )
+    write_manifest(spark, path, ["v"])
+    assert verify_manifest(spark, path, ["v"]).count() == 0
+    # corrupt one stored stat out-of-band -> verification failure
+    m = read_manifest(spark, path).collect()
+    import pyspark.sql.functions as SF
+    bad = spark.createDataFrame(m, read_manifest(spark, path).schema).withColumn(
+        "min_v", SF.when(SF.col("min_v").isNotNull(), SF.col("min_v") + 1000.0)
+    )
+    from timestream_travel_spark.pipeline.skipping import _swap_in
+    _swap_in(bad, os.path.join(path, "_manifest"))
+    issues = verify_manifest(spark, path, ["v"]).collect()
+    assert len(issues) == 1 and issues[0]["issue"] == "stats_mismatch"
+    # an out-of-band append not yet manifested is also named
+    papq.write_table(
+        pa.table({"id": pa.array([200], pa.int64()),
+                  "v": pa.array([7.0], pa.float64())}),
+        os.path.join(path, "new-unmanifested.parquet"),
+    )
+    kinds = {r["issue"] for r in verify_manifest(spark, path, ["v"]).collect()}
+    assert "unmanifested_file" in kinds

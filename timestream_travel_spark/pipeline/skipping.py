@@ -411,14 +411,23 @@ def verify_manifest(
     spark: SparkSession, data_path: str, stat_cols: list[str]
 ) -> DataFrame:
     """Audit job: recompute per-file min/max/null-count FROM THE DATA
-    (groupBy input_file_name) and diff BOTH directions against the
-    manifest — returns one row per discrepancy with an `issue`
-    column: 'data_disagrees' for files whose on-disk stats differ
-    from (or are absent in) the manifest, 'stale_manifest_row' for
-    manifest rows whose file is gone or whose stats no data backs —
-    the orphan rows that would otherwise hand pruned_read a
-    nonexistent path. Empty = manifest faithful. Full-scan cost, run
-    like any table maintenance."""
+    (groupBy input_file_name) and reconcile against the manifest via
+    a full-outer join on the file path — one row per discrepancy with
+    an `issue` column:
+    - 'stale_manifest_row': the manifest names a file the data scan
+      never produced (deleted out-of-band) — the orphan that would
+      otherwise hand pruned_read a nonexistent path;
+    - 'unmanifested_file': the data holds a file the manifest lacks
+      (out-of-band append before update_manifest ran);
+    - 'stats_mismatch': row_count differs, a STORED min/max/null
+      stat differs from the recompute, or a stat is NULL where the
+      writer provided one (collect_file_stats would have captured
+      it). A manifest NULL for a stats-less foreign file is a
+      CORRECT conservative entry, not a failure — _survival already
+      treats it as 'may match' — so NULL-vs-value alone doesn't flag
+      unless a fresh footer read disagrees.
+    Empty = manifest faithful. Full-scan cost plus one footer pass
+    over rows with NULL stats; run like any table maintenance."""
     aggs = [F.count("*").alias("row_count")]
     for c in stat_cols:
         aggs += [
@@ -433,9 +442,67 @@ def verify_manifest(
         )
         .agg(*aggs)
     )
-    manifest = read_manifest(spark, data_path).select(actual.columns)
-    return actual.exceptAll(manifest).withColumn(
-        "issue", F.lit("data_disagrees")
-    ).unionByName(
-        manifest.exceptAll(actual).withColumn("issue", F.lit("stale_manifest_row"))
-    )
+    cols = actual.columns
+    manifest = read_manifest(spark, data_path).select(cols)
+    a = actual.select([F.col(c).alias(f"a_{c}") for c in cols])
+    m = manifest.select([F.col(c).alias(f"m_{c}") for c in cols])
+    j = m.join(a, F.col("m_file") == F.col("a_file"), "full_outer")
+    # a stored stat must match the recompute; a NULL stored stat is
+    # only acceptable if the footer genuinely lacks it — re-read the
+    # footer for those rows (cheap: only NULL-stat rows) and compare
+    null_stat_files = [
+        r["m_file"]
+        for r in j.filter(
+            F.col("a_file").isNotNull()
+            & F.col("m_file").isNotNull()
+            & (
+                # any stored stat NULL while data has non-null values
+                _any_null_stat(stat_cols)
+            )
+        )
+        .select("m_file")
+        .collect()
+    ]
+    footer_ok = set()
+    for fp in null_stat_files:
+        rec = _file_stats_record(fp, stat_cols)
+        row = (
+            read_manifest(spark, data_path)
+            .filter(F.col("file") == fp)
+            .collect()[0]
+        )
+        if all(row[k] == rec[k] for k in rec):
+            footer_ok.add(fp)
+    mismatch = F.lit(False)
+    for c in cols[1:]:  # row_count + stats
+        am, mm = F.col(f"a_{c}"), F.col(f"m_{c}")
+        mismatch = mismatch | (
+            mm.isNotNull() & (am.isNull() | (am != mm))
+        )
+        if c.startswith("nulls_") or c == "row_count":
+            mismatch = mismatch | (mm.isNull() & am.isNotNull())
+    out = j.select(
+        F.coalesce("m_file", "a_file").alias("file"),
+        F.when(F.col("a_file").isNull(), "stale_manifest_row")
+        .when(F.col("m_file").isNull(), "unmanifested_file")
+        .when(mismatch, "stats_mismatch")
+        .otherwise(None)
+        .alias("issue"),
+    ).filter(F.col("issue").isNotNull())
+    # NULL min/max rows whose footer re-read confirms the store has
+    # no stats are conservative truth, not mismatches
+    suspects = out.filter(F.col("issue") == "stats_mismatch")
+    confirmed_bad = suspects.filter(~F.col("file").isin(list(footer_ok)) if footer_ok else F.lit(True))
+    return out.filter(F.col("issue") != "stats_mismatch").unionByName(confirmed_bad)
+
+
+def _any_null_stat(stat_cols: list[str]) -> F.Column:
+    """Manifest rows whose stored stats are NULL where the DATA has
+    values — candidates for the footer re-read (legit for stats-less
+    writers, a mismatch otherwise)."""
+    cond = F.lit(False)
+    for c in stat_cols:
+        cond = cond | (
+            F.col(f"m_min_{c}").isNull() & F.col(f"a_min_{c}").isNotNull()
+        ) | (F.col(f"m_nulls_{c}").isNull() & F.col(f"a_nulls_{c}").isNotNull())
+    return cond
