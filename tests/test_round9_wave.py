@@ -151,3 +151,22 @@ def test_quality_card_verdict_consistency(spark, sf_dir):
         if len(buckets) >= 9:
             for b in (1, 2, 3):  # ntile balance within ±1
                 assert abs(buckets.count(b) - len(buckets) / 3) <= 1 + len(buckets) * 0.01
+
+
+def test_ivfpq_cell_recall_from_index_matches_direct(spark, sf_dir, tmp_path):
+    """The persisted-index audit path reads stored codes (no
+    re-encode) and must reproduce the direct query's per-cell recall
+    rows exactly — same learned state, same tie policy."""
+    from timestream_travel_spark.operators.clusterqual2 import (
+        ivfpq_cell_recall_from_index,
+        q_ivfpq_cell_recall,
+    )
+    from timestream_travel_spark.operators.similarity7 import build_ivfpq_index
+
+    idx = str(tmp_path / "ivfpq_idx")
+    build_ivfpq_index(spark, sf_dir, idx)
+    direct = sorted(map(tuple, q_ivfpq_cell_recall(spark, sf_dir).collect()))
+    from_idx = sorted(
+        map(tuple, ivfpq_cell_recall_from_index(spark, sf_dir, idx).collect())
+    )
+    assert direct == from_idx and len(direct) > 1

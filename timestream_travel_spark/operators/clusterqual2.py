@@ -128,3 +128,93 @@ def q_ivfpq_cell_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+def ivfpq_cell_recall_from_index(
+    spark: SparkSession, sf_dir: str, path: str
+) -> DataFrame:
+    """The same per-cell recall audit computed FROM the persisted
+    IVFADC index (similarity7.build_ivfpq_index): stored (vec_id,
+    cell, codes) rows are scored with per-cell ADC tables dispatched
+    by a bounded CASE over ALL cells (the audit covers every list,
+    unlike the query path's nprobe pruning), exact L2 comes from one
+    join back to the embeddings table, and the window-rank recall is
+    identical to q_ivfpq_cell_recall — pytest pins the two outputs
+    row-equal. This is the retrain-cycle entry point: the encode pass
+    never re-runs; the audit reads codes as written."""
+    import numpy as np
+
+    from timestream_travel_spark.operators.similarity6 import PQ_K
+    from timestream_travel_spark.functions.vectors import to_double_array
+
+    coarse = sorted(
+        spark.read.parquet(f"{path}/coarse").collect(), key=lambda r: r["cell"]
+    )
+    C = np.asarray([list(r["cent"]) for r in coarse], dtype=np.float64)
+    cb = spark.read.parquet(f"{path}/codebook").collect()
+    books = [[None] * PQ_K for _ in range(PQ_M)]
+    for r in cb:
+        books[r["m"]][r["k"]] = list(r["cent"])
+    b = _np_books(books)
+    qvec = np.asarray(_query_vec(spark, sf_dir), dtype=np.float64)
+    adc = None
+    for c in range(C.shape[0]):
+        qr = (qvec - C[c]).reshape(PQ_M, 1, -1)
+        t = ((qr - b) ** 2).sum(axis=-1)  # (M, K) bounded literal
+        t_lit = F.array(
+            *[F.array(*[F.lit(float(x)) for x in row]) for row in t.tolist()]
+        )
+        terms = [
+            F.element_at(
+                F.element_at(t_lit, m + 1), F.element_at("codes", m + 1) + 1
+            )
+            for m in range(PQ_M)
+        ]
+        s = terms[0]
+        for x in terms[1:]:
+            s = s + x
+        adc = F.when(F.col("cell") == c, s) if adc is None else adc.when(
+            F.col("cell") == c, s
+        )
+    codes = spark.read.parquet(f"{path}/codes").filter(
+        F.col("vec_id") != QUERY_VEC_ID
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = to_double_array(F.col("embedding"))
+    ql = [float(x) for x in qvec.tolist()]
+    qlit = F.array(*[F.lit(x) for x in ql])
+    l2 = F.aggregate(
+        F.zip_with(v, qlit, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+    scored = codes.select("vec_id", "cell", adc.alias("adc")).join(
+        emb.select("vec_id", l2.alias("l2sq")), "vec_id"
+    )
+    w_adc = Window.partitionBy("cell").orderBy(F.asc("adc"), F.asc("vec_id"))
+    w_l2 = Window.partitionBy("cell").orderBy(F.asc("l2sq"), F.asc("vec_id"))
+    w_cell = Window.partitionBy("cell")
+    ranked = scored.select(
+        "cell",
+        F.row_number().over(w_adc).alias("r_adc"),
+        F.row_number().over(w_l2).alias("r_l2"),
+        F.least(F.lit(TOP_K), F.count(F.lit(1)).over(w_cell)).alias("k"),
+        F.count(F.lit(1)).over(w_cell).alias("n_in_cell"),
+    )
+    return (
+        ranked.groupBy("cell")
+        .agg(
+            F.max("n_in_cell").alias("n_vectors"),
+            F.max("k").alias("k"),
+            F.count_if(
+                (F.col("r_adc") <= F.col("k")) & (F.col("r_l2") <= F.col("k"))
+            ).alias("hits"),
+        )
+        .select(
+            "cell",
+            "n_vectors",
+            "k",
+            F.round(F.col("hits") / F.col("k"), 4).alias("recall"),
+        )
+        .orderBy("cell")
+    )
