@@ -365,6 +365,62 @@ def main() -> None:
         for d in ivfpq_dirs:
             shutil.rmtree(d, ignore_errors=True)
 
+    # file-stats manifest: the scan-PLANNING path. Build (timed: the
+    # footer-only pass over 64 files), then a 2-day time-slice read
+    # planned through the manifest (opens 5 of 64 files) vs the naive
+    # full-listing read. NB at THIS file count the naive path wins
+    # (~0.3 s vs ~0.5 s): 64 footers are cheap and the manifest pays
+    # an extra planning job — the bench rows exist to pin that the
+    # planning overhead stays FLAT while the naive path's
+    # listing+footer cost grows with file count (~800k at 100 TB);
+    # see SCALING.md for the crossover argument.
+    import datetime as _dt
+
+    from timestream_travel_spark.pipeline.skipping import (
+        pruned_read,
+        write_manifest,
+    )
+
+    mstore = tempfile.mkdtemp(prefix="manifest_store_")
+    try:
+        ev_m = load_table(spark, sf_dir, "events")
+        n_ev = ev_m.count()
+        (
+            ev_m.repartition(1)
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", max(1, n_ev // 64))
+            .parquet(mstore)
+        )
+        record(
+            "manifest_build",
+            lambda: write_manifest(spark, mstore, ["ts", "user_id", "value"]),
+        )
+        lo = _dt.datetime(2024, 1, 10)
+        hi = _dt.datetime(2024, 1, 12)
+        conj = [("ts", "between", (lo, hi))]
+        record(
+            "q_manifest_pruned_read",
+            lambda: pruned_read(spark, mstore, conj)
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+        )
+        from pyspark.sql import functions as F
+
+        record(
+            "q_naive_filter_read",
+            lambda: spark.read.parquet(mstore)
+            .filter(F.col("ts").between(F.lit(lo), F.lit(hi)))
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+        )
+    except Exception as exc:  # noqa: BLE001 — same isolation as record()
+        errors["manifest"] = f"{type(exc).__name__}: {exc}"[:500]
+    finally:
+        shutil.rmtree(mstore, ignore_errors=True)
+
     # scheduled rollup: the recurring dashboard paths. The one-time
     # build (~agg 2 s + a 720-hour-dir partitioned write, amortized
     # across every later refresh/read) runs once UNTIMED as setup;

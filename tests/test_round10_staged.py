@@ -1,5 +1,6 @@
 """SURVEY §5.6 sanity tests for the STAGED round-10 modules
-(analytics12, timeseries21) — they register next round; until then
+(analytics12, timeseries21, graph6, llm_text24) — they register
+next round; until then
 pytest + `oracle_check --staged` are their gates. Each statistic is
 pinned against a pure-Python recompute on the same fixture."""
 
@@ -254,3 +255,72 @@ def test_money_flow_recompute(spark, sf_dir):
             if len(mfvs) >= CMF_W:
                 want = sum(mfvs[-CMF_W:]) / sum(vols[-CMF_W:])
                 assert abs(cmf[key] - want) < 1e-4
+
+
+def test_link_predictors_recompute(spark, sf_dir):
+    import math
+    from collections import defaultdict
+
+    from timestream_travel_spark.operators.graph4 import trade_edges
+    from timestream_travel_spark.operators.graph6 import q_link_predictors
+
+    edges = {(r.a, r.b) for r in trade_edges(spark, sf_dir).collect()}
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    names = {
+        r.n_nationkey: r.n_name
+        for r in load_table(spark, sf_dir, "nation").collect()
+    }
+    scored = {}
+    nodes = sorted(adj)
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1 :]:
+            if (a, b) in edges:
+                continue
+            common = adj[a] & adj[b]
+            if not common:
+                continue
+            ra = sum(1 / len(adj[z]) for z in common)
+            scored[(names[a], names[b])] = (
+                len(common), ra, len(adj[a]) * len(adj[b])
+            )
+    got = q_link_predictors(spark, sf_dir).collect()
+    assert len(got) > 0
+    for r in got:
+        cn, ra, pa = scored[(r.nation_a, r.nation_b)]
+        assert r.common_neighbors == cn
+        assert abs(r.resource_allocation - ra) < 1e-5
+        assert r.preferential_attachment == pa
+    # ordering: descending RA with name tiebreak
+    ras = [(-r.resource_allocation, r.nation_a, r.nation_b) for r in got]
+    assert ras == sorted(ras)
+    assert math.isfinite(got[0].resource_allocation)
+
+
+def test_repetition_panel_planted(spark, tmp_path):
+    from timestream_travel_spark.operators.llm_text24 import q_repetition_panel
+
+    rows = [
+        # spam: one word dominates and every bigram repeats
+        (1, "spam spam spam spam spam spam spam spam", "s0", "en", 40),
+        # clean: all-distinct tokens
+        (2, "alpha beta gamma delta epsilon zeta eta theta", "s0", "en", 46),
+        # borderline: one repeated trigram in otherwise-unique text
+        (3, "one two three one two three four five six seven", "s0", "en", 48),
+    ]
+    sf = str(tmp_path / "sf_rep")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, source string, lang string, n_chars bigint"
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    out = {r.doc_id: r for r in q_repetition_panel(spark, sf).collect()}
+    assert out[1].top_word_frac == 1.0 and out[1].rep_pass == 0
+    assert out[1].dup_bigram_frac == round(6 / 7, 6)  # 7 bigrams, 1 distinct
+    assert out[2].top_word_frac == 0.125
+    assert out[2].dup_bigram_frac == 0.0 and out[2].dup_trigram_frac == 0.0
+    assert out[2].rep_pass == 1
+    # doc 3: 10 words; 'one two three' appears twice -> 8 trigrams, 7
+    # distinct -> dup_trigram_frac = 1/8
+    assert out[3].dup_trigram_frac == 0.125
+    assert out[3].top_word_frac == 0.2

@@ -62,16 +62,17 @@ def _sym(edges: DataFrame) -> DataFrame:
     "q_clustering_coefficient",
     oracle=f"""
     WITH {_TOP_EDGES_SQL},
+    es AS MATERIALIZED (SELECT a, b FROM edges),
     sym AS (
-      SELECT a AS u, b AS w FROM edges
-      UNION ALL SELECT b, a FROM edges
+      SELECT a AS u, b AS w FROM es
+      UNION ALL SELECT b, a FROM es
     ), deg AS (
       SELECT u, CAST(COUNT(*) AS BIGINT) AS degree FROM sym GROUP BY u
     ), tri AS (
       SELECT e1.a AS x, e1.b AS y, e2.b AS z
-      FROM edges e1
-      JOIN edges e2 ON e1.b = e2.a
-      JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+      FROM es e1
+      JOIN es e2 ON e1.b = e2.a
+      JOIN es e3 ON e3.a = e1.a AND e3.b = e2.b
     ), pernode AS (
       SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
       FROM (
@@ -148,9 +149,10 @@ def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_jaccard_link_prediction",
     oracle=f"""
     WITH {_TOP_EDGES_SQL},
+    es AS MATERIALIZED (SELECT a, b FROM edges),
     sym AS (
-      SELECT a AS u, b AS w FROM edges
-      UNION ALL SELECT b, a FROM edges
+      SELECT a AS u, b AS w FROM es
+      UNION ALL SELECT b, a FROM es
     ), deg AS (
       SELECT u, CAST(COUNT(*) AS BIGINT) AS degree FROM sym GROUP BY u
     ), cn AS (
@@ -159,7 +161,7 @@ def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY s1.u, s2.u
     ), nonedge AS (
       SELECT cn.a, cn.b, cn.common
-      FROM cn ANTI JOIN edges e ON e.a = cn.a AND e.b = cn.b
+      FROM cn ANTI JOIN es e ON e.a = cn.a AND e.b = cn.b
     )
     SELECT na.n_name AS nation_a, nb.n_name AS nation_b,
            ne.common AS common_neighbors,
@@ -233,9 +235,10 @@ def q_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_adamic_adar",
     oracle=f"""
     WITH {_TOP_EDGES_SQL},
+    es AS MATERIALIZED (SELECT a, b FROM edges),
     sym AS (
-      SELECT a AS u, b AS w FROM edges
-      UNION ALL SELECT b, a FROM edges
+      SELECT a AS u, b AS w FROM es
+      UNION ALL SELECT b, a FROM es
     ), deg AS (
       SELECT u, CAST(COUNT(*) AS BIGINT) AS degree FROM sym GROUP BY u
     ), wedge AS (
@@ -249,7 +252,7 @@ def q_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM wedge w JOIN deg dz ON dz.u = w.z
       GROUP BY w.a, w.b
     ), nonedge AS (
-      SELECT aa.* FROM aa ANTI JOIN edges e ON e.a = aa.a AND e.b = aa.b
+      SELECT aa.* FROM aa ANTI JOIN es e ON e.a = aa.a AND e.b = aa.b
     )
     SELECT na.n_name AS nation_a, nb.n_name AS nation_b,
            ne.common AS common_neighbors,

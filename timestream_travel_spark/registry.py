@@ -263,7 +263,12 @@ def load_all() -> None:
 # The next round promotes them by moving the module names into
 # load_all()'s tail (registered-last rule). Until then they are
 # exercised by pytest and `tools/oracle_check.py --staged`.
-STAGED_MODULES: tuple[str, ...] = ("analytics12", "timeseries21")
+STAGED_MODULES: tuple[str, ...] = (
+    "analytics12",
+    "graph6",
+    "llm_text24",
+    "timeseries21",
+)
 
 
 def load_staged() -> None:
