@@ -324,3 +324,81 @@ def test_repetition_panel_planted(spark, tmp_path):
     # distinct -> dup_trigram_frac = 1/8
     assert out[3].dup_trigram_frac == 0.125
     assert out[3].top_word_frac == 0.2
+
+
+def test_hjorth_and_signal_shape_recompute(spark, sf_dir):
+    import numpy as np
+
+    from timestream_travel_spark.operators.timeseries22 import (
+        q_hjorth_parameters,
+        q_zero_crossing_crest,
+    )
+
+    rows = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", "value"
+    ).collect()
+    hourly = defaultdict(float)
+    for r in rows:
+        hourly[(r.event_type, r.ts.replace(minute=0, second=0, microsecond=0))] += round(
+            r.value, 4
+        )
+    series = defaultdict(list)
+    for (t, h) in sorted(hourly):
+        series[t].append(round(hourly[(t, h)], 4))
+    hj = {r.event_type: r for r in q_hjorth_parameters(spark, sf_dir).collect()}
+    zc = {r.event_type: r for r in q_zero_crossing_crest(spark, sf_dir).collect()}
+    for t, xs in series.items():
+        x = np.asarray(xs, dtype=np.float64)
+        e = x - x.mean()
+        d1 = np.diff(e)
+        d2 = np.diff(e, 2)
+        v0 = float((e * e).mean())
+        v1 = float((d1 * d1).mean())
+        v2 = float((d2 * d2).mean())
+        g = hj[t]
+        assert abs(g.activity - v0) < max(1e-3, v0 * 1e-4)
+        assert abs(g.mobility - math.sqrt(v1 / v0)) < 1e-4
+        assert abs(g.complexity - math.sqrt(v2 / v1) / math.sqrt(v1 / v0)) < 1e-4
+        crossings = int(np.sum(e[1:] * e[:-1] < 0))
+        z = zc[t]
+        assert z.crossings == crossings
+        assert abs(z.zcr - crossings / (len(e) - 1)) < 1e-6
+        assert abs(z.crest_factor - np.abs(e).max() / math.sqrt(v0)) < 1e-4
+
+
+def test_mfi_recompute(spark, sf_dir):
+    from timestream_travel_spark.operators.timeseries15 import _daily_ohlc
+    from timestream_travel_spark.operators.timeseries22 import MFI_W, q_mfi
+
+    rows = load_table(spark, sf_dir, "events").select("ts", "event_type").collect()
+    vol = defaultdict(int)
+    for r in rows:
+        vol[(r.event_type, r.ts.date())] += 1
+    ohlc = defaultdict(list)
+    for r in sorted(_daily_ohlc(spark, sf_dir).collect(), key=lambda r: (r.t, r.day)):
+        ohlc[r.t].append((r.day.date(), float(r.hi), float(r.lo), float(r.cl)))
+    got = {(r.event_type, r.day): r.mfi for r in q_mfi(spark, sf_dir).collect()}
+    assert got
+    for t, days in ohlc.items():
+        pos, neg = [], []
+        prev = None
+        for day, hi, lo, cl in days:
+            tp3 = hi + lo + cl
+            v = vol[(t, day)]
+            p = n = 0.0
+            if prev is not None:
+                if tp3 > prev:
+                    p = tp3 * v
+                elif tp3 < prev:
+                    n = tp3 * v
+            pos.append(p)
+            neg.append(n)
+            prev = tp3
+            i = len(pos)
+            if i > MFI_W:  # window of MFI_W rows with a previous TP each
+                sp = sum(pos[i - MFI_W : i])
+                sn = sum(neg[i - MFI_W : i])
+                if sp + sn > 0:
+                    want = 100.0 * sp / (sp + sn)
+                    assert abs(got[(t, str(day))] - want) < 1e-3, (t, day)
+                    assert 0.0 <= got[(t, str(day))] <= 100.0

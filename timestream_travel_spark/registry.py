@@ -268,6 +268,7 @@ STAGED_MODULES: tuple[str, ...] = (
     "graph6",
     "llm_text24",
     "timeseries21",
+    "timeseries22",
 )
 
 
