@@ -1,5 +1,6 @@
 """SURVEY §5.6 sanity tests for the STAGED round-10 modules
-(analytics12, timeseries21, graph6, llm_text24) — they register
+(analytics12, timeseries21/22, graph6, llm_text24, similarity9) —
+they register
 next round; until then
 pytest + `oracle_check --staged` are their gates. Each statistic is
 pinned against a pure-Python recompute on the same fixture."""
@@ -402,3 +403,34 @@ def test_mfi_recompute(spark, sf_dir):
                     want = 100.0 * sp / (sp + sn)
                     assert abs(got[(t, str(day))] - want) < 1e-3, (t, day)
                     assert 0.0 <= got[(t, str(day))] <= 100.0
+
+
+def test_opq_ivfpq_recall_and_mse_gain(spark, sf_dir):
+    import numpy as np
+
+    from timestream_travel_spark.operators.similarity import _query_vec
+    from timestream_travel_spark.operators.similarity9 import (
+        q_opq_ivfpq_mse_gain,
+        q_opq_ivfpq_topk,
+    )
+
+    row = q_opq_ivfpq_mse_gain(spark, sf_dir).collect()[0]
+    # rotation trains from the plain residual solution on the same
+    # objective -> nonnegative by construction, material in practice
+    assert row.opq_ivfpq_mse <= row.ivfpq_mse + 1e-9, row
+    assert row.gain_pct > 1.0, row
+    approx = [r.vec_id for r in q_opq_ivfpq_topk(spark, sf_dir).collect()]
+    assert len(approx) == 10
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    q = np.asarray(_query_vec(spark, sf_dir))
+    d = {
+        r.vec_id: float(np.sum((np.asarray(r.embedding, dtype=np.float64) - q) ** 2))
+        for r in emb
+        if r.vec_id != 0
+    }
+    exact = [k for k, _ in sorted(d.items(), key=lambda kv: (kv[1], kv[0]))[:10]]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, f"OPQ-IVFADC recall too low: {recall}"
+    got = {r.vec_id: r.l2sq for r in q_opq_ivfpq_topk(spark, sf_dir).collect()}
+    for vid, l2 in got.items():  # exact re-rank reports true distances
+        assert abs(l2 - d[vid]) < 1e-4

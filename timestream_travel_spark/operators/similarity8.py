@@ -133,26 +133,18 @@ def _scatter_xty(corpus: DataFrame, R, b):
     return S
 
 
-def train_opq(spark: SparkSession, sf_dir: str):
-    """(R, books): the learned rotation (d×d, row-major lists) and
-    the rotated-space codebooks. Seeds from the plain-PQ solution
-    (R = I, similarity6 codebooks) so the OPQ objective starts AT
-    the PQ objective and each alternation can only lower it."""
+def train_opq_on(corpus: DataFrame, init_books):
+    """Non-parametric OPQ alternation over ANY corpus DataFrame with
+    one `embedding array<double>` column (already query-filtered):
+    seeds from (R = I, init_books) so the shared objective starts at
+    the plain-PQ solution and can only improve. Returns (R row-major
+    lists, rotated-space books). similarity9 reuses this on the
+    IVFADC residual corpus."""
     import numpy as np
 
-    if sf_dir in _OPQ_CACHE:
-        return _OPQ_CACHE[sf_dir]
-    emb = load_table(spark, sf_dir, "embeddings")
-    if sf_dir not in _BOOKS_CACHE:
-        _BOOKS_CACHE[sf_dir] = train_pq_codebooks(emb)
-    books = [list(map(list, bk)) for bk in _BOOKS_CACHE[sf_dir]]
+    books = [list(map(list, bk)) for bk in init_books]
     R = np.eye(DIM, dtype=np.float64)
-    v = to_double_array(F.col("embedding"))
-    corpus = (
-        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
-        .select(v.alias("embedding"))
-        .persist()
-    )
+    corpus = corpus.persist()
     for _ in range(OPQ_ITERS):
         b = _np_books(books)
         # Procrustes step: R = U·Vᵀ of the current scatter
@@ -176,7 +168,22 @@ def train_opq(spark: SparkSession, sf_dir: str):
             for m in range(PQ_M)
         ]
     corpus.unpersist()
-    out = (R.tolist(), books)
+    return R.tolist(), books
+
+
+def train_opq(spark: SparkSession, sf_dir: str):
+    """(R, books): the learned rotation (d×d, row-major lists) and
+    the rotated-space codebooks. Seeds from the plain-PQ solution
+    (R = I, similarity6 codebooks) so the OPQ objective starts AT
+    the PQ objective and each alternation can only lower it."""
+    if sf_dir in _OPQ_CACHE:
+        return _OPQ_CACHE[sf_dir]
+    emb = load_table(spark, sf_dir, "embeddings")
+    if sf_dir not in _BOOKS_CACHE:
+        _BOOKS_CACHE[sf_dir] = train_pq_codebooks(emb)
+    v = to_double_array(F.col("embedding"))
+    corpus = emb.filter(F.col("vec_id") != QUERY_VEC_ID).select(v.alias("embedding"))
+    out = train_opq_on(corpus, _BOOKS_CACHE[sf_dir])
     _OPQ_CACHE[sf_dir] = out
     return out
 
@@ -185,11 +192,17 @@ def quantization_mse(spark: SparkSession, sf_dir: str, R, books) -> float:
     """Corpus mean squared quantization error ‖x·R − recon‖² under a
     (rotation, codebook) pair — the OPQ training objective. R = I
     scores plain PQ. One bounded-partial scan; deterministic fold."""
-    import numpy as np
-
     emb = load_table(spark, sf_dir, "embeddings")
     v = to_double_array(F.col("embedding"))
     corpus = emb.filter(F.col("vec_id") != QUERY_VEC_ID).select(v.alias("embedding"))
+    return quantization_mse_on(corpus, R, books)
+
+
+def quantization_mse_on(corpus: DataFrame, R, books) -> float:
+    """quantization_mse over ANY single-`embedding`-column corpus
+    DataFrame (the similarity9 residual-space entry point)."""
+    import numpy as np
+
     b = _np_books(books)
     Rl = [list(map(float, row)) for row in R]
 
