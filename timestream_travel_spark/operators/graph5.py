@@ -55,10 +55,18 @@ _DEG_SQL = f"""
 """
 
 
-def _degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = top_trade_edges(spark, sf_dir)
+def _degrees_of(e: DataFrame) -> DataFrame:
+    """Degrees from an (ideally persisted) edge DataFrame — callers
+    pass ONE cached edge table so every downstream reference re-scans
+    the ≤{TOP_EDGES}-row cache instead of re-running the 4-table
+    fact-join extraction (the plan audit caught 7 re-executions in
+    the first cut)."""
     nodes = e.select(F.col("a").alias("n")).unionAll(e.select(F.col("b").alias("n")))
     return nodes.groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+
+
+def _degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _degrees_of(top_trade_edges(spark, sf_dir))
 
 
 @query(
@@ -92,7 +100,7 @@ def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     Degrees and the member-edge census are exact integers on the
     bounded backbone; one division per threshold."""
     e = top_trade_edges(spark, sf_dir).persist()
-    deg = _degrees(spark, sf_dir)
+    deg = _degrees_of(e)
     ks = spark.createDataFrame([(k,) for k in RC_KS], "k int")
     rich = ks.join(deg, deg.d > ks.k).select("k", "n")
     nk = rich.groupBy("k").agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
@@ -152,8 +160,8 @@ def q_avg_neighbor_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     full curve behind q_degree_assortativity's single Pearson number.
     The degree-weighted form keeps everything integer until one final
     division per degree class."""
-    e = top_trade_edges(spark, sf_dir)
-    deg = _degrees(spark, sf_dir).persist()
+    e = top_trade_edges(spark, sf_dir).persist()
+    deg = _degrees_of(e)
     adj = e.select(F.col("a").alias("n"), F.col("b").alias("nb")).unionAll(
         e.select(F.col("b").alias("n"), F.col("a").alias("nb"))
     )
@@ -198,7 +206,7 @@ def q_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     perfectly even connectivity, → 1 = a hub monopoly. Ranks break
     ties on the node id identically in both engines; all sums are
     exact integers, one division."""
-    deg = _degrees(spark, sf_dir)
+    deg = _degrees_of(top_trade_edges(spark, sf_dir))
     ranked = deg.select(
         "d", F.row_number().over(Window.orderBy("d", "n")).alias("i")
     )
