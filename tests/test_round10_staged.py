@@ -434,3 +434,99 @@ def test_opq_ivfpq_recall_and_mse_gain(spark, sf_dir):
     got = {r.vec_id: r.l2sq for r in q_opq_ivfpq_topk(spark, sf_dir).collect()}
     for vid, l2 in got.items():  # exact re-rank reports true distances
         assert abs(l2 - d[vid]) < 1e-4
+
+
+def test_dunning_keyness_recompute(spark, sf_dir):
+    from collections import Counter
+
+    from timestream_travel_spark.operators.llm_text25 import (
+        KEY_A,
+        KEY_B,
+        q_dunning_keyness,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text").collect()
+    ca, cb = Counter(), Counter()
+    for r in docs:
+        if r.source == KEY_A:
+            ca.update(r.text.strip().split())
+        elif r.source == KEY_B:
+            cb.update(r.text.strip().split())
+    na, nb = sum(ca.values()), sum(cb.values())
+
+    def g2(a, b):
+        t = 0.0
+        if a:
+            t += a * math.log(a)
+        if b:
+            t += b * math.log(b)
+        t -= (a + b) * math.log(a + b)
+        t += (a + b) * math.log(na + nb)
+        t -= a * math.log(na)
+        t -= b * math.log(nb)
+        return 2 * t
+
+    got = q_dunning_keyness(spark, sf_dir).collect()
+    assert len(got) > 0
+    for r in got:
+        a, b = ca[r.word], cb[r.word]
+        assert (r.count_a, r.count_b) == (a, b)
+        assert abs(r.g2 - g2(a, b)) < 1e-3
+        assert r.keyword_of == (KEY_A if a * nb > b * na else KEY_B)
+        assert r.g2 >= 0 - 1e-9
+    # descending with word tiebreak
+    order = [(-r.g2, r.word) for r in got]
+    assert order == sorted(order)
+
+
+def test_burstiness_and_dispersion_recompute(spark, sf_dir):
+    from collections import Counter
+
+    from timestream_travel_spark.operators.llm_text25 import (
+        BURST_MIN_DOCS,
+        DISP_MIN_N,
+        DISP_SLICES,
+        q_juilland_dispersion,
+        q_word_burstiness,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    nd = len(docs)
+    percnt = {}
+    for r in docs:
+        percnt[r.doc_id] = Counter(r.text.strip().split())
+    # burstiness
+    agg = {}
+    for did, c in percnt.items():
+        for w, k in c.items():
+            s, q, df = agg.get(w, (0, 0, 0))
+            agg[w] = (s + k, q + k * k, df + 1)
+    got = q_word_burstiness(spark, sf_dir).collect()
+    assert got
+    for r in got:
+        s, q, df = agg[r.word]
+        assert (r.n_occurrences, r.n_docs_with) == (s, df)
+        assert df >= BURST_MIN_DOCS
+        mean = s / nd
+        vmr = (q / nd - mean * mean) / mean
+        assert abs(r.vmr - vmr) < 1e-4
+        assert r.vmr > 0
+    # dispersion
+    sl = {}
+    for did, c in percnt.items():
+        for w, k in c.items():
+            key = (w, did % DISP_SLICES)
+            sl[key] = sl.get(key, 0) + k
+    per_w = {}
+    for (w, s_), k in sl.items():
+        n, q = per_w.get(w, (0, 0))
+        per_w[w] = (n + k, q + k * k)
+    dd = q_juilland_dispersion(spark, sf_dir).collect()
+    assert dd
+    for r in dd:
+        n, q = per_w[r.word]
+        assert n >= DISP_MIN_N and r.n_occurrences == n
+        cv2 = max(DISP_SLICES * q / (n * n) - 1.0, 0.0)
+        want = 1.0 - math.sqrt(cv2) / math.sqrt(DISP_SLICES - 1)
+        assert abs(r.juilland_d - want) < 1e-4
+        assert 0.0 <= r.juilland_d <= 1.0

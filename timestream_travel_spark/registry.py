@@ -267,6 +267,7 @@ STAGED_MODULES: tuple[str, ...] = (
     "analytics12",
     "graph6",
     "llm_text24",
+    "llm_text25",
     "similarity9",
     "timeseries21",
     "timeseries22",
