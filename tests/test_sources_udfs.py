@@ -172,3 +172,30 @@ def test_python_udtf_chunker_parity(spark, sf_dir):
         ).collect()
     }
     assert got == want and got
+
+
+def test_orc_roundtrip_exact(spark, sf_dir, tmp_path):
+    """ORC source/sink (Spark-native, no extra package): the events
+    table written to ORC and read back is row-identical, including
+    microsecond timestamps and doubles — the alternate columnar
+    format a user migrating a warehouse would bring."""
+    import os
+
+    from timestream_travel_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    dest = str(tmp_path / "events_orc")
+    ev.write.mode("overwrite").orc(dest)
+    back = spark.read.orc(dest)
+    assert back.schema == ev.schema
+    assert back.count() == ev.count()
+    assert back.exceptAll(ev).count() == 0
+    assert ev.exceptAll(back).count() == 0
+    # predicate pushdown reaches the ORC scan too
+    plan = (
+        back.filter(F.col("event_type") == "purchase")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "event_type" in plan

@@ -199,6 +199,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="prune conjunct as col:op:value (op in <,<=,>,>=,=; "
         "repeatable; value parsed as number else kept as string)",
     )
+    mf.add_argument(
+        "--distributed", action="store_true",
+        help="build via binaryFile listing + executor-side footer "
+        "reads (the 100k+-file path; default is the driver loop)",
+    )
     mf.add_argument("--verbose", action="store_true")
 
     q = sub.add_parser("query", help="run a named engine query against a table directory")
@@ -464,7 +469,9 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         cols = [c.strip() for c in args.cols.split(",")] if args.cols else []
         if args.action == "build":
-            mpath = skipping.write_manifest(spark, args.table, cols)
+            mpath = skipping.write_manifest(
+                spark, args.table, cols, distributed=args.distributed
+            )
             n = skipping.read_manifest(spark, args.table).count()
             log.info("manifest built: %d file(s) -> %s", n, mpath)
             return 0
@@ -478,7 +485,7 @@ def main(argv: list[str] | None = None) -> int:
         if args.action == "verify":
             bad = skipping.verify_manifest(spark, args.table, cols).collect()
             for r in bad:
-                log.error("stale stats: %s", r["file"])
+                log.error("%s: %s", r["issue"], r["file"])
             if bad:
                 log.error("manifest verification FAILED for %d file(s)", len(bad))
                 return 1
