@@ -82,7 +82,6 @@ _MOOD_PIV = ", ".join(
 _MOOD_SUM = " + ".join(
     f"CAST(d_{t} AS DOUBLE) * d_{t} / n_{t}" for t in EVENT_TYPES
 )
-_MOOD_N = " + ".join(f"n_{t}" for t in EVENT_TYPES)
 
 
 @query(

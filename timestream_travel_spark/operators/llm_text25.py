@@ -24,7 +24,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from timestream_travel_spark.operators.llm_text6 import doc_words
 from timestream_travel_spark.registry import query

@@ -38,7 +38,6 @@ from timestream_travel_spark.operators.timeseries16 import (
     _hourly_idx,
 )
 from timestream_travel_spark.registry import ORACLES, query
-from timestream_travel_spark.tables import load_table  # noqa: F401 (parity imports)
 
 _MP_SCHEMA = (
     "event_type string, win_start bigint, nn_start bigint, nn_dist double"
