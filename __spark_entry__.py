@@ -78,15 +78,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     row lead — a capped driver harness then always verifies genuinely
     unverified queries first (generated, not hand-maintained).
 
-    Within the unchecked set, ORACLED queries lead rows-only ones:
-    an oracled slot yields a full rows+schema+hash verification while
-    a rows-only slot only records executed-ok, so when the backlog
-    exceeds the driver's slot cap this ordering maximizes the number
-    of hash-verified rows per round."""
+    Within the unchecked set, ROWS-ONLY queries lead oracled ones.
+    Rows-only coverage expires after ROWS_ONLY_COVER_ROUNDS, so the
+    unchecked rows-only set is exactly the rotation debt (expired +
+    never-checked); putting it first guarantees the expiry invariant
+    stays true of the ledger even when a large new oracled wave plus
+    the debt exceeds the driver's slot cap — the debt is small and
+    bounded (≤ the rows-only additions of recent rounds) while a new
+    oracled query merely waits one extra round for its hash row.
+    (Round 9 ordered oracled-first and 9 rows-only rows fell out of
+    their re-check window — the r9 verdict's 'What's wrong #1'.)"""
     green = _driver_green_keys()
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, fn in registry.QUERIES.items():
-        if name not in green and name in registry.ORACLES:
+        if name not in green and name not in registry.ORACLES:
             ordered[name] = fn
     for name, fn in registry.QUERIES.items():
         if name not in green:

@@ -255,6 +255,19 @@ def load_all() -> None:
         llm_text23,
     )
 
+    # round-10 modules — same registered-last rule. These seven were
+    # staged during round 9 (strict-verified then; promoted here so
+    # the driver's unverified-first queue drains them in round 10).
+    from timestream_travel_spark.operators import (  # noqa: F401
+        analytics12,
+        graph6,
+        llm_text24,
+        llm_text25,
+        similarity9,
+        timeseries21,
+        timeseries22,
+    )
+
 
 # Next-round modules, STAGED: written, oracled, and strict-verified
 # this round but NOT loaded by load_all() — the registry freezes at
@@ -263,15 +276,7 @@ def load_all() -> None:
 # The next round promotes them by moving the module names into
 # load_all()'s tail (registered-last rule). Until then they are
 # exercised by pytest and `tools/oracle_check.py --staged`.
-STAGED_MODULES: tuple[str, ...] = (
-    "analytics12",
-    "graph6",
-    "llm_text24",
-    "llm_text25",
-    "similarity9",
-    "timeseries21",
-    "timeseries22",
-)
+STAGED_MODULES: tuple[str, ...] = ()
 
 
 def load_staged() -> None:
