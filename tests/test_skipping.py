@@ -415,3 +415,104 @@ def test_verify_manifest_accepts_statless_files_flags_wrong_stats(spark, tmp_pat
     )
     kinds = {r["issue"] for r in verify_manifest(spark, path, ["v"]).collect()}
     assert "unmanifested_file" in kinds
+
+
+def test_verify_manifest_encoded_partition(spark, tmp_path):
+    """Partition VALUES with colons/spaces (timestamp-valued keys):
+    Spark's writer Hadoop-escapes them into the dir name itself
+    (`k=03%3A00` ON DISK) and input_file_name() then percent-encodes
+    that once more (%3A → %253A, space → %20). verify_manifest must
+    decode its groupBy key back to the raw disk path the manifest
+    stores, or every file is falsely stale+unmanifested. A literal
+    '+' in the value must survive the decode (URLDecoder folds bare
+    '+' to space)."""
+    path = str(tmp_path / "enc")
+    df = spark.createDataFrame(
+        [(i, f"2024-01-0{1 + i % 2} 03:00:00+z") for i in range(40)],
+        "id long, k string",
+    )
+    df.write.partitionBy("k").mode("overwrite").parquet(path)
+    write_manifest(spark, path, ["id"])
+    assert verify_manifest(spark, path, ["id"]).count() == 0
+    # distributed build stores the same raw disk paths
+    write_manifest(spark, path, ["id"], distributed=True)
+    assert verify_manifest(spark, path, ["id"]).count() == 0
+    # and pruning still plans + reads through the escaped dir names
+    assert pruned_read(spark, path, [("id", ">=", 30)]).count() == 10
+    from timestream_travel_spark.pipeline.skipping import update_manifest
+
+    res = update_manifest(spark, path, ["id"])
+    assert res["added"] == 0 and res["removed"] == 0
+
+
+def test_verify_manifest_flags_null_stats_when_footer_has_them(spark, tmp_path):
+    """A manifest row whose min/max are NULL while the file's FOOTER
+    carries statistics (e.g. the file was rewritten in place by a
+    stats-writing writer after a stats-less original was manifested)
+    is a stats_mismatch — the r9 ADVICE gap: the old expression only
+    flagged NULL-stored-vs-value for nulls_/row_count, and the footer
+    re-read could only excuse suspects, never add one."""
+    path = str(tmp_path / "nullstat")
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(50)], "id long, v double"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    write_manifest(spark, path, ["v"])
+    assert verify_manifest(spark, path, ["v"]).count() == 0
+    # blank the stored min/max out-of-band: footer still has stats
+    m = read_manifest(spark, path)
+    blanked = spark.createDataFrame(m.collect(), m.schema).withColumn(
+        "min_v", F.lit(None).cast("double")
+    ).withColumn("max_v", F.lit(None).cast("double"))
+    from timestream_travel_spark.pipeline.skipping import _swap_in
+
+    _swap_in(blanked, os.path.join(path, "_manifest"))
+    issues = verify_manifest(spark, path, ["v"]).collect()
+    assert [r["issue"] for r in issues] == ["stats_mismatch"]
+
+
+def test_read_manifest_falls_back_to_old_during_swap_window(spark, tmp_path):
+    """_swap_in's promote window (or a crash inside it) leaves only
+    `_manifest.old`: read_manifest serves it in place, and
+    update_manifest (the single writer) heals by promoting it back
+    instead of rebuilding from scratch."""
+    from timestream_travel_spark.pipeline.skipping import update_manifest
+
+    path = str(tmp_path / "oldwin")
+    spark.range(0, 60).withColumn("v", F.col("id") * 2).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+    write_manifest(spark, path, ["id"])
+    n = read_manifest(spark, path).count()
+    mpath = os.path.join(path, "_manifest")
+    os.replace(mpath, mpath + ".old")  # simulate the crash window
+    assert read_manifest(spark, path).count() == n  # reader survives
+    assert pruned_read(spark, path, [("id", ">=", 0)]).count() == 60
+    res = update_manifest(spark, path, ["id"])  # writer heals
+    assert os.path.isdir(mpath) and not os.path.isdir(mpath + ".old")
+    assert res["added"] == 0 and res["total"] == n
+
+
+def test_streaming_manifest_replay_is_exactly_once(spark, tmp_path):
+    """A replayed foreachBatch epoch (crash after the data append,
+    before the checkpoint commit) must NOT duplicate the batch's rows
+    — the data table has no read-time dedup key to fall back on. The
+    per-epoch staged-rename commit makes the replay a no-op."""
+    from timestream_travel_spark.streaming.index_maintain import (
+        _commit_batch_exactly_once,
+    )
+
+    table = str(tmp_path / "eonce")
+    batch = spark.range(0, 100).withColumn("v", F.col("id") * 2)
+    assert _commit_batch_exactly_once(batch, table, epoch_id=0) is True
+    assert _commit_batch_exactly_once(batch, table, epoch_id=0) is False
+    assert spark.read.parquet(table).count() == 100  # not 200
+    # a half-moved crash (marker missing, some epoch files present)
+    # is healed by the retry, still without duplication
+    import glob
+
+    marker = os.path.join(table, "_epoch-1.committed")
+    assert _commit_batch_exactly_once(batch, table, epoch_id=1) is True
+    os.remove(marker)  # simulate crash before the marker write
+    assert _commit_batch_exactly_once(batch, table, epoch_id=1) is True
+    assert spark.read.parquet(table).count() == 200
+    assert len(glob.glob(os.path.join(table, "part-epoch1-*"))) > 0

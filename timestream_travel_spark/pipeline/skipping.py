@@ -51,7 +51,18 @@ _OPS = ("<", "<=", ">", ">=", "=", "between", "isnull")
 
 
 def _local(path: str) -> str:
-    """file:///x/y → /x/y (pyarrow wants plain paths for local FS)."""
+    """file:///x/y → /x/y (pyarrow wants plain paths for local FS).
+
+    Deliberately does NOT percent-decode: disk names legitimately
+    contain literal %XX — Spark's partitioned writer escapes special
+    chars in partition VALUES into the directory name itself
+    (``k=03:00`` is ``k=03%3A00`` on disk), and the binaryFile
+    source's `path` column returns that raw disk path with only a
+    `file:` prefix (measured, not assumed). Unquoting here would
+    corrupt those names. The one producer of genuinely
+    percent-ENCODED URIs is input_file_name(), which double-encodes
+    the disk name (`%3A` → `%253A`, space → `%20`); verify_manifest
+    decodes that one at its groupBy key."""
     p = urlparse(path)
     return p.path if p.scheme in ("file", "") else path
 
@@ -250,12 +261,18 @@ def write_manifest(
 
 
 def _swap_in(df: DataFrame, mpath: str) -> None:
-    """Replace the manifest dir so a VALID manifest exists at every
-    instant: write to `.tmp`, rename any current manifest aside to
-    `.old`, promote `.tmp` with an atomic rename, then delete `.old`.
-    A crash between steps leaves either the old or the new manifest
-    in place (plus a stray temp dir the next swap clears) — never a
-    window where read_manifest sees nothing."""
+    """Replace the manifest dir: write to `.tmp`, rename any current
+    manifest aside to `.old`, promote `.tmp` with an atomic rename,
+    then delete `.old`. os.replace cannot overwrite a non-empty dir,
+    so the rename-aside is unavoidable and there IS a brief window
+    (between the two renames) with nothing at `mpath`; a crash there
+    leaves only `.old`. Either manifest is therefore always
+    RECOVERABLE after a crash, and read_manifest / update_manifest
+    fall back to `.old` when `mpath` is missing, so concurrent
+    planners keep working through both the window and the crash
+    case. Single writer assumed (the update_manifest contract); the
+    `.old` cleanup at the end means a reader that resolved to `.old`
+    must finish its scan before the NEXT swap starts."""
     import shutil
 
     tmp, old = mpath + ".tmp", mpath + ".old"
@@ -281,6 +298,11 @@ def update_manifest(
     changes bytes under an EXISTING path."""
     root = _local(data_path)
     mpath = os.path.join(root, MANIFEST_DIR)
+    if not os.path.isdir(mpath) and os.path.isdir(mpath + ".old"):
+        # a crash inside _swap_in's promote window left only the
+        # renamed-aside copy: recover it instead of rebuilding (this
+        # is the writer, so the promote cannot race another swap)
+        os.replace(mpath + ".old", mpath)
     if not os.path.isdir(mpath):
         write_manifest(spark, data_path, stat_cols)
         n = read_manifest(spark, data_path).count()
@@ -310,7 +332,14 @@ def update_manifest(
 
 
 def read_manifest(spark: SparkSession, data_path: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(_local(data_path), MANIFEST_DIR))
+    mpath = os.path.join(_local(data_path), MANIFEST_DIR)
+    if not os.path.isdir(mpath) and os.path.isdir(mpath + ".old"):
+        # _swap_in's promote window (or a crash inside it): serve the
+        # renamed-aside copy. Read it in place — promoting it back
+        # here could collide with the writer's own rename — and leave
+        # the heal to update_manifest (the single writer).
+        return spark.read.parquet(mpath + ".old")
+    return spark.read.parquet(mpath)
 
 
 def _survival(col: str, op: str, val) -> F.Column:
@@ -435,11 +464,21 @@ def verify_manifest(
             F.max(c).alias(f"max_{c}"),
             F.count_if(F.col(c).isNull()).cast("bigint").alias(f"nulls_{c}"),
         ]
+    # input_file_name() percent-encodes the ON-DISK name once more
+    # (space → %20; a literal % in a Hadoop-escaped partition dir like
+    # `k=03%3A00` → %25): ONE url_decode recovers exactly the raw
+    # disk path the manifest stores. Literal '+' is NOT encoded by
+    # input_file_name but URLDecoder folds '+' to a space, so
+    # pre-escape it to %2B first (both behaviors measured —
+    # tests/test_skipping.py::test_verify_manifest_encoded_partition).
+    decoded_file = F.url_decode(
+        F.regexp_replace(
+            F.regexp_replace(F.input_file_name(), "^file:/+", "/"), r"\+", "%2B"
+        )
+    )
     actual = (
         spark.read.parquet(_local(data_path))
-        .groupBy(
-            F.regexp_replace(F.input_file_name(), "^file:/+", "/").alias("file")
-        )
+        .groupBy(decoded_file.alias("file"))
         .agg(*aggs)
     )
     cols = actual.columns
@@ -464,23 +503,33 @@ def verify_manifest(
         .collect()
     ]
     footer_ok = set()
-    for fp in null_stat_files:
-        rec = _file_stats_record(fp, stat_cols)
-        row = (
-            read_manifest(spark, data_path)
-            .filter(F.col("file") == fp)
-            .collect()[0]
-        )
-        if all(row[k] == rec[k] for k in rec):
-            footer_ok.add(fp)
+    if null_stat_files:
+        # ONE manifest job for every suspect (not a per-file
+        # filter().collect() loop — that is N+1 Spark jobs); the
+        # footer re-reads stay driver-side pyarrow, one per suspect
+        stored = {
+            r["file"]: r
+            for r in read_manifest(spark, data_path)
+            .filter(F.col("file").isin(null_stat_files))
+            .collect()
+        }
+        for fp in null_stat_files:
+            rec = _file_stats_record(fp, stat_cols)
+            row = stored[fp]
+            if all(row[k] == rec[k] for k in rec):
+                footer_ok.add(fp)
     mismatch = F.lit(False)
     for c in cols[1:]:  # row_count + stats
         am, mm = F.col(f"a_{c}"), F.col(f"m_{c}")
         mismatch = mismatch | (
             mm.isNotNull() & (am.isNull() | (am != mm))
         )
-        if c.startswith("nulls_") or c == "row_count":
-            mismatch = mismatch | (mm.isNull() & am.isNotNull())
+        # a NULL stored stat where the data has values is a suspect
+        # for EVERY stat class (min/max included — a file rewritten
+        # in place by a stats-writing writer must surface); the
+        # footer_ok whitelist below excuses files whose footer
+        # genuinely lacks the stat (honest foreign writers)
+        mismatch = mismatch | (mm.isNull() & am.isNotNull())
     out = j.select(
         F.coalesce("m_file", "a_file").alias("file"),
         F.when(F.col("a_file").isNull(), "stale_manifest_row")
@@ -502,7 +551,10 @@ def _any_null_stat(stat_cols: list[str]) -> F.Column:
     writers, a mismatch otherwise)."""
     cond = F.lit(False)
     for c in stat_cols:
-        cond = cond | (
-            F.col(f"m_min_{c}").isNull() & F.col(f"a_min_{c}").isNotNull()
-        ) | (F.col(f"m_nulls_{c}").isNull() & F.col(f"a_nulls_{c}").isNotNull())
+        cond = (
+            cond
+            | (F.col(f"m_min_{c}").isNull() & F.col(f"a_min_{c}").isNotNull())
+            | (F.col(f"m_max_{c}").isNull() & F.col(f"a_max_{c}").isNotNull())
+            | (F.col(f"m_nulls_{c}").isNull() & F.col(f"a_nulls_{c}").isNotNull())
+        )
     return cond

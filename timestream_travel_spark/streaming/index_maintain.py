@@ -19,6 +19,8 @@ index (bucket equi-join) at query time.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 
 from timestream_travel_spark.operators.dedup import N_HASHES, minhash_signatures
@@ -33,17 +35,21 @@ def maintain_minhash_index(
     n_hashes: int = N_HASHES,
 ):
     """Start the maintenance query: append per-batch signatures to
-    the parquet index. Exactly-once per micro-batch via the
-    checkpoint; replayed batches overwrite by epoch directory
-    semantics of the parquet append + checkpoint dedup."""
+    the parquet index, exactly-once per micro-batch — foreachBatch
+    alone is only at-least-once (a crash between the append and the
+    checkpoint commit replays the epoch), so the append goes through
+    `_commit_batch_exactly_once`'s per-epoch staged-rename commit and
+    a replayed epoch is a no-op. Signatures are also deterministic,
+    so even a lost marker file only ever costs identical rows (dedup
+    by doc_id at read time), never divergent ones."""
 
     def update(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        (
-            minhash_signatures(batch_df, id_col, text_col, n_hashes)
-            .write.mode("append")
-            .parquet(index_path)
+        _commit_batch_exactly_once(
+            minhash_signatures(batch_df, id_col, text_col, n_hashes),
+            index_path,
+            epoch_id,
         )
 
     return (
@@ -52,6 +58,47 @@ def maintain_minhash_index(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _commit_batch_exactly_once(
+    batch_df: DataFrame, table_path: str, epoch_id: int
+) -> bool:
+    """Idempotent per-epoch append: stage the batch into a hidden
+    `_epoch-<id>.tmp` dir inside the table, rename its part files to
+    deterministic `part-epoch<id>-<i>.parquet` names, then drop a
+    `_epoch-<id>.committed` marker. A replayed epoch (foreachBatch is
+    otherwise only at-least-once: a crash after a plain append but
+    before the checkpoint commit would re-append the same rows under
+    NEW part names) sees the marker and becomes a no-op; a crash
+    mid-rename is healed by scrubbing the epoch's deterministic names
+    and re-staging. Hidden `_`-prefixed staging dirs are invisible to
+    Spark scans throughout, so readers only ever see whole epochs.
+    Local-FS/HDFS rename semantics; on S3 use a transactional table
+    format instead (rename is copy+delete there). Single writer per
+    table assumed (the streaming-query contract). Returns True when
+    this call performed the commit."""
+    import glob
+    import shutil
+
+    os.makedirs(table_path, exist_ok=True)
+    marker = os.path.join(table_path, f"_epoch-{epoch_id}.committed")
+    if os.path.exists(marker):
+        return False
+    # scrub half-moved files from a crashed previous attempt — the
+    # deterministic names make exactly this epoch's files identifiable
+    for f in glob.glob(os.path.join(table_path, f"part-epoch{epoch_id}-*")):
+        os.remove(f)
+    tmp = os.path.join(table_path, f"_epoch-{epoch_id}.tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    batch_df.write.mode("overwrite").parquet(tmp)
+    for i, f in enumerate(sorted(glob.glob(os.path.join(tmp, "part-*.parquet")))):
+        os.replace(
+            f, os.path.join(table_path, f"part-epoch{epoch_id}-{i:05d}.parquet")
+        )
+    with open(marker, "w"):
+        pass
+    shutil.rmtree(tmp, ignore_errors=True)
+    return True
 
 
 def maintain_pq_index(
@@ -131,19 +178,24 @@ def maintain_manifest(
     stat_cols: list[str],
 ):
     """Streaming file-stats-manifest maintenance (pipeline/skipping):
-    each micro-batch appends its rows to the parquet table, then
-    update_manifest footer-reads ONLY the files that append created —
-    incremental cost is O(batch files), not O(table), the same
-    train-once/maintain-forever contract as the MinHash and PQ index
-    sinks above. The manifest swap keeps a valid manifest visible at
-    every instant, so concurrent pruned_read planners never see a
-    missing store. Exactly-once per micro-batch via the checkpoint."""
+    each micro-batch appends its rows to the parquet table through
+    `_commit_batch_exactly_once` — foreachBatch alone is only
+    at-least-once, and unlike the signature/code indexes the DATA
+    table has no read-time dedup key to fall back on, so a replayed
+    plain append would silently duplicate rows in every downstream
+    query. The per-epoch marker makes replays no-ops. After the data
+    commit, update_manifest footer-reads ONLY the files the commit
+    created — incremental cost is O(batch files), not O(table). A
+    crash between the data commit and the manifest update leaves the
+    manifest stale for one epoch, not wrong: the replay skips the
+    data append but still runs update_manifest, which diffs manifest
+    paths against the directory and picks the epoch's files up."""
     from timestream_travel_spark.pipeline.skipping import update_manifest
 
     def update(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        batch_df.write.mode("append").parquet(table_path)
+        _commit_batch_exactly_once(batch_df, table_path, epoch_id)
         update_manifest(batch_df.sparkSession, table_path, stat_cols)
 
     return (
