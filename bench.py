@@ -396,6 +396,16 @@ def main() -> None:
             "manifest_build",
             lambda: write_manifest(spark, mstore, ["ts", "user_id", "value"]),
         )
+        # the executor-side build (binaryFile listing + mapInPandas
+        # footer reads) is the path that matters at 800k files — pin
+        # it round-over-round beside the driver-loop row so a
+        # regression in the distributed path is visible in BENCH
+        record(
+            "manifest_build_distributed",
+            lambda: write_manifest(
+                spark, mstore, ["ts", "user_id", "value"], distributed=True
+            ),
+        )
         lo = _dt.datetime(2024, 1, 10)
         hi = _dt.datetime(2024, 1, 12)
         conj = [("ts", "between", (lo, hi))]

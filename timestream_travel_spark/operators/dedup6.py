@@ -35,7 +35,18 @@ CONTAIN_MIN = 0.5  # report pairs where either direction >= 0.5
 # set-containment of the informative shingles and the oracle can
 # express the identical cap. word_shingles is distinct-per-doc, so
 # count(*) per shingle IS document frequency.
-CONTAIN_MAX_SHINGLE_DF = 64
+#
+# The effective cap is SCALE-AWARE: max(floor, N_docs // denom). An
+# absolute 64-doc cap is inert at the test SFs (max df ≈ 5 at sf0.1)
+# but aggressively lossy for containment RECALL on a 10⁹-doc corpus
+# — anything quoted in more than 64 documents would vanish from the
+# statistic. Growing the cap with the corpus keeps widely-quoted
+# informative text visible while still bounding the fan-out at
+# C(N/denom, 2) per shingle; the recall/cost trade and the choice of
+# denom are documented in SCALING.md §containment-cap. Both knobs
+# appear verbatim in the oracle so plan and SQL stay in lockstep.
+CONTAIN_MAX_SHINGLE_DF = 64  # absolute floor of the cap
+CONTAIN_DF_DENOM = 1000  # cap grows as corpus_docs // this
 
 
 @query(
@@ -49,7 +60,10 @@ CONTAIN_MAX_SHINGLE_DF = 64
       SELECT doc_id, lang, source, unnest(shingles) AS s FROM sh
     ),
     hot AS (
-      SELECT s FROM ex GROUP BY s HAVING count(*) > {CONTAIN_MAX_SHINGLE_DF}
+      SELECT s FROM ex GROUP BY s
+      HAVING count(*) > greatest(
+        {CONTAIN_MAX_SHINGLE_DF},
+        (SELECT count(*) FROM documents) // {CONTAIN_DF_DENOM})
     ),
     kept AS (SELECT ex.* FROM ex ANTI JOIN hot USING (s)),
     sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
@@ -120,10 +134,21 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast anti-join drops boilerplate shingles before sizes or
     # pairs ever see them — the quadratic C(df,2) fan-out is capped
     # at C(CAP,2) per shingle.
+    # scale-aware threshold max(floor, N_docs // denom) joined in as
+    # a broadcast 1-row scalar — no driver-side count() job, the
+    # whole gate stays one declarative plan
+    n_docs = d.select(F.count(F.lit(1)).alias("n_docs"))
     hot = (
         raw.groupBy("s")
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > CONTAIN_MAX_SHINGLE_DF)
+        .crossJoin(F.broadcast(n_docs))
+        .filter(
+            F.col("df")
+            > F.greatest(
+                F.lit(CONTAIN_MAX_SHINGLE_DF),
+                F.floor(F.col("n_docs") / F.lit(CONTAIN_DF_DENOM)),
+            )
+        )
         .select("s")
     )
     ex = raw.join(F.broadcast(hot), "s", "left_anti")
