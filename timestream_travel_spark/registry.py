@@ -268,6 +268,14 @@ def load_all() -> None:
         timeseries22,
     )
 
+    # round-10 growth wave — registered behind the promoted staged
+    # set; the full unchecked queue (13 rows-only debt + 18 promoted
+    # oracled + this wave) stays within the driver's ~50-slot cap
+    from timestream_travel_spark.operators import (  # noqa: F401
+        analytics13,
+        graph7,
+    )
+
 
 # Next-round modules, STAGED: written, oracled, and strict-verified
 # this round but NOT loaded by load_all() — the registry freezes at
