@@ -274,6 +274,7 @@ def load_all() -> None:
     from timestream_travel_spark.operators import (  # noqa: F401
         analytics13,
         graph7,
+        llm_text26,
     )
 
 
