@@ -275,6 +275,7 @@ def load_all() -> None:
         analytics13,
         graph7,
         llm_text26,
+        timeseries23,
     )
 
 
