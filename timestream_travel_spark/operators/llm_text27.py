@@ -1,0 +1,94 @@
+"""LLM-corpus ops, wave 27 (round 10): tokenizer-fertility vs
+BPE-vocabulary sweep — the r9 verdict's candidate (e). Tokenizer
+design reports fertility (subword tokens per word; Rust et al.,
+ACL'21 use the same statistic to compare multilingual tokenizers)
+as a function of merge budget: fertility starts at the character
+level (tokens/word = chars/word at 0 merges) and falls monotonically
+as merges fuse frequent pairs. This query trains ONE merge table to
+the largest checkpoint with llm_text7's frequency-weighted trainer
+(batch>1 round-compression lever, documented there), then tokenizes
+the DISTINCT-word table at every checkpoint prefix and reports the
+per-language fertility curve.
+
+Rows-only: the trainer is the iterative driver-coordinated loop
+(q_bpe_merge_loop's category — no SQL oracle); pytest replays the
+full sweep in pure Python over the collected corpus and asserts the
+curve matches exactly, plus monotonicity and the rank-{BPE_MERGES}
+parity with q_bpe_tokenize's totals.
+
+Scale shape: the trainer's working set is the word-frequency table
+(vocab-bounded); each checkpoint's tokenization folds over DISTINCT
+words only and joins counts back onto the exploded corpus — one
+corpus explode feeds every checkpoint, and per-checkpoint work never
+touches duplicate words.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from timestream_travel_spark.operators.llm_text6 import doc_words
+from timestream_travel_spark.operators.llm_text7 import (
+    BPE_MERGES,
+    _merge_fold,
+    bpe_merge_table,
+)
+from timestream_travel_spark.registry import query
+from timestream_travel_spark.tables import load_table
+
+SWEEP_RANKS = (0, BPE_MERGES, 2 * BPE_MERGES, 3 * BPE_MERGES)  # 0/4/8/12
+SWEEP_BATCH = BPE_MERGES  # trainer rounds = max_rank / batch = 3
+
+
+@query("q_bpe_fertility_sweep")
+def q_bpe_fertility_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language fertility curve over BPE merge budgets
+    {SWEEP_RANKS}: one trained merge table, one distinct-word table,
+    one fold per additional merge — each checkpoint snapshots the
+    running symbol counts, so the whole sweep costs the same
+    vocab-bounded symbolic work as tokenizing once at the largest
+    budget. fertility = BPE tokens per word; at rank 0 it equals
+    chars per word by construction (the pytest pins both ends)."""
+    d = load_table(spark, sf_dir, "documents")
+    merges = bpe_merge_table(d, n_merges=max(SWEEP_RANKS), batch=SWEEP_BATCH)
+    dw = d.repartition(spark.sparkContext.defaultParallelism, "doc_id").select(
+        "doc_id", "lang", F.explode(doc_words("text")).alias("w")
+    )
+    # ONE corpus-side (lang, w) count table feeds every checkpoint;
+    # the fold chain below only ever touches distinct words
+    wc = dw.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("n_occ"))
+    wtab = wc.select("w").distinct().select(
+        "w", F.filter(F.split(F.col("w"), ""), lambda ch: ch != "").alias("a")
+    )
+    outs: list[DataFrame] = []
+    applied = 0
+    for rank in SWEEP_RANKS:
+        while applied < rank and applied < len(merges):
+            _, p1, p2, _, _ = merges[applied]
+            wtab = wtab.select("w", _merge_fold(F.col("a"), p1, p2).alias("a"))
+            applied += 1
+        wn = wtab.select("w", F.size("a").alias("n_sym"))
+        outs.append(
+            wc.join(wn, "w")
+            .groupBy("lang")
+            .agg(
+                F.sum("n_occ").cast("bigint").alias("n_words"),
+                F.sum(F.col("n_occ") * F.col("n_sym"))
+                .cast("bigint")
+                .alias("n_tokens"),
+            )
+            .select(
+                F.lit(rank).cast("int").alias("n_merges"),
+                "lang",
+                "n_words",
+                "n_tokens",
+                F.round(
+                    F.col("n_tokens").cast("double") / F.col("n_words"), 4
+                ).alias("fertility"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

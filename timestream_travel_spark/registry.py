@@ -277,6 +277,7 @@ def load_all() -> None:
         llm_text26,
         timeseries23,
     )
+    from timestream_travel_spark.operators import llm_text27  # noqa: F401
 
 
 # Next-round modules, STAGED: written, oracled, and strict-verified
