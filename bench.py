@@ -236,6 +236,26 @@ EXTRA = [
     "q_char_trigram_entropy",       # corpus trigram explode + reduce
     "q_rich_club",                  # backbone degree census
     "q_ivfpq_cell_recall",          # Arrow scoring pass + cell windows
+    # round-10 waves (promoted staged set + growth wave)
+    "q_kendalls_w",                 # Friedman midrank machinery, W factor
+    "q_variance_ratio",             # exact decimal q-step diffs
+    "q_distribution_distances",     # source-pair x vocab grid, 3 distances
+    "q_link_predictors",            # one wedge pass, RA/PA/CN trio
+    "q_repetition_panel",           # in-row dup-ngram integer censuses
+    "q_dunning_keyness",            # decimal-quantized x*ln x terms
+    "q_hjorth_parameters",          # exact power sums of x/dx/ddx
+    "q_mfi",                        # 3*TP decimal money-flow windows
+    "q_opq_ivfpq_topk",             # rotated-residual ADC + exact re-rank
+    "q_somers_d",                   # gamma cell census + tie sums
+    "q_theil_sen",                  # per-type pairwise-slope median
+    "q_label_propagation",          # 4 sync LPA rounds on the backbone
+    "q_lpa_modularity",             # integer community censuses
+    "q_kneser_ney_trigram",         # trigram count-table reduces
+    "q_lix_rix",                    # in-row integer readability censuses
+    "q_honore_sichel",              # hapax-spectrum reduce
+    "q_ultimate_oscillator",        # 7/14/28d decimal BP/TR window sums
+    "q_mass_query_topk",            # FFT nominate + exact int64 re-rank
+    "q_bpe_fertility_sweep",        # batched trainer + checkpointed folds
 ]
 
 
