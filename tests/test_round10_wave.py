@@ -274,7 +274,9 @@ def test_bpe_fertility_sweep_matches_python_replay(spark, sf_dir):
                 applied += 1
             n_words = len(ws)
             n_tokens = sum(len(state[w]) for w in ws)
-            expect[(rank, lang)] = (
+            # the query labels checkpoints with the ACTUALLY-applied
+            # merge count (and skips exhausted duplicates) — mirror it
+            expect[(applied, lang)] = (
                 n_words,
                 n_tokens,
                 round(n_tokens / n_words, 4),
@@ -286,7 +288,8 @@ def test_bpe_fertility_sweep_matches_python_replay(spark, sf_dir):
     }
     assert got == expect
     for lang in lang_words:
-        toks = [got[(k, lang)][1] for k in sorted(SWEEP_RANKS)]
+        ranks = sorted({k for (k, lg) in got if lg == lang})
+        toks = [got[(k, lang)][1] for k in ranks]
         assert toks == sorted(toks, reverse=True)  # non-increasing
         # rank 0 = chars per word
         assert got[(0, lang)][1] == sum(len(w) for w in lang_words[lang])

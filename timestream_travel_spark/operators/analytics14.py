@@ -1,5 +1,6 @@
-"""Round-11 statistics (STAGED — registry.STAGED_MODULES; round 10's
-registry is sized to the driver's ~50-slot drain): Kendall's tau-b
+"""Round-11 statistics (promoted into load_all()'s round-11 tail —
+written in round 10, held out of the registry to respect the
+driver's ~50-slot drain): Kendall's tau-b
 (Kendall, Biometrika 1945 — the tie-corrected square-table sibling
 of round-10's Stuart tau-c), the Quade test (Quade, JASA 1979 — the
 range-weighted Friedman refinement), the point-biserial correlation

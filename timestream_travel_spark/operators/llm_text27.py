@@ -63,11 +63,20 @@ def q_bpe_fertility_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     outs: list[DataFrame] = []
     applied = 0
+    emitted: set[int] = set()
     for rank in SWEEP_RANKS:
         while applied < rank and applied < len(merges):
             _, p1, p2, _, _ = merges[applied]
             wtab = wtab.select("w", _merge_fold(F.col("a"), p1, p2).alias("a"))
             applied += 1
+        # label each checkpoint with the merge count ACTUALLY applied:
+        # if the trainer exhausts mergeable pairs before max(SWEEP_RANKS),
+        # later checkpoints would otherwise report identical
+        # tokenizations under inflated budgets — and an exhausted
+        # checkpoint that adds nothing over the previous one is skipped
+        if applied in emitted:
+            continue
+        emitted.add(applied)
         wn = wtab.select("w", F.size("a").alias("n_sym"))
         outs.append(
             wc.join(wn, "w")
@@ -79,7 +88,7 @@ def q_bpe_fertility_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("n_tokens"),
             )
             .select(
-                F.lit(rank).cast("int").alias("n_merges"),
+                F.lit(applied).cast("int").alias("n_merges"),
                 "lang",
                 "n_words",
                 "n_tokens",

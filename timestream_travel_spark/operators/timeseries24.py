@@ -1,4 +1,6 @@
-"""Round-11 time series (STAGED — registry.STAGED_MODULES): TRIX
+"""Round-11 time series (promoted into load_all()'s round-11 tail —
+written in round 10, held out of the registry to respect the
+driver's ~50-slot drain): TRIX
 (Hutson, Technical Analysis of Stocks & Commodities 1983 — the
 1-period rate of change of a triple-smoothed EMA), the Percentage
 Price Oscillator (the %-normalized MACD), and the PSY psychological

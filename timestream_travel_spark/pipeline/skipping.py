@@ -337,8 +337,13 @@ def read_manifest(spark: SparkSession, data_path: str) -> DataFrame:
         # _swap_in's promote window (or a crash inside it): serve the
         # renamed-aside copy. Read it in place — promoting it back
         # here could collide with the writer's own rename — and leave
-        # the heal to update_manifest (the single writer).
-        return spark.read.parquet(mpath + ".old")
+        # the heal to update_manifest (the single writer). The read is
+        # MATERIALIZED eagerly (localCheckpoint severs the plan from
+        # the path): a lazy plan would re-scan `.old` at action time,
+        # after the writer's next swap or heal may have renamed or
+        # removed it. A manifest is one row per data file, so the
+        # eager read is bounded and cheap.
+        return spark.read.parquet(mpath + ".old").localCheckpoint(eager=True)
     return spark.read.parquet(mpath)
 
 

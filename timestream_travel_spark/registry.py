@@ -279,6 +279,16 @@ def load_all() -> None:
     )
     from timestream_travel_spark.operators import llm_text27  # noqa: F401
 
+    # round-11 modules — same registered-last rule. These two were
+    # written during round 10 but held out of the registry AND out of
+    # STAGED_MODULES (the r10 verdict's 'dark code' finding);
+    # promoted here with round-11 recompute tests so the driver's
+    # unverified-first queue drains them in round 11.
+    from timestream_travel_spark.operators import (  # noqa: F401
+        analytics14,
+        timeseries24,
+    )
+
 
 # Next-round modules, STAGED: written, oracled, and strict-verified
 # this round but NOT loaded by load_all() — the registry freezes at

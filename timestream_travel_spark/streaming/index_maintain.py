@@ -82,13 +82,17 @@ def _commit_batch_exactly_once(
 
     os.makedirs(table_path, exist_ok=True)
     marker = os.path.join(table_path, f"_epoch-{epoch_id}.committed")
+    tmp = os.path.join(table_path, f"_epoch-{epoch_id}.tmp")
     if os.path.exists(marker):
+        # a crash after the marker write but before the final cleanup
+        # leaves an (empty-of-parts) staging dir behind — scrub it on
+        # the replay path too, or it accumulates across crashes
+        shutil.rmtree(tmp, ignore_errors=True)
         return False
     # scrub half-moved files from a crashed previous attempt — the
     # deterministic names make exactly this epoch's files identifiable
     for f in glob.glob(os.path.join(table_path, f"part-epoch{epoch_id}-*")):
         os.remove(f)
-    tmp = os.path.join(table_path, f"_epoch-{epoch_id}.tmp")
     shutil.rmtree(tmp, ignore_errors=True)
     batch_df.write.mode("overwrite").parquet(tmp)
     for i, f in enumerate(sorted(glob.glob(os.path.join(tmp, "part-*.parquet")))):
