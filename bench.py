@@ -294,6 +294,21 @@ def main() -> None:
         timings[name] = round(statistics.median(samples), 3)
         minima[name] = round(min(samples), 3)
 
+    # environment-calibration row: a FIXED synthetic op (no data, no
+    # IO beyond the noop sink) timed like every query. The r10→r9
+    # headline drifted +9% uniformly across unrelated plan shapes —
+    # indistinguishable from a real regression without a normalizer.
+    # Divide any round-over-round per-query delta by the calibration
+    # delta before attributing it to a plan change.
+    record(
+        "calibration_range_sum",
+        lambda: spark.range(200_000_000)
+        .selectExpr("sum(id) AS s")
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
+
     for name in HEADLINE + EXTRA:
         record(
             name,
@@ -525,6 +540,7 @@ def main() -> None:
         "sf": sf,
         "reps": reps,
         "n_queries": len(timings),
+        "calibration": timings.get("calibration_range_sum"),
         "errors": sorted(errors) if errors else [],
     }
     sys.stdout.flush()

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from timestream_travel_spark.ops import let_
 from timestream_travel_spark.registry import query
 from timestream_travel_spark.tables import load_table
 
@@ -70,14 +71,21 @@ def q_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def word_shingles(text: Column | str, k: int = 3) -> Column:
     """Distinct k-word shingles via sequence+transform — JVM-side,
-    no explode needed (the array stays inside the row)."""
-    words = F.split(normalized_text(text), " ")
-    n = F.size(words)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    shingle = lambda i: F.array_join(F.slice(words, i + 1, k), " ")  # noqa: E731
-    return F.array_distinct(
-        F.when(n >= k, F.transform(idx, shingle)).otherwise(F.array(F.array_join(words, " ")))
-    )
+    no explode needed (the array stays inside the row). The split
+    word array is let_-bound so the per-shingle lambda references it
+    instead of re-splitting per index (ops.let_)."""
+
+    def body(words: Column) -> Column:
+        n = F.size(words)
+        idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+        shingle = lambda i: F.array_join(F.slice(words, i + 1, k), " ")  # noqa: E731
+        return F.array_distinct(
+            F.when(n >= k, F.transform(idx, shingle)).otherwise(
+                F.array(F.array_join(words, " "))
+            )
+        )
+
+    return let_(F.split(normalized_text(text), " "), body)
 
 
 @query(

@@ -75,7 +75,11 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     initial repartition; fingerprint density is 2/(w+1), bounding
     output size."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    tokens = F.split(normalized_text("text"), " ")
+    # materialize the split BEFORE the gram-hash lambda captures it:
+    # a captured outer expression re-evaluates per array element
+    # (one normalization regex + split per k-gram position)
+    d = d.select("doc_id", F.split(normalized_text("text"), " ").alias("__toks"))
+    tokens = F.col("__toks")
     # Docs shorter than the k-gram width yield NO grams. Without this
     # filter F.sequence(1, size - (k-1)) would see start > stop and
     # default to step -1 (a DESCENDING sequence → slice() at invalid
@@ -323,7 +327,9 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle pass onto one core (4x at sf0.1)."""
     d = load_table(spark, sf_dir, "documents")
     d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    tokens = F.split(normalized_text("text"), " ")
+    # materialized split (captured-expression rule, see winnowing)
+    d = d.select("doc_id", F.split(normalized_text("text"), " ").alias("__toks"))
+    tokens = F.col("__toks")
     # Same short-doc guard as q_winnowing_fingerprints: keep
     # F.sequence from descending (step -1) when size(tokens) < SPAN_N,
     # mirroring the oracle's empty generate_series.

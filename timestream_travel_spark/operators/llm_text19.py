@@ -54,9 +54,15 @@ def q_mattr(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM-side higher-order functions) — zero shuffles beyond the scan;
     at 100 TB this is a map-only pass. Documents shorter than the
     window are skipped (MATTR is undefined there; plain TTR covers
-    them)."""
+    them).
+
+    The token array is materialized before the window lambda captures
+    it: an outer expression inside a higher-order-function lambda is
+    re-evaluated per element (here: one regex re-split per window
+    start — O(len) splits per document)."""
     d = load_table(spark, sf_dir, "documents")
-    ws = doc_words("text")
+    d = d.select("doc_id", doc_words("text").alias("__ws"))
+    ws = F.col("__ws")
     n = F.size(ws)
     nw = n - (MATTR_W - 1)
     dsum = F.aggregate(

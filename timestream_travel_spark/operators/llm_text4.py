@@ -86,7 +86,10 @@ def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside the row (transform over indices), then one explode +
     two-phase count."""
     d = load_table(spark, sf_dir, "documents")
-    tokens = F.split(normalized_text("text"), " ")
+    # materialized split (captured-expression rule: an outer
+    # expression inside the transform lambda re-evaluates per bigram)
+    d = d.select(F.split(normalized_text("text"), " ").alias("__toks"))
+    tokens = F.col("__toks")
     idx = F.sequence(F.lit(1), F.size(tokens) - 1)
     bigrams = F.transform(
         idx, lambda i: F.concat(F.element_at(tokens, i), F.lit(" "), F.element_at(tokens, i + 1))

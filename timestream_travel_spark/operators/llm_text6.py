@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from timestream_travel_spark.ops import let_
 from timestream_travel_spark.registry import query
 from timestream_travel_spark.tables import load_table
 
@@ -80,14 +81,19 @@ def _shingles(words: Column, n: int = 5) -> Column:
     # Short inputs (< n words) yield NO shingles — without the guard,
     # F.sequence(1, size-(n-1)) with start > stop defaults to step -1
     # (descending) and slices at invalid positions, while the oracle's
-    # range() yields an empty set.
-    return F.when(
-        F.size(words) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - (n - 1)),
-            lambda i: F.array_join(F.slice(words, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # range() yields an empty set. The word array is let_-bound so a
+    # computed argument (e.g. doc_words(...)) isn't re-evaluated per
+    # shingle position inside the lambda (ops.let_).
+    def body(ws: Column) -> Column:
+        return F.when(
+            F.size(ws) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+                lambda i: F.array_join(F.slice(ws, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return let_(words, body)
 
 
 @query(
@@ -238,16 +244,32 @@ def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     double division — no order-dependent float accumulation (the
     repo's oracle-stability rule). All per-document array work is
     in-row higher-order functions; no shuffle at all until the scan's
-    natural partitioning returns rows."""
+    natural partitioning returns rows.
+
+    The token array is materialized before any lambda captures it (a
+    captured outer expression re-evaluates per element), and the
+    top-word count is the longest equal-neighbor run of the SORTED
+    array — O(n log n) per document instead of the O(distinct·n)
+    filter-per-distinct-word scan."""
     d = load_table(spark, sf_dir, "documents")
-    ws = doc_words("text")
+    d = d.select("doc_id", "text", doc_words("text").alias("__ws"))
+    ws = F.col("__ws")
     n_words = F.size(ws)
     n_distinct = F.size(F.array_distinct(ws))
-    top_cnt = F.array_max(
-        F.transform(
-            F.array_distinct(ws),
-            lambda dw: F.size(F.filter(ws, lambda x: x == dw)),
-        )
+    top_cnt = F.aggregate(
+        F.array_sort(ws),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, w: F.struct(
+            w.alias("prev"),
+            F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
     n_chars = F.length("text")
     char_cnts = F.transform(

@@ -72,3 +72,17 @@ REVENUE_SQL = (
     "CAST(l_extendedprice AS DECIMAL(12,4))"
     " * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))"
 )
+
+
+def let_(expr: Column, body) -> Column:
+    """Bind `expr` to a lambda variable and evaluate `body` against
+    it ONCE per row — Spark's missing `let`. An outer expression
+    captured inside a higher-order-function lambda is re-evaluated
+    PER ELEMENT (no cross-lambda subexpression elimination), so e.g.
+    shingling by slicing a captured regex-split costs O(len) splits
+    per document. Wrapping the expensive expression in a one-element
+    array and transforming it binds it to a NamedLambdaVariable,
+    which the inner lambdas reference for free (measured 7× on
+    char-8-gram shingles at sf0.1: 13.3 s → 1.9 s, identical
+    results)."""
+    return F.element_at(F.transform(F.array(expr), body), 1)

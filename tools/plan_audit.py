@@ -187,6 +187,49 @@ AUDITED = [
     "q_char_trigram_entropy",
     "q_rich_club",
     "q_ivfpq_cell_recall",
+    # round-10 waves (promoted staged set + growth wave) —
+    # q_repetition_panel first: the single most expensive BENCH_r10
+    # row (7.92 s), audited to pin its map-only zero-exchange shape
+    "q_repetition_panel",
+    "q_yule_q",
+    "q_kendalls_w",
+    "q_sign_test",
+    "q_variance_ratio",
+    "q_distribution_distances",
+    "q_yule_walker_ar2",
+    "q_allan_variance",
+    "q_katz_petrosian_fd",
+    "q_chaikin_money_flow",
+    "q_accumulation_distribution",
+    "q_link_predictors",
+    "q_hjorth_parameters",
+    "q_zero_crossing_crest",
+    "q_mfi",
+    "q_opq_ivfpq_topk",
+    "q_opq_ivfpq_mse_gain",
+    "q_dunning_keyness",
+    "q_word_burstiness",
+    "q_juilland_dispersion",
+    "q_somers_d",
+    "q_stuart_tau_c",
+    "q_gwet_ac1",
+    "q_theil_sen",
+    "q_label_propagation",
+    "q_lpa_modularity",
+    "q_kneser_ney_trigram",
+    "q_lix_rix",
+    "q_honore_sichel",
+    "q_ultimate_oscillator",
+    "q_mass_query_topk",
+    "q_bpe_fertility_sweep",
+    # round-11 promotions
+    "q_kendall_tau_b",
+    "q_quade_test",
+    "q_point_biserial",
+    "q_partial_corr",
+    "q_trix",
+    "q_ppo",
+    "q_psy_line",
 ]
 
 
