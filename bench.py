@@ -256,6 +256,17 @@ EXTRA = [
     "q_ultimate_oscillator",        # 7/14/28d decimal BP/TR window sums
     "q_mass_query_topk",            # FFT nominate + exact int64 re-rank
     "q_bpe_fertility_sweep",        # batched trainer + checkpointed folds
+    # round-11 promotions + growth wave
+    "q_quade_test",                 # doubled-midrank two-layer ranks
+    "q_trix",                       # triple-EMA carry-state walk
+    "q_psy_line",                   # integer up-day window census
+    "q_dbscan_core_census",         # label-blocked eps^2 neighbor census
+    "q_dbscan_clusters",            # core-core CC + border assignment
+    "q_hdbscan_core_distance",      # per-point k-NN distance in block
+    "q_louvain_one_level",          # integer-gain sweep + 2 mod censuses
+    "q_compressibility_chargram",   # let_-bound char-16-gram repeat census
+    "q_retrieval_eval_bm25",        # BM25 ranks vs contamination labels
+    "q_holt_winters_multiplicative",  # seasonal-ratio carry-state walk
 ]
 
 

@@ -289,6 +289,17 @@ def load_all() -> None:
         timeseries24,
     )
 
+    # round-11 growth wave — registered behind the promotions; the
+    # unchecked queue (7 promoted + expired rows-only debt + this
+    # wave) stays well inside the driver's ~50-slot drain
+    from timestream_travel_spark.operators import (  # noqa: F401
+        clusterqual3,
+        graph8,
+        llm_text28,
+        retrieval6,
+        timeseries25,
+    )
+
 
 # Next-round modules, STAGED: written, oracled, and strict-verified
 # this round but NOT loaded by load_all() — the registry freezes at
