@@ -267,6 +267,12 @@ EXTRA = [
     "q_compressibility_chargram",   # let_-bound char-16-gram repeat census
     "q_retrieval_eval_bm25",        # BM25 ranks vs contamination labels
     "q_holt_winters_multiplicative",  # seasonal-ratio carry-state walk
+    "q_kama",                       # decimal ER windows + adaptive walk
+    "q_ichimoku_lines",             # three-span window extrema midpoints
+    "q_tsi",                        # 4-state double-EMA momentum walk
+    "q_seasonal_strength",          # integer hour-of-day variance split
+    "q_theil_u_forecast",           # decimal-quantized rel-error sums
+    "q_kcore_membership",           # 6 fixed peel rounds on the backbone
 ]
 
 

@@ -299,6 +299,10 @@ def load_all() -> None:
         retrieval6,
         timeseries25,
     )
+    from timestream_travel_spark.operators import (  # noqa: F401
+        graph9,
+        timeseries26,
+    )
 
 
 # Next-round modules, STAGED: written, oracled, and strict-verified
