@@ -230,6 +230,20 @@ AUDITED = [
     "q_trix",
     "q_ppo",
     "q_psy_line",
+    # round-11 growth waves
+    "q_dbscan_core_census",
+    "q_dbscan_clusters",
+    "q_hdbscan_core_distance",
+    "q_louvain_one_level",
+    "q_compressibility_chargram",
+    "q_retrieval_eval_bm25",
+    "q_holt_winters_multiplicative",
+    "q_kama",
+    "q_ichimoku_lines",
+    "q_tsi",
+    "q_seasonal_strength",
+    "q_theil_u_forecast",
+    "q_kcore_membership",
 ]
 
 
