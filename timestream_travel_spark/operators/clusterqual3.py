@@ -99,12 +99,16 @@ def _eps_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _census(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _census(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+) -> DataFrame:
     """(vec_id, label, n_neighbors, is_core) — every corpus point,
     neighbor count EXCLUDING self, core flag per |N_ε| ≥ MINPTS
-    (the point itself counts toward N_ε, hence the +1)."""
+    (the point itself counts toward N_ε, hence the +1). Callers that
+    also consume the ε-pairs pass them in (persisted) so the blocked
+    distance join — the expensive stage — runs once."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
-    p = _eps_pairs(spark, sf_dir)
+    p = pairs if pairs is not None else _eps_pairs(spark, sf_dir)
     sym = p.select(F.col("va").alias("u")).unionAll(p.select(F.col("vb").alias("u")))
     n = sym.groupBy("u").agg(F.count(F.lit(1)).alias("c"))
     return e.join(n, e.vec_id == n.u, "left").select(
@@ -182,8 +186,8 @@ def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the paper's first-found assignment — and noise gets -1.
     Spark: census + large-star/small-star CC (logarithmic rounds);
     oracle: recursive-CTE reachability on the same core edges."""
-    cen = _census(spark, sf_dir).persist()
-    p = _eps_pairs(spark, sf_dir)
+    p = _eps_pairs(spark, sf_dir).persist()
+    cen = _census(spark, sf_dir, pairs=p).persist()
     core_ids = cen.filter(F.col("is_core") == 1).select("vec_id")
     core_edges = (
         p.join(core_ids.withColumnRenamed("vec_id", "va"), "va", "left_semi")
