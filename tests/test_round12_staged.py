@@ -1,0 +1,151 @@
+"""SURVEY §5.6 sanity tests for the STAGED round-12 modules
+(retrieval7, timeseries27) — they register next round; until then
+pytest + `oracle_check --staged` are their gates. Each statistic is
+pinned against a pure-Python recompute on the same fixture."""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+from decimal import Decimal
+
+import pytest
+
+from timestream_travel_spark.registry import QUERIES, load_staged
+from timestream_travel_spark.tables import load_table
+
+load_staged()
+
+
+def _daily_levels(spark, sf_dir):
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("ts", "event_type", "value")
+        .collect()
+    )
+    daily = defaultdict(Decimal)
+    for r in rows:
+        daily[(r.event_type, r.ts.date())] += Decimal(str(round(r.value, 4)))
+    out = defaultdict(list)
+    for (t, day) in sorted(daily):
+        out[t].append((str(day), daily[(t, day)]))
+    return out
+
+
+def test_dema_tema_replay(spark, sf_dir):
+    from timestream_travel_spark.operators.timeseries27 import DT_A
+
+    levels = _daily_levels(spark, sf_dir)
+    want = {}
+    for t, series in levels.items():
+        e1 = e2 = e3 = float(series[0][1])
+        want[(t, series[0][0])] = (2 * e1 - e2, 3 * e1 - 3 * e2 + e3)
+        for day, v in series[1:]:
+            x = float(v)
+            e1 = (1 - DT_A) * e1 + DT_A * x
+            e2 = (1 - DT_A) * e2 + DT_A * e1
+            e3 = (1 - DT_A) * e3 + DT_A * e2
+            want[(t, day)] = (2.0 * e1 - e2, 3.0 * e1 - 3.0 * e2 + e3)
+    got = QUERIES["q_dema_tema"](spark, sf_dir).collect()
+    assert len(got) == len(want)
+    for r in got:
+        assert (r.dema, r.tema) == want[(r.event_type, r.day)]
+
+
+def test_calmar_recompute(spark, sf_dir):
+    from timestream_travel_spark.operators.timeseries27 import CAL_ANN
+
+    levels = _daily_levels(spark, sf_dir)
+    got = {
+        r.event_type: (r.n_returns, r.max_drawdown, r.calmar)
+        for r in QUERIES["q_calmar_ratio"](spark, sf_dir).collect()
+    }
+    for t, series in levels.items():
+        vals = [v for _, v in series]
+        rets = [
+            Decimal(
+                float(vals[i]) / float(vals[i - 1]) - 1.0
+            ).quantize(Decimal("1e-10"))
+            for i in range(1, len(vals))
+        ]
+        peak = vals[0]
+        max_dd = 0.0
+        for v in vals:
+            peak = max(peak, v)
+            max_dd = max(max_dd, float(peak - v) / float(peak))
+        if max_dd == 0:
+            assert t not in got
+            continue
+        sr = float(sum(rets))
+        want = round((sr / len(rets) * CAL_ANN) / max_dd, 6)
+        assert got[t][0] == len(rets)
+        assert got[t][1] == pytest.approx(round(max_dd, 6), abs=1e-9)
+        assert got[t][2] == pytest.approx(want, abs=1e-6)
+
+
+def test_forecast_backtest_recompute(spark, sf_dir):
+    from timestream_travel_spark.operators.timeseries27 import BT_SEASON
+
+    levels = _daily_levels(spark, sf_dir)
+    got = {
+        r.event_type: r
+        for r in QUERIES["q_forecast_backtest"](spark, sf_dir).collect()
+    }
+    for t, series in levels.items():
+        vals = [v for _, v in series]
+        ae_n, ae_s, se_n, se_s = [], [], [], []
+        for i in range(BT_SEASON, len(vals)):
+            an = abs(vals[i] - vals[i - 1])
+            asv = abs(vals[i] - vals[i - BT_SEASON])
+            ae_n.append(an)
+            ae_s.append(asv)
+            se_n.append(Decimal(float(an) * float(an)).quantize(Decimal("1e-8")))
+            se_s.append(Decimal(float(asv) * float(asv)).quantize(Decimal("1e-8")))
+        n = len(ae_n)
+        r = got[t]
+        assert r.n_origins == n
+        assert r.mae_naive == pytest.approx(round(float(sum(ae_n)) / n, 6))
+        assert r.mae_snaive == pytest.approx(round(float(sum(ae_s)) / n, 6))
+        assert r.rmse_naive == pytest.approx(
+            round(math.sqrt(float(sum(se_n)) / n), 6), abs=1e-6
+        )
+        assert r.rmse_snaive == pytest.approx(
+            round(math.sqrt(float(sum(se_s)) / n), 6), abs=1e-6
+        )
+        # paired comparison: same origins for both forecasters
+        assert r.n_origins == len(vals) - BT_SEASON
+
+
+def test_ndcg_recompute(spark, sf_dir):
+    from timestream_travel_spark.operators.retrieval import TOP_K
+
+    topk = [r.doc_id for r in QUERIES["q_bm25_topk"](spark, sf_dir).collect()]
+    grades = {
+        r.doc_id: r.n_contaminated
+        for r in QUERIES["q_contamination_ngrams"](spark, sf_dir).collect()
+    }
+    q = Decimal("1e-12")
+    dcg = sum(
+        (
+            Decimal(grades[d] / (math.log(i + 2) / math.log(2.0))).quantize(q)
+            for i, d in enumerate(topk)
+            if d in grades
+        ),
+        Decimal(0),
+    )
+    ideal = sorted(grades.items(), key=lambda kv: (-kv[1], kv[0]))[:TOP_K]
+    idcg = sum(
+        (
+            Decimal(g / (math.log(i + 2) / math.log(2.0))).quantize(q)
+            for i, (_, g) in enumerate(ideal)
+        ),
+        Decimal(0),
+    )
+    row = QUERIES["q_ndcg_bm25"](spark, sf_dir).collect()[0]
+    assert row.k == TOP_K
+    assert row.dcg_at_k == pytest.approx(round(float(dcg), 6), abs=1e-6)
+    assert row.idcg_at_k == pytest.approx(round(float(idcg), 6), abs=1e-6)
+    assert row.ndcg_at_k == pytest.approx(
+        round(float(dcg) / float(idcg), 6), abs=1e-6
+    )
+    assert 0.0 <= row.ndcg_at_k <= 1.0
