@@ -43,6 +43,13 @@ def test_no_query_module_outside_registry():
             for tgt in node.targets:
                 if isinstance(tgt, ast.Name) and tgt.id == "STAGED_MODULES":
                     wired.update(ast.literal_eval(node.value))
+        if (
+            isinstance(node, ast.AnnAssign)
+            and isinstance(node.target, ast.Name)
+            and node.target.id == "STAGED_MODULES"
+            and node.value is not None
+        ):
+            wired.update(ast.literal_eval(node.value))
     ops_dir = os.path.join(os.path.dirname(reg_path), "operators")
     dark = []
     for fname in sorted(os.listdir(ops_dir)):
