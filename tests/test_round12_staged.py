@@ -1,7 +1,8 @@
 """SURVEY §5.6 sanity tests for the STAGED round-12 modules
-(retrieval7, timeseries27) — they register next round; until then
-pytest + `oracle_check --staged` are their gates. Each statistic is
-pinned against a pure-Python recompute on the same fixture."""
+(retrieval7, timeseries27, analytics16, clusterqual4, graph10,
+timeseries28) — they register next round; until then pytest +
+`oracle_check --staged` are their gates. Each statistic is pinned
+against a pure-Python recompute on the same fixture."""
 
 from __future__ import annotations
 
@@ -149,3 +150,132 @@ def test_ndcg_recompute(spark, sf_dir):
         round(float(dcg) / float(idcg), 6), abs=1e-6
     )
     assert 0.0 <= row.ndcg_at_k <= 1.0
+
+
+def test_mutual_reachability_recompute(spark, sf_dir):
+    """mreach = max(core_a, core_b, dist) row-by-row, core distances
+    consistent with q_hdbscan_core_distance, pair set = the ε-pairs."""
+    mr = QUERIES["q_mutual_reachability"](spark, sf_dir).collect()
+    core = {
+        r.vec_id: r.core_dist
+        for r in QUERIES["q_hdbscan_core_distance"](spark, sf_dir).collect()
+    }
+    census = {
+        r.vec_id: r.n_neighbors
+        for r in QUERIES["q_dbscan_core_census"](spark, sf_dir).collect()
+    }
+    n_pairs = sum(census.values()) // 2
+    assert len(mr) == n_pairs
+    for r in mr:
+        assert r.core_a == pytest.approx(core[r.va], abs=1e-9)
+        assert r.core_b == pytest.approx(core[r.vb], abs=1e-9)
+        assert r.mreach == pytest.approx(
+            max(r.core_a, r.core_b, r.dist), abs=2e-6
+        )
+        assert r.mreach >= r.dist
+
+
+def test_embedding_anisotropy_recompute(spark, sf_dir):
+    import statistics
+
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("label", "embedding")
+        .collect()
+    )
+    by_label = defaultdict(list)
+    for r in rows:
+        by_label[r.label].append([float(x) for x in r.embedding])
+    got = {
+        r.label: r for r in QUERIES["q_embedding_anisotropy"](spark, sf_dir).collect()
+    }
+    for lab, vecs in by_label.items():
+        dim = len(vecs[0])
+        variances = [
+            statistics.pvariance([v[i] for v in vecs]) for i in range(dim)
+        ]
+        r = got[lab]
+        assert r.dim == dim
+        assert r.var_max == pytest.approx(max(variances), abs=1e-4)
+        assert r.var_min == pytest.approx(min(variances), abs=1e-4)
+        mean = sum(variances) / dim
+        assert r.var_mean == pytest.approx(mean, abs=1e-4)
+        assert r.anisotropy == pytest.approx(max(variances) / mean, abs=1e-3)
+        assert r.anisotropy >= 1.0
+
+
+def test_community_mixing_recompute(spark, sf_dir):
+    from timestream_travel_spark.operators.graph3 import top_trade_edges
+    from timestream_travel_spark.operators.graph7 import _lpa_labels
+
+    edges = [(r.a, r.b) for r in top_trade_edges(spark, sf_dir).collect()]
+    lab = {r.node: r.lab for r in _lpa_labels(spark, sf_dir).collect()}
+    cells = defaultdict(int)
+    for a, b in edges:
+        la, lb = sorted((lab[a], lab[b]))
+        cells[(la, lb)] += 1
+    got = {
+        (r.comm_a, r.comm_b): (r.n_edges, r.intra, r.edge_frac)
+        for r in QUERIES["q_community_mixing"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(cells)
+    m = len(edges)
+    for (la, lb), n in cells.items():
+        assert got[(la, lb)] == (
+            n,
+            int(la == lb),
+            pytest.approx(round(n / m, 6)),
+        )
+    # diagonal sums to q_lpa_modularity's intra count
+    intra = sum(n for (la, lb), n in cells.items() if la == lb)
+    lpa = QUERIES["q_lpa_modularity"](spark, sf_dir).collect()[0]
+    assert intra == lpa.intra_edges
+
+
+def test_spectral_flatness_bounds_and_entropy_consistency(spark, sf_dir):
+    flat = {
+        r.event_type: r.spectral_flatness
+        for r in QUERIES["q_spectral_flatness"](spark, sf_dir).collect()
+    }
+    ent = {
+        r.event_type: r.spectral_entropy_norm
+        for r in QUERIES["q_spectral_entropy"](spark, sf_dir).collect()
+    }
+    assert set(flat) == set(ent)
+    for t, f in flat.items():
+        assert 0.0 < f <= 1.0
+        # both measures agree on perfect flatness (==1 iff equal bins)
+        if f == pytest.approx(1.0, abs=1e-9):
+            assert ent[t] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_tukey_fences_recompute(spark, sf_dir):
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .collect()
+    )
+    vals = defaultdict(list)
+    for r in rows:
+        vals[r.event_type].append(Decimal(str(round(r.value, 4))))
+    got = {
+        r.event_type: r for r in QUERIES["q_tukey_fences"](spark, sf_dir).collect()
+    }
+    for t, vs in vals.items():
+        vs.sort()
+        n = len(vs)
+
+        def q4(num):
+            k, rem = divmod(num * (n - 1), 4)
+            hi = vs[k + 1] if k + 1 < n else vs[k]
+            return 4 * vs[k] + (hi - vs[k]) * rem
+
+        q1_4, q3_4 = q4(1), q4(3)
+        lo8, hi8 = 5 * q1_4 - 3 * q3_4, 5 * q3_4 - 3 * q1_4
+        r = got[t]
+        assert r.n == n
+        assert r.q1 == float(q1_4) / 4.0 and r.q3 == float(q3_4) / 4.0
+        assert r.lo_fence == float(lo8) / 8.0
+        assert r.hi_fence == float(hi8) / 8.0
+        assert r.n_below == sum(1 for v in vs if 8 * v < lo8)
+        assert r.n_above == sum(1 for v in vs if 8 * v > hi8)

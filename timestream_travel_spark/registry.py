@@ -312,7 +312,14 @@ def load_all() -> None:
 # The next round promotes them by moving the module names into
 # load_all()'s tail (registered-last rule). Until then they are
 # exercised by pytest and `tools/oracle_check.py --staged`.
-STAGED_MODULES: tuple[str, ...] = ("retrieval7", "timeseries27")
+STAGED_MODULES: tuple[str, ...] = (
+    "retrieval7",
+    "timeseries27",
+    "analytics16",
+    "clusterqual4",
+    "graph10",
+    "timeseries28",
+)
 
 
 def load_staged() -> None:
