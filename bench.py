@@ -273,6 +273,16 @@ EXTRA = [
     "q_seasonal_strength",          # integer hour-of-day variance split
     "q_theil_u_forecast",           # decimal-quantized rel-error sums
     "q_kcore_membership",           # 6 fixed peel rounds on the backbone
+    # third round-11 wave
+    "q_ndcg_bm25",                  # graded-gain ranks vs contamination
+    "q_dema_tema",                  # triple-EMA composites walk
+    "q_calmar_ratio",               # decimal returns / running-peak dd
+    "q_forecast_backtest",          # paired naive vs seasonal-naive
+    "q_mutual_reachability",        # HDBSCAN edge weights on eps-pairs
+    "q_embedding_anisotropy",       # per-label diagonal variance ratios
+    "q_community_mixing",           # Newman e_ij integer census
+    "q_spectral_flatness",          # Goertzel powers, exp/mean ratio
+    "q_tukey_fences",               # x4/x8 scaled-integer quartile fences
 ]
 
 

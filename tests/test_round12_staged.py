@@ -1,8 +1,9 @@
-"""SURVEY §5.6 sanity tests for the STAGED round-12 modules
-(retrieval7, timeseries27, analytics16, clusterqual4, graph10,
-timeseries28) — they register next round; until then pytest +
-`oracle_check --staged` are their gates. Each statistic is pinned
-against a pure-Python recompute on the same fixture."""
+"""SURVEY §5.6 sanity tests for the third round-11 wave (retrieval7,
+timeseries27, analytics16, clusterqual4, graph10, timeseries28) —
+written to the round-12 staging discipline (strict 3-SF gates +
+these recompute tests first), then promoted into load_all() in the
+same round once the driver's drain math cleared. Each statistic is
+pinned against a pure-Python recompute on the same fixture."""
 
 from __future__ import annotations
 
@@ -12,10 +13,12 @@ from decimal import Decimal
 
 import pytest
 
+from timestream_travel_spark import registry
 from timestream_travel_spark.registry import QUERIES, load_staged
 from timestream_travel_spark.tables import load_table
 
-load_staged()
+registry.load_all()
+load_staged()  # no-op while STAGED_MODULES is empty; kept for form
 
 
 def _daily_levels(spark, sf_dir):

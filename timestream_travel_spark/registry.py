@@ -303,6 +303,18 @@ def load_all() -> None:
         graph9,
         timeseries26,
     )
+    # third round-11 wave — written to round-12 staging discipline
+    # (strict 3-SF gates + recompute tests first), then promoted in
+    # the same round once the drain math cleared: 30 unchecked
+    # oracled + 1 expired rows-only ≤ the driver's ~50-slot cap
+    from timestream_travel_spark.operators import (  # noqa: F401
+        analytics16,
+        clusterqual4,
+        graph10,
+        retrieval7,
+        timeseries27,
+        timeseries28,
+    )
 
 
 # Next-round modules, STAGED: written, oracled, and strict-verified
@@ -312,14 +324,7 @@ def load_all() -> None:
 # The next round promotes them by moving the module names into
 # load_all()'s tail (registered-last rule). Until then they are
 # exercised by pytest and `tools/oracle_check.py --staged`.
-STAGED_MODULES: tuple[str, ...] = (
-    "retrieval7",
-    "timeseries27",
-    "analytics16",
-    "clusterqual4",
-    "graph10",
-    "timeseries28",
-)
+STAGED_MODULES: tuple[str, ...] = ()
 
 
 def load_staged() -> None:
