@@ -244,6 +244,16 @@ AUDITED = [
     "q_seasonal_strength",
     "q_theil_u_forecast",
     "q_kcore_membership",
+    # third round-11 wave
+    "q_ndcg_bm25",
+    "q_dema_tema",
+    "q_calmar_ratio",
+    "q_forecast_backtest",
+    "q_mutual_reachability",
+    "q_embedding_anisotropy",
+    "q_community_mixing",
+    "q_spectral_flatness",
+    "q_tukey_fences",
 ]
 
 
