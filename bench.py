@@ -283,6 +283,8 @@ EXTRA = [
     "q_community_mixing",           # Newman e_ij integer census
     "q_spectral_flatness",          # Goertzel powers, exp/mean ratio
     "q_tukey_fences",               # x4/x8 scaled-integer quartile fences
+    "q_cramer_von_mises",           # integer ECDF-gap-squared census
+    "q_trimmed_winsorized_mean",    # exact order-stat robust means
 ]
 
 

@@ -232,3 +232,75 @@ def test_kcore_membership_fixpoint_and_parity(spark, sf_dir):
     assert any(v[1] == 0 and v[0] >= KCORE_K for v in got.values()) or all(
         (v[0] >= KCORE_K) == bool(v[1]) for v in got.values()
     )
+
+
+def test_cramer_von_mises_recompute(spark, sf_dir):
+    """Integer-census recompute: Σ count·(cum_a·n_b − cum_b·n_a)² over
+    the merged value table / (n_a·n_b·N²), per type pair; consistency
+    with the KS statistic from the same census (T > 0 ⇔ D > 0)."""
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .collect()
+    )
+    by_t = defaultdict(lambda: defaultdict(int))
+    for r in rows:
+        by_t[r.event_type][r.value] += 1
+    types = sorted(by_t)
+    got = {
+        (r.type_a, r.type_b): (r.n_a, r.n_b, r.cvm_t)
+        for r in QUERIES["q_cramer_von_mises"](spark, sf_dir).collect()
+    }
+    for i, ta in enumerate(types):
+        for tb in types[i + 1 :]:
+            na = sum(by_t[ta].values())
+            nb = sum(by_t[tb].values())
+            merged = sorted(set(by_t[ta]) | set(by_t[tb]))
+            cuma = cumb = 0
+            s = 0
+            for v in merged:
+                ca, cb = by_t[ta].get(v, 0), by_t[tb].get(v, 0)
+                cuma += ca
+                cumb += cb
+                g = cuma * nb - cumb * na
+                s += (ca + cb) * g * g
+            want = round(s / (na * nb * (na + nb) ** 2), 6)
+            assert got[(ta, tb)][0] == na and got[(ta, tb)][1] == nb
+            assert got[(ta, tb)][2] == pytest.approx(want, abs=1e-9)
+            assert got[(ta, tb)][2] > 0
+
+
+def test_trimmed_winsorized_mean_recompute(spark, sf_dir):
+    from timestream_travel_spark.operators.analytics17 import (
+        TRIM_ALPHA_DEN,
+        TRIM_ALPHA_NUM,
+    )
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .collect()
+    )
+    vals = defaultdict(list)
+    for r in rows:
+        vals[r.event_type].append(Decimal(str(round(r.value, 4))))
+    got = {
+        r.event_type: r
+        for r in QUERIES["q_trimmed_winsorized_mean"](spark, sf_dir).collect()
+    }
+    for t, vs in vals.items():
+        vs.sort()
+        n = len(vs)
+        k = (TRIM_ALPHA_NUM * n) // TRIM_ALPHA_DEN
+        mid = vs[k : n - k]
+        r = got[t]
+        assert (r.n, r.n_trimmed_each) == (n, k)
+        assert r.trimmed_mean == pytest.approx(
+            round(float(sum(mid)) / (n - 2 * k), 6), abs=1e-9
+        )
+        wins = sum(mid) + k * vs[k] + k * vs[n - k - 1]
+        assert r.winsorized_mean == pytest.approx(
+            round(float(wins) / n, 6), abs=1e-9
+        )
+        # robustness: both inside the untrimmed value range
+        assert float(vs[0]) <= r.trimmed_mean <= float(vs[-1])
