@@ -254,6 +254,8 @@ AUDITED = [
     "q_community_mixing",
     "q_spectral_flatness",
     "q_tukey_fences",
+    "q_cramer_von_mises",
+    "q_trimmed_winsorized_mean",
 ]
 
 
