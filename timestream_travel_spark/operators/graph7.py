@@ -158,7 +158,10 @@ def q_lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Communities with zero internal edges still contribute their D_c²
     term (LEFT join, COALESCE 0)."""
     e = top_trade_edges(spark, sf_dir).persist()
-    lab = _lpa_labels(spark, sf_dir)
+    # localCheckpoint: dc/la/lb reference the labels 3×, each copy
+    # otherwise embedding the full 4-round LPA lineage (graph8's
+    # plan-width lesson; the table is ≤|nodes| rows)
+    lab = _lpa_labels(spark, sf_dir).localCheckpoint(eager=True)
     sym = e.select(F.col("a").alias("u")).unionAll(e.select(F.col("b").alias("u")))
     deg = sym.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("d")

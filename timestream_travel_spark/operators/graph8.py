@@ -125,7 +125,12 @@ def q_louvain_one_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition, with exact-integer gains and before/after modularity
     (see module docstring for the gain algebra)."""
     e = top_trade_edges(spark, sf_dir).persist()
-    lab = _lpa_labels(spark, sf_dir).persist()
+    # localCheckpoint, not persist: the gain/census/modularity stages
+    # reference the label table 5+ times, and each reference embeds
+    # the 4-round LPA lineage into the plan — truncating it here cut
+    # the measured sf0.1 wall 7.9 s → 3.2 s (the data is ≤|nodes|
+    # rows; the cost was plan compilation + AQE, not execution)
+    lab = _lpa_labels(spark, sf_dir).localCheckpoint(eager=True)
     sym = (
         e.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .unionAll(e.select(F.col("b").alias("u"), F.col("a").alias("v")))
@@ -192,7 +197,7 @@ def q_louvain_one_level(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.col("c_own"))
             .alias("lab"),
         )
-        .persist()
+        .localCheckpoint(eager=True)
     )
 
     def mod_parts(lab_df: DataFrame) -> DataFrame:

@@ -91,6 +91,10 @@ def q_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("c"))
             .filter(F.col("c") >= KCORE_K)
             .select(F.col("u").alias("node"))
+            # truncate the lineage per round (graph8's lesson): each
+            # round references surv TWICE, so the uncheckpointed plan
+            # doubles in width every round — 2^6 leaf scans by the end
+            .localCheckpoint(eager=True)
         )
     deg = sym.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("degree")
