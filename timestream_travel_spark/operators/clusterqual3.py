@@ -272,11 +272,24 @@ def q_hdbscan_core_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         to_double_array("embedding").alias("eb"),
     )
     d2 = _sqdist(F.col("ea"), F.col("eb"))
+    # evaluate the 64-dim fold once per UNORDERED pair and mirror it:
+    # (x−y)² ≡ (y−x)² term-for-term in IEEE, so the flipped row
+    # carries the identical double — halves the dominant per-pair cost
+    half = (
+        a.join(b, (a.label == b.label_b) & (a.vec_id < b.vb))
+        .select("vec_id", "vb", "label", d2.alias("d2"))
+    )
+    both = half.unionAll(
+        half.select(
+            F.col("vb").alias("vec_id"),
+            F.col("vec_id").alias("vb"),
+            "label",
+            "d2",
+        )
+    )
     w = Window.partitionBy("vec_id").orderBy("d2")
     return (
-        a.join(b, (a.label == b.label_b) & (a.vec_id != b.vb))
-        .select("vec_id", "label", d2.alias("d2"))
-        .withColumn("rn", F.row_number().over(w))
+        both.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == CORE_K)
         .select(
             "vec_id", "label", F.round(F.sqrt("d2"), 6).alias("core_dist")
