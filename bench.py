@@ -285,6 +285,8 @@ EXTRA = [
     "q_tukey_fences",               # x4/x8 scaled-integer quartile fences
     "q_cramer_von_mises",           # integer ECDF-gap-squared census
     "q_trimmed_winsorized_mean",    # exact order-stat robust means
+    "q_qq_deciles",                 # x10 scaled-integer decile table
+    "q_lorenz_deciles",             # cumulative-share rank cutoffs
 ]
 
 

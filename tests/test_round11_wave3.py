@@ -304,3 +304,74 @@ def test_trimmed_winsorized_mean_recompute(spark, sf_dir):
         )
         # robustness: both inside the untrimmed value range
         assert float(vs[0]) <= r.trimmed_mean <= float(vs[-1])
+
+
+def test_qq_deciles_recompute(spark, sf_dir):
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .collect()
+    )
+    vals = defaultdict(list)
+    for r in rows:
+        vals[r.event_type].append(Decimal(str(round(r.value, 4))))
+    for vs in vals.values():
+        vs.sort()
+
+    def q10(vs, d):
+        n = len(vs)
+        k, rem = divmod(d * (n - 1), 10)
+        hi = vs[k + 1] if k + 1 < n else vs[k]
+        return 10 * vs[k] + (hi - vs[k]) * rem
+
+    got = {
+        (r.type_a, r.type_b, r.decile): (r.q_a, r.q_b, r.q_gap)
+        for r in QUERIES["q_qq_deciles"](spark, sf_dir).collect()
+    }
+    types = sorted(vals)
+    n_rows = 0
+    for i, ta in enumerate(types):
+        for tb in types[i + 1 :]:
+            for d in range(1, 10):
+                qa, qb = q10(vals[ta], d), q10(vals[tb], d)
+                r = got[(ta, tb, d)]
+                assert r[0] == float(qa) / 10.0
+                assert r[1] == float(qb) / 10.0
+                assert r[2] == float(qb - qa) / 10.0
+                n_rows += 1
+    assert n_rows == len(got)
+    # deciles are monotone per pair side
+    for i, ta in enumerate(types):
+        for tb in types[i + 1 :]:
+            qs = [got[(ta, tb, d)][0] for d in range(1, 10)]
+            assert qs == sorted(qs)
+
+
+def test_lorenz_deciles_recompute(spark, sf_dir):
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .collect()
+    )
+    vals = defaultdict(list)
+    for r in rows:
+        vals[r.event_type].append(Decimal(str(round(r.value, 4))))
+    got = {
+        (r.event_type, r.decile): (r.n_members, r.cum_share)
+        for r in QUERIES["q_lorenz_deciles"](spark, sf_dir).collect()
+    }
+    for t, vs in vals.items():
+        vs.sort()
+        n = len(vs)
+        tot = sum(vs)
+        for d in range(1, 11):
+            cut = (d * n) // 10
+            if cut < 1:
+                assert (t, d) not in got
+                continue
+            share = round(float(sum(vs[:cut])) / float(tot), 6)
+            assert got[(t, d)] == (cut, pytest.approx(share, abs=1e-9))
+        assert got[(t, 10)][1] == pytest.approx(1.0, abs=1e-9)
+        # Lorenz curve is convex-ish: share grows with decile
+        shares = [got[(t, d)][1] for d in range(1, 11) if (t, d) in got]
+        assert shares == sorted(shares)

@@ -316,6 +316,7 @@ def load_all() -> None:
         timeseries28,
     )
     from timestream_travel_spark.operators import analytics17  # noqa: F401
+    from timestream_travel_spark.operators import analytics18  # noqa: F401
 
 
 # Next-round modules, STAGED: written, oracled, and strict-verified
