@@ -339,6 +339,12 @@ def main() -> None:
         .mode("overwrite")
         .save(),
     )
+    # The calibration sample is NOT a registered query: keep it out
+    # of the per-query timings so n_queries and round-over-round
+    # query-set comparisons count only real benchmarked queries. The
+    # value still lands in the payload/summary under its own key.
+    calibration = timings.pop("calibration_range_sum", None)
+    minima.pop("calibration_range_sum", None)
 
     for name in HEADLINE + EXTRA:
         record(
@@ -553,6 +559,7 @@ def main() -> None:
         "queries": timings,
         "queries_min": minima,
         "sf": sf,
+        "calibration": calibration,
         "rollup_store_files": rollup_files,
         "rollup_store_partitions": rollup_partitions,
     }
@@ -571,7 +578,7 @@ def main() -> None:
         "sf": sf,
         "reps": reps,
         "n_queries": len(timings),
-        "calibration": timings.get("calibration_range_sum"),
+        "calibration": calibration,
         "errors": sorted(errors) if errors else [],
     }
     sys.stdout.flush()

@@ -64,3 +64,18 @@ def test_quarantine_read_json_splits(spark, tmp_path):
     assert len(bad_rows) == 2
     assert any("not valid json" in b for b in bad_rows)
     assert good.columns == ["id", "text"]  # corrupt col dropped
+
+
+def test_quarantine_read_json_leaves_caller_schema_untouched(spark, tmp_path):
+    """StructType.add mutates self — the corrupt-capture column must
+    be grafted onto a COPY, or a reused caller schema (evolved_read,
+    a write contract) silently grows a spurious nullable column."""
+    from pyspark.sql.types import StructType
+
+    p = tmp_path / "drop.json"
+    p.write_text(json.dumps({"id": 1, "text": "ok"}) + "\n")
+    schema = StructType.fromDDL("id bigint, text string")
+    before = [f.name for f in schema.fields]
+    good, bad = quarantine_read_json(spark, str(p), schema)
+    good.collect(), bad.collect()
+    assert [f.name for f in schema.fields] == before

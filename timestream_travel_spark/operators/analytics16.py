@@ -1,4 +1,4 @@
-"""Round-12 analytics (STAGED — registry.STAGED_MODULES): Tukey
+"""Analytics, part 16 (promoted into load_all()'s round-11 tail): Tukey
 fences (Tukey, *Exploratory Data Analysis*, 1977) per event type —
 the boxplot outlier rule [Q1 − 1.5·IQR, Q3 + 1.5·IQR] with an
 integer census of values outside each fence. The robust companion

@@ -15,8 +15,11 @@ cumulative sums at integer rank cutoffs ⌊d·n/10⌋ over one flat
 division each.
 
 Scale shape: one per-type slice rank (value-domain bounded, the
-analytics5 argument); the Q–Q fan-out is |types|²·9 rows, Lorenz
-|types|·10.
+analytics5 argument); the needed order statistics (≤18 ranks/type
+for Q–Q, ≤10 cutoffs/type for Lorenz) are derived from the bounded
+(t, n) table and broadcast-joined back onto the ranked rows, so
+each event row is touched once — no per-row ×9/×10 fan-out. The
+Q–Q pair table is |types|²·9 rows, Lorenz |types|·10.
 """
 
 from __future__ import annotations
@@ -71,32 +74,42 @@ def q_qq_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     at the output."""
     ev = load_table(spark, sf_dir, "events")
     wr = Window.partitionBy("t").orderBy("v")
-    wn = Window.partitionBy("t")
-    ranked = ev.select(
+    vals = ev.select(
         F.col("event_type").alias("t"),
         F.col("value").cast("decimal(18,4)").alias("v"),
-    ).select(
-        "t",
-        "v",
-        F.row_number().over(wr).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
     )
+    ranked = vals.select("t", "v", F.row_number().over(wr).alias("rn"))
+    # The 9 decile targets need only ranks k+1 / k+2 per (type, d) —
+    # ≤18 ranks per type, all derivable from the bounded (t, n)
+    # table. Broadcast-joining those target ranks back onto the
+    # ranked rows touches each event row ONCE; the old form
+    # crossJoined every row ×9 before aggregating (r11 verdict
+    # "What's wrong #2").
+    nt = vals.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
     ds = spark.range(1, 10).select(F.col("id").alias("d"))
-    j = ranked.crossJoin(F.broadcast(ds))
     k = F.floor((F.col("d") * (F.col("n") - 1)) / 10)
     rem = (F.col("d") * (F.col("n") - 1)) % 10
+    tg = nt.crossJoin(F.broadcast(ds)).select(
+        "t",
+        "d",
+        (k + 1).alias("r_lo"),
+        (k + 2).alias("r_hi"),
+        rem.alias("rem"),
+    )
+    targets = tg.select(
+        "t", "d", "rem", F.col("r_lo").alias("rn"), F.lit("lo").alias("which")
+    ).unionByName(
+        tg.select(
+            "t", "d", "rem", F.col("r_hi").alias("rn"), F.lit("hi").alias("which")
+        )
+    )
+    j = ranked.join(F.broadcast(targets), ["t", "rn"])
     zero = F.lit(0).cast("decimal(18,4)")
+    lo = F.max(F.when(F.col("which") == "lo", F.col("v")))
+    hi = F.max(F.when(F.col("which") == "hi", F.col("v")))
     dec = j.groupBy("t", "d").agg(
         (
-            F.lit(10) * F.max(F.when(F.col("rn") == k + 1, F.col("v")))
-            + F.coalesce(
-                (
-                    F.max(F.when(F.col("rn") == k + 2, F.col("v")))
-                    - F.max(F.when(F.col("rn") == k + 1, F.col("v")))
-                )
-                * F.max(rem),
-                zero,
-            )
+            F.lit(10) * lo + F.coalesce((hi - lo) * F.max("rem"), zero)
         ).alias("q10")
     )
     a = dec.select(
@@ -153,33 +166,34 @@ def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rn")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    ranked = ev.select(
+    vals = ev.select(
         F.col("event_type").alias("t"),
         F.col("value").cast("decimal(18,4)").alias("v"),
-    ).select(
-        "t",
-        "v",
-        F.row_number().over(wr).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
     )
+    ranked = vals.select("t", "v", F.row_number().over(wr).alias("rn"))
     cum = ranked.select(
         "t",
         "rn",
-        "n",
         F.sum("v").over(wc).alias("cv"),
         F.sum("v").over(wn).alias("tot"),
     )
+    # The 10 decile cutoffs ⌊d·n/10⌋ per type come from the bounded
+    # (t, n) table; broadcast-joining them onto the cumulative rows
+    # touches each row once instead of fanning every row ×10 (r11
+    # verdict "What's wrong #2").
+    nt = vals.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
     ds = spark.range(1, 11).select(F.col("id").alias("d"))
     cut = F.floor((F.col("d") * F.col("n")) / 10)
-    return (
-        cum.crossJoin(F.broadcast(ds))
-        .filter((F.col("rn") == cut) & (cut >= 1))
-        .select(
-            F.col("t").alias("event_type"),
-            F.col("d").cast("int").alias("decile"),
-            cut.cast("bigint").alias("n_members"),
-            F.round(
-                F.col("cv").cast("double") / F.col("tot").cast("double"), 6
-            ).alias("cum_share"),
-        )
+    tg = (
+        nt.crossJoin(F.broadcast(ds))
+        .select("t", "d", cut.alias("rn"))
+        .filter(F.col("rn") >= 1)
+    )
+    return cum.join(F.broadcast(tg), ["t", "rn"]).select(
+        F.col("t").alias("event_type"),
+        F.col("d").cast("int").alias("decile"),
+        F.col("rn").cast("bigint").alias("n_members"),
+        F.round(
+            F.col("cv").cast("double") / F.col("tot").cast("double"), 6
+        ).alias("cum_share"),
     )

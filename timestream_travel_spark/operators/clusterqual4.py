@@ -1,5 +1,5 @@
-"""Cluster-quality / density family, part 4 (round-12 STAGED —
-registry.STAGED_MODULES): the mutual-reachability distance
+"""Cluster-quality / density family, part 4 (promoted into
+load_all()'s round-11 tail): the mutual-reachability distance
 (Campello, Moulavi & Sander, PAKDD 2013 —
 d_mreach(a,b) = max(core_a, core_b, d(a,b)), the metric HDBSCAN's
 MST is built over) materialized for every ε-pair, and an embedding

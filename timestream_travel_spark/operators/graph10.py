@@ -1,5 +1,5 @@
-"""Graph analytics, part 10 (round-12 STAGED —
-registry.STAGED_MODULES): the community MIXING MATRIX (Newman,
+"""Graph analytics, part 10 (promoted into load_all()'s round-11
+tail): the community MIXING MATRIX (Newman,
 Phys. Rev. E 67, 2003 §II — the e_ij fractions assortativity and
 modularity are both built from) of the LPA partition on the trade
 backbone: for every unordered community pair, how many backbone

@@ -1,4 +1,4 @@
-"""Retrieval, part 7 (round-12 STAGED — registry.STAGED_MODULES):
+"""Retrieval, part 7 (promoted into load_all()'s round-11 tail):
 nDCG@k (Järvelin & Kekäläinen, TOIS 2002) of the BM25 ranking with
 GRADED relevance — retrieval6's binary recall/MRR harness upgraded
 to graded gains, the metric that distinguishes "found the relevant

@@ -1,4 +1,4 @@
-"""Time series, part 27 (round-12 STAGED — registry.STAGED_MODULES):
+"""Time series, part 27 (promoted into load_all()'s round-11 tail):
 DEMA/TEMA (Mulloy, Technical Analysis of S&C 1994 — lag-compensated
 EMA composites), the Calmar ratio (Young, Futures 1991 — annualized
 return over maximum drawdown), and a rolling-origin one-step

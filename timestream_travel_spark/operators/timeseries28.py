@@ -1,5 +1,5 @@
-"""Time series, part 28 (round-12 STAGED —
-registry.STAGED_MODULES): SPECTRAL FLATNESS (Wiener entropy; Gray &
+"""Time series, part 28 (promoted into load_all()'s round-11
+tail): SPECTRAL FLATNESS (Wiener entropy; Gray &
 Markel, IEEE TASSP 1974) of each event type's hour-of-day profile
 over the same {N_HARM} daily harmonics q_spectral_entropy scores —
 the geometric/arithmetic power-mean ratio: 1.0 for white (flat)

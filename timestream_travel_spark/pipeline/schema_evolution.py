@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StringType, StructField, StructType
 
 
 def evolved_read(
@@ -67,7 +67,14 @@ def quarantine_read_json(
     if isinstance(schema, str):
         schema = StructType.fromDDL(schema)
     if corrupt_col not in [f.name for f in schema.fields]:
-        schema = schema.add(corrupt_col, "string")
+        # Copy before extending: StructType.add mutates self (appends
+        # to self.fields and returns self), so extending the caller's
+        # schema object in place would permanently graft the capture
+        # column onto a schema the caller may reuse for evolved_read
+        # or a write contract.
+        schema = StructType(
+            list(schema.fields) + [StructField(corrupt_col, StringType())]
+        )
     raw = (
         spark.read.schema(schema)
         .option("mode", "PERMISSIVE")
