@@ -287,6 +287,9 @@ EXTRA = [
     "q_trimmed_winsorized_mean",    # exact order-stat robust means
     "q_qq_deciles",                 # x10 scaled-integer decile table
     "q_lorenz_deciles",             # cumulative-share rank cutoffs
+    # round-12 wave
+    "q_hdbscan_mst",                # Boruvka MSF over mreach eps-graph
+    "q_hdbscan_clusters",           # condensed tree + EOM per block
 ]
 
 

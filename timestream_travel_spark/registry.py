@@ -318,6 +318,11 @@ def load_all() -> None:
     from timestream_travel_spark.operators import analytics17  # noqa: F401
     from timestream_travel_spark.operators import analytics18  # noqa: F401
 
+    # round-12 growth wave — registered behind the round-11 surface;
+    # the unchecked queue (19 expired rows-only re-checks + this
+    # wave) stays inside the driver's ~50-slot drain
+    from timestream_travel_spark.operators import clusterqual5  # noqa: F401
+
 
 # Next-round modules, STAGED: written, oracled, and strict-verified
 # this round but NOT loaded by load_all() — the registry freezes at
