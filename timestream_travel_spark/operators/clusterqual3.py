@@ -78,10 +78,13 @@ def _sqdist(a: Column, b: Column) -> Column:
     )
 
 
-def _eps_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _eps_pairs(
+    spark: SparkSession, sf_dir: str, emb: DataFrame | None = None
+) -> DataFrame:
     """(va, vb, label, dd) with va < vb and squared distance
-    dd ≤ ε², blocked on label (the IVF-cell stand-in)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    dd ≤ ε², blocked on label (the IVF-cell stand-in). `emb`
+    overrides the fixture table (planted-fixture pytests)."""
+    e = emb if emb is not None else load_table(spark, sf_dir, "embeddings")
     a = e.select(
         F.col("vec_id").alias("va"),
         F.col("label"),
@@ -258,7 +261,17 @@ def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the paper's first-found assignment — and noise gets -1.
     Spark: census + large-star/small-star CC (logarithmic rounds);
     oracle: recursive-CTE reachability on the same core edges."""
-    p = eps_pairs_cached(spark, sf_dir)
+    return clusters_from_pairs(spark, sf_dir, eps_pairs_cached(spark, sf_dir))
+
+
+def clusters_from_pairs(
+    spark: SparkSession, sf_dir: str, p: DataFrame
+) -> DataFrame:
+    """The DBSCAN clustering assembly over an arbitrary ε-pair table
+    (va, vb, ...): census → core-core CC → min-core-neighbor border
+    attachment. Shared by the label-blocked q_dbscan_clusters and the
+    boundary-ring q_dbscan_clusters_ring (clusterqual6) — the pair
+    table is the only thing the blocking strategy changes."""
     cen = _census(spark, sf_dir, pairs=p).persist()
     core_ids = cen.filter(F.col("is_core") == 1).select("vec_id")
     core_edges = (

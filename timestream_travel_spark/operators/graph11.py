@@ -1,0 +1,438 @@
+"""Graph analytics, part 11 (round 12): FULL Louvain (Blondel,
+Guillaume, Lambiotte & Lefebvre, J. Stat. Mech. 2008) over the
+top-revenue trade backbone — the r11 verdict's "What's missing #4":
+graph8's single refinement sweep iterated to a local optimum, then
+ONE coarsening level (communities → weighted super-nodes with
+self-loops) re-swept on the contracted graph.
+
+Algorithm (both engines, step for step):
+- level 1: start from the paper's SINGLETON partition (every node
+  its own community — graph8's LPA-seeded single sweep remains the
+  separate "refine an existing partition" op), run up to
+  {MAX_SWEEPS} deterministic synchronous move sweeps. Each sweep
+  computes every node's best move from the same pre-sweep state
+  (gain DESC, smaller target label tiebreak) and applies all
+  positive moves at once. Moves are restricted to communities with a
+  SMALLER label than the node's own — the deterministic symmetry
+  breaker distributed Louvain needs: an unrestricted synchronous
+  sweep lets neighbor pairs SWAP communities, proposing a partition
+  isomorphic to the current one (equal modularity → rejected → the
+  loop stalls at the singleton start; observed on this backbone).
+  Downward-only moves make swap cycles impossible while the
+  accept-if-improved gate still bounds quality from below. The swept
+  partition is ACCEPTED only if
+  its exact-integer modularity strictly improves, else the level is
+  converged. Because the sweep is a deterministic function of the
+  partition, a rejected sweep re-proposes the same partition forever
+  — so a fixed unrolled accept-if-improved chain (what the SQL
+  oracle runs) is EXACTLY the early-exit loop (what Spark runs), and
+  the accepted-sweep counts agree.
+- coarsen: contract each community to a super-node; cross-community
+  edge weights sum the member edges, intra-community weight becomes
+  the super-node's self-loop. Weighted degree k_C = Σ cross-weights
+  + 2·self — exactly the degree sum of the members, so total weight
+  2W is invariant and the super-graph's modularity equals the flat
+  partition's modularity on the original graph (the Louvain
+  invariant the paper's §2 rests on).
+- level 2: the same sweep loop on the weighted super-graph, every
+  super-node starting in its own community.
+
+Weighted gain algebra (all exact integers; self-loops move with the
+node, so they cancel out of the gain): with tw = 2W = Σ k_i,
+k_{i,X} = Σ_{j∈X, j≠i} w_ij, D_X the weighted-degree sum of X
+(pre-move, including i in its own community):
+
+    gain4W2 = 2·tw·(k_{i,c'} − k_{i,c}) − 2·k_i·(D_{c'} − D_c + k_i)
+
+and 4W²·Q = 2·tw·Σ_C W_C − Σ_C D_C² where W_C = intra pair weight +
+member self-loops. With unit weights and no self-loops this reduces
+to graph8's pinned unweighted algebra. Modularity improvement across
+accepted sweeps is monotone BY CONSTRUCTION (accept-if-improved), and
+level-2 modularity ≥ level-1 modularity (identity start) — both
+pinned by pytest.
+
+Scale shape: every sweep is two joins and two integer censuses on
+the ≤2·TOP_EDGES-row symmetrized backbone (the Pregel/LPA superstep
+shape); the coarsened graph only shrinks. The per-sweep modularity
+scalar is a 1-row collect (the documented bounded-state driver
+pattern); label lineage is localCheckpoint-truncated per sweep (the
+r11 plan-width lesson).
+
+Reference parity: none (cmd/backup.go has no graph surface) —
+north-star derived capability; closes the r11 verdict item #4.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from timestream_travel_spark.operators.graph3 import (
+    _TOP_EDGES_SQL,
+    top_trade_edges,
+)
+from timestream_travel_spark.registry import query
+
+MAX_SWEEPS = 4  # per level; the backbone converges in 1-2
+
+
+# ---------------------------------------------------------------- SQL
+
+def _q_sql(pfx: str, lab: str) -> str:
+    """Scalar 4W²·Q (BIGINT) of partition CTE `lab` over the weighted
+    graph CTEs {pfx}ew(u,v,w u<v), {pfx}sw(node,s), {pfx}deg(node,d),
+    {pfx}wtot(tw)."""
+    return f"""(
+      SELECT CAST(2 * (SELECT tw FROM {pfx}wtot) * (
+               COALESCE((SELECT SUM(e.w) FROM {pfx}ew e
+                         JOIN {lab} la ON la.node = e.u
+                         JOIN {lab} lb ON lb.node = e.v
+                         WHERE la.lab = lb.lab), 0)
+               + COALESCE((SELECT SUM(s) FROM {pfx}sw), 0))
+             - (SELECT SUM(dsum * dsum) FROM (
+                  SELECT CAST(SUM(d.d) AS BIGINT) AS dsum
+                  FROM {pfx}deg d JOIN {lab} l ON l.node = d.node
+                  GROUP BY l.lab))
+             AS BIGINT)
+    )"""
+
+
+def _sweep_sql(pfx: str, s: int, cur: str, out: str) -> str:
+    """CTE chain for one accept-if-improved sweep: `cur` → `out`,
+    plus {out}_imp(i BIGINT) = 1 if the sweep improved modularity."""
+    t = f"{pfx}s{s}"
+    return f"""{t}_ki AS (
+      SELECT sy.u AS node, l.lab, CAST(SUM(sy.w) AS BIGINT) AS k
+      FROM {pfx}sym sy JOIN {cur} l ON l.node = sy.v
+      GROUP BY sy.u, l.lab
+    ), {t}_dc AS (
+      SELECT l.lab, CAST(SUM(d.d) AS BIGINT) AS dsum
+      FROM {pfx}deg d JOIN {cur} l ON l.node = d.node GROUP BY l.lab
+    ), {t}_own AS (
+      SELECT l.node, l.lab AS c_own, d.d AS ki_deg,
+             COALESCE(k.k, 0) AS k_own, dc.dsum AS d_own
+      FROM {cur} l
+      JOIN {pfx}deg d ON d.node = l.node
+      JOIN {t}_dc dc ON dc.lab = l.lab
+      LEFT JOIN {t}_ki k ON k.node = l.node AND k.lab = l.lab
+    ), {t}_mv AS (
+      SELECT node, lab AS target, gain,
+             row_number() OVER (PARTITION BY node
+                                ORDER BY gain DESC, lab) AS rn
+      FROM (
+        SELECT o.node, ki.lab,
+               2 * (SELECT tw FROM {pfx}wtot) * (ki.k - o.k_own)
+                 - 2 * o.ki_deg * (dc.dsum - o.d_own + o.ki_deg) AS gain
+        FROM {t}_own o
+        JOIN {t}_ki ki ON ki.node = o.node AND ki.lab < o.c_own
+        JOIN {t}_dc dc ON dc.lab = ki.lab
+      )
+    ), {t}_raw AS MATERIALIZED (
+      SELECT o.node,
+             CASE WHEN mv.gain > 0 THEN mv.target ELSE o.c_own END AS lab
+      FROM {t}_own o LEFT JOIN {t}_mv mv ON mv.node = o.node AND mv.rn = 1
+    ), {out}_imp AS (
+      SELECT CASE WHEN {_q_sql(pfx, f"{t}_raw")}
+                  > {_q_sql(pfx, cur)} THEN 1 ELSE 0 END AS i
+    ), {out} AS MATERIALIZED (
+      SELECT c.node,
+             CASE WHEN (SELECT i FROM {out}_imp) = 1 THEN r.lab
+                  ELSE c.lab END AS lab
+      FROM {cur} c JOIN {t}_raw r ON r.node = c.node
+    )"""
+
+
+def _level_sql(pfx: str, lab0: str, n: int) -> tuple[str, str, str]:
+    """(cte_chain, final_label_cte, accepted_count_expr)."""
+    parts = []
+    cur = lab0
+    outs = []
+    for s in range(1, n + 1):
+        out = f"{pfx}l{s}"
+        parts.append(_sweep_sql(pfx, s, cur, out))
+        outs.append(out)
+        cur = out
+    accepted = " + ".join(f"(SELECT i FROM {o}_imp)" for o in outs)
+    return ",\n    ".join(parts), cur, f"({accepted})"
+
+
+_L1_CHAIN, _L1_FIN, _L1_ACC = _level_sql("g1", "lfin", MAX_SWEEPS)
+_L2_CHAIN, _L2_FIN, _L2_ACC = _level_sql("g2", "l2seed", MAX_SWEEPS)
+
+_LOUVAIN2_SQL = f"""
+    WITH {_TOP_EDGES_SQL},
+    es AS MATERIALIZED (SELECT a, b FROM edges),
+    g1ew AS MATERIALIZED (
+      SELECT a AS u, b AS v, CAST(1 AS BIGINT) AS w FROM es
+    ),
+    lfin AS MATERIALIZED (
+      SELECT node, node AS lab FROM (
+        SELECT DISTINCT u AS node FROM (
+          SELECT u FROM g1ew UNION ALL SELECT v FROM g1ew
+        )
+      )
+    ),
+    g1sw AS (SELECT CAST(NULL AS BIGINT) AS node,
+                    CAST(NULL AS BIGINT) AS s WHERE 1 = 0),
+    g1sym AS MATERIALIZED (
+      SELECT u, v, w FROM g1ew UNION ALL SELECT v, u, w FROM g1ew
+    ),
+    g1deg AS MATERIALIZED (
+      SELECT u AS node, CAST(SUM(w) AS BIGINT) AS d FROM g1sym GROUP BY u
+    ),
+    g1wtot AS MATERIALIZED (SELECT CAST(SUM(d) AS BIGINT) AS tw FROM g1deg),
+    {_L1_CHAIN},
+    g2ew AS MATERIALIZED (
+      SELECT least(la.lab, lb.lab) AS u, greatest(la.lab, lb.lab) AS v,
+             CAST(SUM(e.w) AS BIGINT) AS w
+      FROM g1ew e
+      JOIN {_L1_FIN} la ON la.node = e.u
+      JOIN {_L1_FIN} lb ON lb.node = e.v
+      WHERE la.lab <> lb.lab GROUP BY 1, 2
+    ),
+    g2sw AS MATERIALIZED (
+      SELECT la.lab AS node, CAST(SUM(e.w) AS BIGINT) AS s
+      FROM g1ew e
+      JOIN {_L1_FIN} la ON la.node = e.u
+      JOIN {_L1_FIN} lb ON lb.node = e.v
+      WHERE la.lab = lb.lab GROUP BY la.lab
+    ),
+    g2sym AS MATERIALIZED (
+      SELECT u, v, w FROM g2ew UNION ALL SELECT v, u, w FROM g2ew
+    ),
+    g2nodes AS MATERIALIZED (SELECT DISTINCT lab AS node FROM {_L1_FIN}),
+    g2deg AS MATERIALIZED (
+      SELECT n.node,
+             CAST(COALESCE((SELECT SUM(w) FROM g2sym s WHERE s.u = n.node), 0)
+                  + 2 * COALESCE((SELECT s FROM g2sw w WHERE w.node = n.node), 0)
+                  AS BIGINT) AS d
+      FROM g2nodes n
+    ),
+    g2wtot AS MATERIALIZED (SELECT CAST(SUM(d) AS BIGINT) AS tw FROM g2deg),
+    l2seed AS MATERIALIZED (SELECT node, node AS lab FROM g2nodes),
+    {_L2_CHAIN}
+    SELECT
+      CAST((SELECT tw FROM g1wtot) // 2 AS BIGINT) AS w_total,
+      CAST({_L1_ACC} AS BIGINT) AS n_sweeps_l1,
+      (SELECT CAST(COUNT(DISTINCT lab) AS BIGINT) FROM {_L1_FIN}) AS n_comm_l1,
+      round(CAST({_q_sql("g1", _L1_FIN)} AS DOUBLE)
+            / ((SELECT tw FROM g1wtot) * (SELECT tw FROM g1wtot)), 6)
+        AS modularity_l1,
+      CAST({_L2_ACC} AS BIGINT) AS n_sweeps_l2,
+      (SELECT CAST(COUNT(DISTINCT lab) AS BIGINT) FROM {_L2_FIN}) AS n_comm_l2,
+      round(CAST({_q_sql("g2", _L2_FIN)} AS DOUBLE)
+            / ((SELECT tw FROM g2wtot) * (SELECT tw FROM g2wtot)), 6)
+        AS modularity_l2
+    """
+
+
+# -------------------------------------------------------------- Spark
+
+def _wsym(ew: DataFrame) -> DataFrame:
+    return ew.select("u", "v", "w").unionAll(
+        ew.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+    )
+
+
+def _wdeg(sym: DataFrame, sw: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Weighted degree: Σ incident cross weights + 2·self-loop."""
+    cross = sym.groupBy(F.col("u").alias("node")).agg(
+        F.sum("w").cast("bigint").alias("dc")
+    )
+    return (
+        nodes.join(cross, "node", "left")
+        .join(sw.withColumnRenamed("s", "sl"), "node", "left")
+        .select(
+            "node",
+            (
+                F.coalesce("dc", F.lit(0)) + 2 * F.coalesce("sl", F.lit(0))
+            ).cast("bigint").alias("d"),
+        )
+    )
+
+
+def _q4w2(
+    ew: DataFrame, sw: DataFrame, deg: DataFrame, lab: DataFrame, tw: int
+) -> int:
+    """Exact-integer 4W²·Q of the partition (1-row collect)."""
+    la = lab.select(F.col("node").alias("u"), F.col("lab").alias("lab_u"))
+    lb = lab.select(F.col("node").alias("v"), F.col("lab").alias("lab_v"))
+    intra_pairs = (
+        ew.join(F.broadcast(la), "u")
+        .join(F.broadcast(lb), "v")
+        .filter(F.col("lab_u") == F.col("lab_v"))
+        .agg(F.coalesce(F.sum("w"), F.lit(0)).cast("bigint").alias("x"))
+        .collect()[0]["x"]
+    )
+    self_w = sw.agg(
+        F.coalesce(F.sum("s"), F.lit(0)).cast("bigint").alias("x")
+    ).collect()[0]["x"]
+    d2 = (
+        deg.join(lab, "node")
+        .groupBy("lab")
+        .agg(F.sum("d").cast("bigint").alias("dsum"))
+        .agg(F.sum(F.col("dsum") * F.col("dsum")).cast("bigint").alias("x"))
+        .collect()[0]["x"]
+    )
+    return 2 * tw * (int(intra_pairs) + int(self_w)) - int(d2)
+
+
+def _sweep(sym: DataFrame, deg: DataFrame, lab: DataFrame, tw: int) -> DataFrame:
+    """One synchronous move sweep (proposal only — caller scores and
+    accepts/rejects)."""
+    ki = (
+        sym.alias("s")
+        .join(lab.alias("lv"), F.col("lv.node") == F.col("s.v"))
+        .groupBy(F.col("s.u").alias("node"), F.col("lv.lab").alias("lab"))
+        .agg(F.sum("s.w").cast("bigint").alias("k"))
+    )
+    dcsum = deg.join(lab, "node").groupBy("lab").agg(
+        F.sum("d").cast("bigint").alias("dsum")
+    )
+    own = (
+        lab.select("node", F.col("lab").alias("c_own"))
+        .join(deg.withColumnRenamed("d", "ki_deg"), "node")
+        .join(
+            dcsum.select(F.col("lab").alias("c_own"), F.col("dsum").alias("d_own")),
+            "c_own",
+        )
+        .join(
+            ki.select("node", F.col("lab").alias("c_own"), F.col("k").alias("k_own")),
+            ["node", "c_own"],
+            "left",
+        )
+        .select(
+            "node", "c_own", "ki_deg",
+            F.coalesce("k_own", F.lit(0)).alias("k_own"), "d_own",
+        )
+    )
+    cand = (
+        own.join(ki, "node")
+        .filter(F.col("lab") < F.col("c_own"))
+        .join(F.broadcast(dcsum.withColumnRenamed("dsum", "d_tgt")), "lab")
+        .select(
+            "node", "lab",
+            (
+                F.lit(2 * tw) * (F.col("k") - F.col("k_own"))
+                - F.lit(2) * F.col("ki_deg")
+                * (F.col("d_tgt") - F.col("d_own") + F.col("ki_deg"))
+            ).alias("gain"),
+        )
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("gain"), F.asc("lab"))
+    best = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("node", F.col("lab").alias("target"), "gain")
+    )
+    return (
+        own.select("node", "c_own")
+        .join(best, "node", "left")
+        .select(
+            "node",
+            F.when(F.col("gain") > 0, F.col("target"))
+            .otherwise(F.col("c_own"))
+            .alias("lab"),
+        )
+    )
+
+
+def _level(
+    ew: DataFrame, sw: DataFrame, nodes: DataFrame, lab0: DataFrame
+) -> tuple[DataFrame, int, int, int]:
+    """Run the accept-if-improved sweep loop; returns
+    (final labels, accepted sweeps, final 4W²Q, tw)."""
+    sym = _wsym(ew).persist()
+    deg = _wdeg(sym, sw, nodes).persist()
+    tw = int(deg.agg(F.sum("d").cast("bigint").alias("x")).collect()[0]["x"])
+    lab = lab0.localCheckpoint(eager=True)
+    q_cur = _q4w2(ew, sw, deg, lab, tw)
+    accepted = 0
+    for _ in range(MAX_SWEEPS):
+        proposal = _sweep(sym, deg, lab, tw).localCheckpoint(eager=True)
+        q_new = _q4w2(ew, sw, deg, proposal, tw)
+        if q_new > q_cur:
+            lab, q_cur = proposal, q_new
+            accepted += 1
+        else:
+            break  # deterministic sweep: rejection is permanent
+    return lab, accepted, q_cur, tw
+
+
+def louvain_two_level(spark: SparkSession, ew1: DataFrame) -> DataFrame:
+    """Full two-level Louvain over an arbitrary unit-weight edge
+    table ew1(u, v, w) — the query body, factored so planted-fixture
+    pytests drive the identical pipeline."""
+    nodes1 = (
+        ew1.select(F.col("u").alias("node"))
+        .unionAll(ew1.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    empty_sw = spark.createDataFrame([], "node bigint, s bigint")
+    lab0 = nodes1.select("node", F.col("node").alias("lab"))
+    l1, acc1, q1, tw1 = _level(ew1, empty_sw, nodes1, lab0)
+    n_comm_l1 = l1.select("lab").distinct().count()
+
+    # coarsen: communities → weighted super-nodes with self-loops
+    la = l1.select(F.col("node").alias("u"), F.col("lab").alias("lab_u"))
+    lb = l1.select(F.col("node").alias("v"), F.col("lab").alias("lab_v"))
+    tagged = ew1.join(F.broadcast(la), "u").join(F.broadcast(lb), "v").persist()
+    ew2 = (
+        tagged.filter(F.col("lab_u") != F.col("lab_v"))
+        .select(
+            F.least("lab_u", "lab_v").alias("u"),
+            F.greatest("lab_u", "lab_v").alias("v"),
+            "w",
+        )
+        .groupBy("u", "v")
+        .agg(F.sum("w").cast("bigint").alias("w"))
+    )
+    sw2 = (
+        tagged.filter(F.col("lab_u") == F.col("lab_v"))
+        .groupBy(F.col("lab_u").alias("node"))
+        .agg(F.sum("w").cast("bigint").alias("s"))
+    )
+    nodes2 = l1.select(F.col("lab").alias("node")).distinct()
+    seed2 = nodes2.select("node", F.col("node").alias("lab"))
+    l2, acc2, q2, tw2 = _level(
+        ew2.localCheckpoint(eager=True), sw2.localCheckpoint(eager=True),
+        nodes2.localCheckpoint(eager=True), seed2,
+    )
+    n_comm_l2 = l2.select("lab").distinct().count()
+
+    # F.round (HALF_UP), not Python round (half-even) — the engines'
+    # shared rounding contract for double outputs
+    row = spark.createDataFrame(
+        [(tw1 // 2, acc1, n_comm_l1, q1, tw1, acc2, n_comm_l2, q2, tw2)],
+        "w_total bigint, n_sweeps_l1 bigint, n_comm_l1 bigint, "
+        "q1 bigint, tw1 bigint, n_sweeps_l2 bigint, n_comm_l2 bigint, "
+        "q2 bigint, tw2 bigint",
+    )
+    return row.select(
+        "w_total", "n_sweeps_l1", "n_comm_l1",
+        F.round(
+            F.col("q1").cast("double") / (F.col("tw1") * F.col("tw1")), 6
+        ).alias("modularity_l1"),
+        "n_sweeps_l2", "n_comm_l2",
+        F.round(
+            F.col("q2").cast("double") / (F.col("tw2") * F.col("tw2")), 6
+        ).alias("modularity_l2"),
+    )
+
+
+@query("q_louvain_two_level", oracle=_LOUVAIN2_SQL)
+def q_louvain_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Louvain over the trade backbone: level-1 accept-if-
+    improved downward-move sweep loop from the singleton partition,
+    community contraction to a weighted super-graph (self-loops carry
+    intra weight), then the level-2 sweep loop — per-level
+    accepted-sweep counts, community counts, and exact-integer
+    modularity (see module docstring for the algebra and the
+    unrolled-oracle equivalence)."""
+    e = top_trade_edges(spark, sf_dir).persist()
+    ew1 = e.select(
+        F.col("a").alias("u"), F.col("b").alias("v"),
+        F.lit(1).cast("bigint").alias("w"),
+    ).persist()
+    return louvain_two_level(spark, ew1)

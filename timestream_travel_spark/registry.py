@@ -322,6 +322,8 @@ def load_all() -> None:
     # the unchecked queue (19 expired rows-only re-checks + this
     # wave) stays inside the driver's ~50-slot drain
     from timestream_travel_spark.operators import clusterqual5  # noqa: F401
+    from timestream_travel_spark.operators import clusterqual6  # noqa: F401
+    from timestream_travel_spark.operators import graph11  # noqa: F401
 
 
 # Next-round modules, STAGED: written, oracled, and strict-verified
