@@ -370,6 +370,102 @@ def skew_demo(spark) -> list[str]:
     return out
 
 
+MULTIFILE_QUERIES = [
+    "q_groupby_agg",
+    "q_time_range_filter",
+    "q_join_fact",
+    "q_tpch_q3_shipping_priority",
+    "q_resample_hourly",
+]
+_MF_BEGIN = "<!-- MULTIFILE-BEGIN -->"
+_MF_END = "<!-- MULTIFILE-END -->"
+
+
+def multifile_demo(spark, qs, sf_dir: str, n_files: int = 64) -> list[str]:
+    """Multi-file layout audit (r11 verdict 'What's missing #6'):
+    rewrite the fact tables as {n_files}-part stores, prove result
+    equality vs the single-file layout, and show the scan-side
+    evidence single-file fixtures can't produce — real file
+    populations, bin-packed scan partitions, pushdown surviving the
+    layout change."""
+    import tempfile
+
+    from tools.multifile_fixture import build_multifile
+
+    mdir = build_multifile(
+        spark, sf_dir, tempfile.mkdtemp(prefix="multifile_"), n_files
+    )
+    out = [
+        _MF_BEGIN,
+        "## Multi-file layout audit",
+        "",
+        f"`events`/`lineitem` rewritten as {n_files}-part parquet stores",
+        f"(`tools/multifile_fixture.py`) from `{sf_dir}`; other tables",
+        "symlinked. Queries run UNCHANGED on both layouts.",
+        "",
+    ]
+    for tbl in ("events", "lineitem"):
+        raw = spark.read.parquet(f"{mdir}/{tbl}.parquet")
+        nparts = raw.rdd.getNumPartitions()
+        nfiles = len(
+            [f for f in os.listdir(f"{mdir}/{tbl}.parquet") if f.endswith(".parquet")]
+        )
+        out.append(
+            f"- `{tbl}`: {nfiles} files → {nparts} scan partition(s) "
+            "(bin-packed by `spark.sql.files.maxPartitionBytes` / "
+            "`openCostInBytes` — a multi-task scan stage, not the "
+            "single-task scan the 1-file fixtures pin)"
+        )
+    out.append("")
+    for name in MULTIFILE_QUERIES:
+        single = sorted(map(str, qs[name](spark, sf_dir).collect()))
+        multi_df = qs[name](spark, mdir)
+        multi = sorted(map(str, multi_df.collect()))
+        eq = single == multi
+        plan = multi_df._jdf.queryExecution().executedPlan().toString()
+        pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+        has_push = any(p.strip() for p in pushed)
+        aqe_coalesced = "AQEShuffleRead" in plan
+        out.append(f"### {name} (multi-file)\n")
+        out.append(
+            f"- {'✅' if eq else '❌'} results identical across layouts "
+            f"({len(single)} rows, order-insensitive compare)"
+        )
+        if has_push:
+            out.append(
+                "- ✅ filter pushdown survives the multi-file layout: "
+                f"{[p for p in pushed if p.strip()][0][:100]}"
+            )
+        if aqe_coalesced:
+            out.append(
+                "- ✅ AQE shuffle read active on the real file population"
+            )
+        out.append("")
+        if not eq:
+            raise RuntimeError(f"{name}: multi-file result mismatch")
+    out.append(_MF_END)
+    return out
+
+
+def write_multifile_section(lines: list[str]) -> None:
+    """Replace (or append) the marker-delimited multi-file section of
+    PLANS.md without regenerating the other audits."""
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"
+    )
+    with open(path) as fh:
+        text = fh.read()
+    block = "\n".join(lines) + "\n"
+    if _MF_BEGIN in text:
+        pre = text[: text.index(_MF_BEGIN)]
+        post = text[text.index(_MF_END) + len(_MF_END) + 1 :]
+        text = pre + block + post
+    else:
+        text = text.rstrip() + "\n\n" + block
+    with open(path, "w") as fh:
+        fh.write(text)
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     import __spark_entry__ as entrymod
@@ -377,6 +473,12 @@ def main() -> None:
     qs = entrymod.queries()
     spark = get_spark("plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if "--multifile" in sys.argv:
+        sf = sf_dir if sf_dir != "--multifile" else "/root/testdata/sf0.1"
+        write_multifile_section(multifile_demo(spark, qs, sf))
+        print("wrote PLANS.md multi-file section")
+        return
 
     out = [
         "# PLANS — physical-plan audit of headline queries",
