@@ -1,0 +1,224 @@
+"""SURVEY §5.6 sanity tests for the round-12 growth wave
+(retrieval8, ...): each oracled query pinned against an independent
+pure-Python recompute on the same fixture."""
+
+from __future__ import annotations
+
+import math
+from decimal import Decimal
+
+import pytest
+
+from timestream_travel_spark import registry
+from timestream_travel_spark.registry import QUERIES
+from timestream_travel_spark.tables import load_table
+
+registry.load_all()
+
+
+def _bm25_hits(spark, sf_dir):
+    """(top-k doc ids, relevant set, 1-based hit ranks) — the shared
+    spine of the ranked-eval metrics, recomputed from the two
+    already-oracled upstream queries."""
+    topk = [r.doc_id for r in QUERIES["q_bm25_topk"](spark, sf_dir).collect()]
+    rel = {
+        r.doc_id
+        for r in QUERIES["q_contamination_ngrams"](spark, sf_dir).collect()
+    }
+    hits = [i + 1 for i, d in enumerate(topk) if d in rel]
+    return topk, rel, hits
+
+
+def test_retrieval_map_recompute(spark, sf_dir):
+    from timestream_travel_spark.operators.retrieval import TOP_K
+
+    _, rel, hits = _bm25_hits(spark, sf_dir)
+    q = Decimal("1e-12")
+    sum_prec = sum(
+        (Decimal(j / rnk).quantize(q) for j, rnk in enumerate(hits, 1)),
+        Decimal(0),
+    )
+    row = QUERIES["q_retrieval_map"](spark, sf_dir).collect()[0]
+    assert row.k == TOP_K and row.n_relevant == len(rel)
+    assert row.n_hits == len(hits)
+    want = round(float(sum_prec) / min(len(rel), TOP_K), 6)
+    assert row.ap_at_k == pytest.approx(want, abs=1e-6)
+    assert 0.0 <= row.ap_at_k <= 1.0
+
+
+def test_retrieval_err_recompute(spark, sf_dir):
+    from timestream_travel_spark.operators.retrieval import TOP_K
+
+    _, _, hits = _bm25_hits(spark, sf_dir)
+    q = Decimal("1e-12")
+    err = sum(
+        (Decimal(0.5**j / rnk).quantize(q) for j, rnk in enumerate(hits, 1)),
+        Decimal(0),
+    )
+    row = QUERIES["q_retrieval_err"](spark, sf_dir).collect()[0]
+    assert row.k == TOP_K
+    assert row.err_at_k == pytest.approx(round(float(err), 6), abs=1e-6)
+    # the cascade sum is dominated by the first relevant hit
+    if hits:
+        assert row.err_at_k <= 0.5 / hits[0] + 1e-9
+
+
+def test_retrieval_rbp_recompute(spark, sf_dir):
+    from timestream_travel_spark.operators.retrieval8 import RBP_DEN, RBP_NUM
+
+    _, _, hits = _bm25_hits(spark, sf_dir)
+    p = RBP_NUM / RBP_DEN
+    q = Decimal("1e-12")
+    sum_p = sum(
+        (
+            Decimal(RBP_NUM ** (rnk - 1) / RBP_DEN ** (rnk - 1)).quantize(q)
+            for rnk in hits
+        ),
+        Decimal(0),
+    )
+    row = QUERIES["q_retrieval_rbp"](spark, sf_dir).collect()[0]
+    assert row.persistence == pytest.approx(p)
+    assert row.rbp == pytest.approx(round((1 - p) * float(sum_p), 6), abs=1e-6)
+    assert 0.0 <= row.rbp <= 1.0
+
+
+def test_retrieval_success_f1_recompute(spark, sf_dir):
+    from timestream_travel_spark.operators.retrieval import TOP_K
+
+    _, rel, hits = _bm25_hits(spark, sf_dir)
+    row = QUERIES["q_retrieval_success_f1"](spark, sf_dir).collect()[0]
+    assert row.success_at_k == (1 if hits else 0)
+    want_f1 = round(2.0 * len(hits) / (TOP_K + len(rel)), 6) if hits else 0.0
+    assert row.f1_at_k == pytest.approx(want_f1, abs=1e-6)
+    # F1 is the harmonic mean: bounded by min(precision, recall)·2
+    prec, rec = len(hits) / TOP_K, len(hits) / len(rel) if rel else 0.0
+    assert row.f1_at_k <= 2 * min(prec, rec) + 1e-9
+
+
+# ------------------------------------------------ inequality panel
+def _values_by_type(spark, sf_dir):
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .collect()
+    )
+    by_t: dict[str, list[float]] = {}
+    for r in rows:
+        by_t.setdefault(r.event_type, []).append(r.value)
+    return by_t
+
+
+def test_theil_atkinson_recompute(spark, sf_dir):
+    by_t = _values_by_type(spark, sf_dir)
+    got = {
+        r.event_type: r
+        for r in QUERIES["q_theil_atkinson"](spark, sf_dir).collect()
+    }
+    q = Decimal("1e-12")
+    for t, vals in by_t.items():
+        xs = [v for v in vals if v > 0]
+        n = len(xs)
+        mu = float(
+            sum(Decimal(str(round(v, 4))) for v in xs)
+        ) / n
+        theil = float(
+            sum(
+                (Decimal((x / mu) * math.log(x / mu)).quantize(q) for x in xs),
+                Decimal(0),
+            )
+        ) / n
+        lx = float(
+            sum((Decimal(math.log(x)).quantize(q) for x in xs), Decimal(0))
+        )
+        atk = 1.0 - math.exp(lx / n) / mu
+        assert got[t].n == n
+        assert got[t].theil_t == pytest.approx(round(theil, 6), abs=1e-6)
+        assert got[t].atkinson_1 == pytest.approx(round(atk, 6), abs=1e-6)
+        assert got[t].theil_t >= -1e-9 and 0.0 <= got[t].atkinson_1 < 1.0
+
+
+def test_hoover_palma_quantile_recompute(spark, sf_dir):
+    by_t = _values_by_type(spark, sf_dir)
+    hoov = {
+        r.event_type: r
+        for r in QUERIES["q_hoover_index"](spark, sf_dir).collect()
+    }
+    palm = {
+        r.event_type: r
+        for r in QUERIES["q_palma_ratio"](spark, sf_dir).collect()
+    }
+    quan = {
+        r.event_type: r
+        for r in QUERIES["q_quantile_ratio"](spark, sf_dir).collect()
+    }
+    for t, vals in by_t.items():
+        xs = sorted(Decimal(str(round(v, 4))) for v in vals)
+        n = len(xs)
+        s = sum(xs)
+        want_h = float(sum(abs(n * x - s) for x in xs)) / float(2 * n * s)
+        assert hoov[t].hoover == pytest.approx(round(want_h, 6), abs=1e-6)
+        bottom = sum(xs[: (4 * n) // 10])
+        top = sum(xs[n - n // 10 :])
+        assert palm[t].bottom40_sum == pytest.approx(float(bottom))
+        assert palm[t].top10_sum == pytest.approx(float(top))
+        assert palm[t].palma == pytest.approx(
+            round(float(top) / float(bottom), 6), abs=1e-6
+        )
+
+        def qtl(p_num, p_den):
+            return xs[-((-p_num * n) // p_den) - 1]  # ceil(p·n), 1-based
+
+        assert quan[t].p90 == pytest.approx(float(qtl(9, 10)))
+        assert quan[t].p10 == pytest.approx(float(qtl(1, 10)))
+        assert quan[t].ratio_90_10 == pytest.approx(
+            round(float(qtl(9, 10)) / float(qtl(1, 10)), 6), abs=1e-6
+        )
+
+
+def test_brunner_munzel_recompute(spark, sf_dir):
+    """Pure-Python midrank recompute of W and p̂ for every pair —
+    the scipy.stats.brunnermunzel convention."""
+    by_t = _values_by_type(spark, sf_dir)
+    got = {
+        (r.type_a, r.type_b): r
+        for r in QUERIES["q_brunner_munzel"](spark, sf_dir).collect()
+    }
+
+    def midranks(values, universe_sorted):
+        # rank each value against `universe_sorted` with midrank ties
+        import bisect
+
+        out = []
+        for v in values:
+            lo = bisect.bisect_left(universe_sorted, v)
+            hi = bisect.bisect_right(universe_sorted, v)
+            out.append((lo + hi + 1) / 2.0)
+        return out
+
+    types = sorted(by_t)
+    for i, ta in enumerate(types):
+        for tb in types[i + 1 :]:
+            xa, xb = by_t[ta], by_t[tb]
+            na, nb = len(xa), len(xb)
+            comb = sorted(xa + xb)
+            rca = midranks(xa, comb)
+            rcb = midranks(xb, comb)
+            ra = midranks(xa, sorted(xa))
+            rb = midranks(xb, sorted(xb))
+            m_rca, m_rcb = sum(rca) / na, sum(rcb) / nb
+            da = [c - w for c, w in zip(rca, ra)]
+            db = [c - w for c, w in zip(rcb, rb)]
+            s2a = (sum(d * d for d in da) - sum(da) ** 2 / na) / (na - 1)
+            s2b = (sum(d * d for d in db) - sum(db) ** 2 / nb) / (nb - 1)
+            w = (
+                na
+                * nb
+                * (m_rcb - m_rca)
+                / ((na + nb) * math.sqrt(na * s2a + nb * s2b))
+            )
+            p_hat = (m_rcb - (nb + 1) / 2.0) / na
+            r = got[(ta, tb)]
+            assert (r.n_a, r.n_b) == (na, nb)
+            assert r.p_hat == pytest.approx(round(p_hat, 6), abs=1e-6)
+            assert r.w_bm == pytest.approx(round(w, 6), abs=1e-5)
+            assert 0.0 <= r.p_hat <= 1.0
