@@ -222,3 +222,176 @@ def test_brunner_munzel_recompute(spark, sf_dir):
             assert r.p_hat == pytest.approx(round(p_hat, 6), abs=1e-6)
             assert r.w_bm == pytest.approx(round(w, 6), abs=1e-5)
             assert 0.0 <= r.p_hat <= 1.0
+
+
+# ------------------------------------------------- indicator walks
+def _daily_ohlc_py(spark, sf_dir):
+    """(t -> [(day, op, hi, lo, cl)]) day-sorted exact-Decimal daily
+    OHLC of the hourly level series — mirrors timeseries15's
+    _daily_ohlc."""
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("ts", "event_type", "value")
+        .collect()
+    )
+    hourly: dict[tuple, Decimal] = {}
+    for r in rows:
+        key = (r.event_type, r.ts.strftime("%Y-%m-%d"), r.ts.hour)
+        hourly[key] = hourly.get(key, Decimal(0)) + Decimal(
+            str(round(r.value, 4))
+        )
+    days: dict[tuple, dict[int, Decimal]] = {}
+    for (t, day, hr), v in hourly.items():
+        days.setdefault((t, day), {})[hr] = v
+    out: dict[str, list] = {}
+    for (t, day), hrs in sorted(days.items()):
+        vals = [hrs[h] for h in sorted(hrs)]
+        out.setdefault(t, []).append(
+            (day, vals[0], max(vals), min(vals), vals[-1])
+        )
+    return out
+
+
+def test_elder_ray_walk_replay(spark, sf_dir):
+    from timestream_travel_spark.operators.timeseries29 import EMA_A
+
+    ohlc = _daily_ohlc_py(spark, sf_dir)
+    got = {
+        (r.event_type, r.day): r
+        for r in QUERIES["q_elder_ray"](spark, sf_dir).collect()
+    }
+    for t, series in ohlc.items():
+        e1 = None
+        for day, op, hi, lo, cl in series:
+            c = float(cl)
+            e1 = c if e1 is None else (1 - EMA_A) * e1 + EMA_A * c
+            r = got[(t, day)]
+            assert r.bull_power == float(hi) - e1
+            assert r.bear_power == float(lo) - e1
+
+
+def test_mass_index_recompute(spark, sf_dir):
+    from timestream_travel_spark.operators.timeseries29 import EMA_A, MASS_W
+
+    ohlc = _daily_ohlc_py(spark, sf_dir)
+    got = {
+        (r.event_type, r.day): r.mass_index
+        for r in QUERIES["q_mass_index"](spark, sf_dir).collect()
+    }
+    q = Decimal("1e-12")
+    seen = 0
+    for t, series in ohlc.items():
+        e1 = e2 = None
+        ratios = []
+        for day, _, hi, lo, _ in series:
+            rg = float(hi - lo)
+            if e1 is None:
+                e1 = e2 = rg
+            else:
+                e1 = (1 - EMA_A) * e1 + EMA_A * rg
+                e2 = (1 - EMA_A) * e2 + EMA_A * e1
+            ratios.append(Decimal(e1 / e2 if e2 != 0.0 else 1.0).quantize(q))
+            if len(ratios) >= MASS_W:
+                want = float(sum(ratios[-MASS_W:]))
+                assert got[(t, day)] == pytest.approx(want, abs=1e-9)
+                seen += 1
+    assert seen == len(got)
+
+
+def test_ease_of_movement_recompute(spark, sf_dir):
+    from timestream_travel_spark.operators.timeseries29 import EMV_W
+
+    ohlc = _daily_ohlc_py(spark, sf_dir)
+    vol_rows = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", "ts")
+        .count()
+        .collect()
+    )
+    vol: dict[tuple, int] = {}
+    for r in vol_rows:
+        key = (r.event_type, r.ts.strftime("%Y-%m-%d"))
+        vol[key] = vol.get(key, 0) + r["count"]
+    got = {
+        (r.event_type, r.day): r
+        for r in QUERIES["q_ease_of_movement"](spark, sf_dir).collect()
+    }
+    for t, series in ohlc.items():
+        emvs = []
+        prev = None
+        for day, _, hi, lo, _ in series:
+            if prev is not None:
+                n = (hi + lo - prev) * (hi - lo)
+                emv = float(n) / (2 * vol[(t, day)])
+                emvs.append(emv)
+                if len(emvs) >= EMV_W:
+                    r = got[(t, day)]
+                    assert r.emv == emv
+                    # same-order left-associated chain sum
+                    s = emvs[-1]
+                    for x in emvs[-2 : -EMV_W - 1 : -1]:
+                        s = s + x
+                    assert r.emv_sma == pytest.approx(
+                        round(s / EMV_W, 6), abs=1e-6
+                    )
+            prev = hi + lo
+
+
+def test_stochastic_rsi_bounds_and_consistency(spark, sf_dir):
+    """StochRSI ∈ [0,1]; the underlying rsi column must agree with
+    q_rsi_indicator row-for-row on the overlap."""
+    base = {
+        (r.event_type, r.day): r.rsi
+        for r in QUERIES["q_rsi_indicator"](spark, sf_dir).collect()
+    }
+    rows = QUERIES["q_stochastic_rsi"](spark, sf_dir).collect()
+    assert rows, "stoch rsi emitted nothing"
+    for r in rows:
+        assert 0.0 <= r.stoch_rsi <= 1.0
+        assert base[(r.event_type, r.day)] == pytest.approx(
+            r.rsi, abs=1e-6
+        )
+
+
+def test_kst_recompute(spark, sf_dir):
+    from timestream_travel_spark.operators.timeseries29 import (
+        KST_LAGS,
+        KST_SMA,
+    )
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("ts", "event_type", "value")
+        .collect()
+    )
+    daily: dict[tuple, Decimal] = {}
+    for r in rows:
+        key = (r.event_type, r.ts.strftime("%Y-%m-%d"))
+        daily[key] = daily.get(key, Decimal(0)) + Decimal(
+            str(round(r.value, 4))
+        )
+    series: dict[str, list] = {}
+    for (t, day), v in sorted(daily.items()):
+        series.setdefault(t, []).append(float(v))
+    got = {
+        (r.event_type, r.day): r.kst
+        for r in QUERIES["q_kst"](spark, sf_dir).collect()
+    }
+    q = Decimal("1e-12")
+    gate = max(l + s - 1 for l, s in zip(KST_LAGS, KST_SMA))
+    checked = 0
+    for t, vals in series.items():
+        days = sorted({d for (tt, d) in daily if tt == t})
+        for i in range(gate, len(vals)):
+            kst = 0.0
+            for w, (lag, sma) in enumerate(zip(KST_LAGS, KST_SMA), 1):
+                terms = [
+                    Decimal(vals[j] / vals[j - lag] - 1.0).quantize(q)
+                    for j in range(i - sma + 1, i + 1)
+                ]
+                kst += w * (float(sum(terms)) / sma)
+            assert got[(t, days[i])] == pytest.approx(
+                round(kst, 6), abs=1e-6
+            )
+            checked += 1
+    assert checked == len(got)
