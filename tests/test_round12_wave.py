@@ -395,3 +395,121 @@ def test_kst_recompute(spark, sf_dir):
             )
             checked += 1
     assert checked == len(got)
+
+
+# ------------------------------------------------ backbone centralities
+def _backbone_adj(spark, sf_dir):
+    from timestream_travel_spark.operators.graph3 import top_trade_edges
+
+    edges = [(r.a, r.b) for r in top_trade_edges(spark, sf_dir).collect()]
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    return edges, adj
+
+
+def _bfs(adj, src):
+    dist = {src: 0}
+    frontier = [src]
+    while frontier:
+        nxt = []
+        for u in frontier:
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    nxt.append(v)
+        frontier = nxt
+    return dist
+
+
+def test_distance_fixpoint_and_closeness_recompute(spark, sf_dir):
+    """The fixed {DIST_ROUNDS}-round unroll must BE the true BFS on
+    the fixture (no distance exceeds the round count), and
+    closeness/harmonic/eccentricity match a pure-Python BFS."""
+    from timestream_travel_spark.operators.graph12 import DIST_ROUNDS
+
+    _, adj = _backbone_adj(spark, sf_dir)
+    clos = {
+        r.node: r
+        for r in QUERIES["q_closeness_harmonic"](spark, sf_dir).collect()
+    }
+    ecc = {
+        r.node: r
+        for r in QUERIES["q_graph_eccentricity"](spark, sf_dir).collect()
+    }
+    all_ecc = []
+    for src in adj:
+        dist = _bfs(adj, src)
+        assert max(dist.values()) <= DIST_ROUNDS, "unroll below true diameter"
+        ds = [d for d in dist.values() if d > 0]
+        r = clos[src]
+        assert r.n_reach == len(dist)
+        assert r.sum_dist == sum(ds)
+        assert r.closeness == pytest.approx(
+            round((len(dist) - 1) / sum(ds), 6), abs=1e-6
+        )
+        # same-order chain: counts per distance value, ascending d
+        harm = 0.0
+        for k in range(1, DIST_ROUNDS + 1):
+            harm += sum(1 for d in ds if d == k) / k
+        assert r.harmonic == pytest.approx(round(harm, 6), abs=1e-6)
+        assert ecc[src].eccentricity == max(ds)
+        all_ecc.append(max(ds))
+    any_row = next(iter(ecc.values()))
+    assert any_row.radius == min(all_ecc)
+    assert any_row.diameter == max(all_ecc)
+
+
+def test_katz_scaled_integer_recompute(spark, sf_dir):
+    from timestream_travel_spark.operators.graph12 import (
+        KATZ_DEN,
+        KATZ_ROUNDS,
+    )
+
+    _, adj = _backbone_adj(spark, sf_dir)
+    y = {u: 1 for u in adj}
+    for it in range(1, KATZ_ROUNDS + 1):
+        y = {
+            u: KATZ_DEN**it + sum(y[w] for w in adj[u]) for u in adj
+        }
+    got = {
+        r.node: r for r in QUERIES["q_katz_centrality"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(adj)
+    for u, r in got.items():
+        assert r.katz_scaled == y[u]
+        assert r.katz == y[u] / KATZ_DEN**KATZ_ROUNDS  # dyadic-exact
+
+
+def test_ktruss_peel_fixpoint_and_recompute(spark, sf_dir):
+    from timestream_travel_spark.operators.graph12 import (
+        KTRUSS_K,
+        TRUSS_ROUNDS,
+    )
+
+    edges, _ = _backbone_adj(spark, sf_dir)
+
+    def support(es):
+        adj = {}
+        for a, b in es:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        return {(a, b): len(adj[a] & adj[b]) for a, b in es}
+
+    cur = list(edges)
+    rounds_to_fix = 0
+    while True:
+        sup = support(cur)
+        keep = [e for e in cur if sup[e] >= KTRUSS_K - 2]
+        if len(keep) == len(cur):
+            break
+        cur = keep
+        rounds_to_fix += 1
+    assert rounds_to_fix <= TRUSS_ROUNDS, "peel unroll below fixpoint"
+    got = {
+        (r.a, r.b): r.support
+        for r in QUERIES["q_ktruss_edges"](spark, sf_dir).collect()
+    }
+    assert got == support(cur)
+    assert all(s >= KTRUSS_K - 2 for s in got.values())

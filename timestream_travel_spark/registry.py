@@ -327,6 +327,7 @@ def load_all() -> None:
     from timestream_travel_spark.operators import retrieval8  # noqa: F401
     from timestream_travel_spark.operators import analytics19  # noqa: F401
     from timestream_travel_spark.operators import timeseries29  # noqa: F401
+    from timestream_travel_spark.operators import graph12  # noqa: F401
 
 
 # Next-round modules, STAGED: written, oracled, and strict-verified
