@@ -513,3 +513,134 @@ def test_ktruss_peel_fixpoint_and_recompute(spark, sf_dir):
     }
     assert got == support(cur)
     assert all(s >= KTRUSS_K - 2 for s in got.values())
+
+
+# --------------------------------------------- rank tests, part B
+def _pooled_midranks(by_t):
+    """Combined midranks over all samples: value -> midrank."""
+    from collections import Counter
+
+    allv = sorted(v for vals in by_t.values() for v in vals)
+    cnt = Counter(allv)
+    mid, cum = {}, 0
+    for v in sorted(cnt):
+        c = cnt[v]
+        mid[v] = cum + (c + 1) / 2.0
+        cum += c
+    return mid, len(allv), cnt
+
+
+def test_dunn_posthoc_recompute(spark, sf_dir):
+    by_t = _values_by_type(spark, sf_dir)
+    mid, nn, cnt = _pooled_midranks(by_t)
+    ties = sum(c**3 - c for c in cnt.values())
+    got = {
+        (r.type_a, r.type_b): r
+        for r in QUERIES["q_dunn_posthoc"](spark, sf_dir).collect()
+    }
+    types = sorted(by_t)
+    for i, ta in enumerate(types):
+        for tb in types[i + 1 :]:
+            na, nb = len(by_t[ta]), len(by_t[tb])
+            ra = sum(mid[v] for v in by_t[ta]) / na
+            rb = sum(mid[v] for v in by_t[tb]) / nb
+            var = (nn * (nn + 1) / 12.0 - ties / (12.0 * (nn - 1))) * (
+                1.0 / na + 1.0 / nb
+            )
+            z = (ra - rb) / math.sqrt(var)
+            r = got[(ta, tb)]
+            assert (r.n_a, r.n_b) == (na, nb)
+            assert r.z_dunn == pytest.approx(round(z, 6), abs=1e-5)
+
+
+def test_mood_scale_recompute(spark, sf_dir):
+    by_t = _values_by_type(spark, sf_dir)
+    got = {
+        (r.type_a, r.type_b): r.z_mood
+        for r in QUERIES["q_mood_scale_test"](spark, sf_dir).collect()
+    }
+    types = sorted(by_t)
+    for i, ta in enumerate(types):
+        for tb in types[i + 1 :]:
+            pair = {ta: by_t[ta], tb: by_t[tb]}
+            mid, nn, _ = _pooled_midranks(pair)
+            na, nb = len(by_t[ta]), len(by_t[tb])
+            # doubled centered scores s2 = 2R - (N+1); A = s2²
+            a_all = [
+                (2 * mid[v] - (nn + 1)) ** 2
+                for t in (ta, tb)
+                for v in by_t[t]
+            ]
+            t1 = sum((2 * mid[v] - (nn + 1)) ** 2 for v in by_t[ta])
+            sa, sa2 = sum(a_all), sum(x * x for x in a_all)
+            z = (t1 - na * sa / nn) / math.sqrt(
+                na * nb / (nn * (nn - 1.0)) * (sa2 - sa * sa / nn)
+            )
+            assert got[(ta, tb)] == pytest.approx(round(z, 6), abs=1e-5)
+
+
+def test_mad_robust_z_recompute(spark, sf_dir):
+    got = {
+        r.event_type: r
+        for r in QUERIES["q_mad_robust_z"](spark, sf_dir).collect()
+    }
+    for t, vals in _values_by_type(spark, sf_dir).items():
+        xs = sorted(Decimal(str(round(v, 4))) for v in vals)
+        n = len(xs)
+        med2 = xs[(n - 1) // 2] + xs[n // 2]
+        devs = sorted(abs(2 * x - med2) for x in xs)
+        mad4 = devs[(n - 1) // 2] + devs[n // 2]
+        n_out = sum(
+            1 for x in xs if 2 * 6745 * abs(2 * x - med2) > 35000 * mad4
+        )
+        r = got[t]
+        assert r.median == pytest.approx(float(med2) / 2.0)
+        assert r.mad == pytest.approx(float(mad4) / 4.0)
+        assert r.n_outliers == n_out
+
+
+def test_monroe_log_odds_recompute(spark, sf_dir):
+    from collections import Counter
+
+    from timestream_travel_spark.operators.llm_text29 import (
+        MONROE_MIN_G,
+        MONROE_TOP_K,
+        PRIOR_DEN,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text").collect()
+    wc: dict[str, Counter] = {}
+    for r in docs:
+        wc.setdefault(r.lang, Counter()).update(
+            w.lower() for w in r.text.split() if w
+        )
+    glob = Counter()
+    for c in wc.values():
+        glob.update(c)
+    nn = sum(glob.values())
+    got: dict[str, list] = {}
+    for r in QUERIES["q_monroe_log_odds"](spark, sf_dir).collect():
+        got.setdefault(r.lang, []).append(r)
+    for lang, c in wc.items():
+        nl = sum(c.values())
+        scored = []
+        for w, y in c.items():
+            g = glob[w]
+            if g < MONROE_MIN_G:
+                continue
+            aw, a0 = g / PRIOR_DEN, nn / PRIOR_DEN
+            yr = g - y
+            delta = math.log((y + aw) / (nl + a0 - y - aw)) - math.log(
+                (yr + aw) / ((nn - nl) + a0 - yr - aw)
+            )
+            var = 1.0 / (y + aw) + 1.0 / (yr + aw)
+            scored.append((delta / math.sqrt(var), w, y, g))
+        scored.sort(key=lambda s: (-s[0], s[1]))
+        rows = sorted(got[lang], key=lambda r: r.rnk)
+        assert len(rows) == min(MONROE_TOP_K, len(scored))
+        for r, (z, w, y, g) in zip(rows, scored):
+            assert (r.word, r.n_in_lang, r.n_corpus) == (w, y, g)
+            assert r.z_monroe == pytest.approx(round(z, 6), abs=1e-6)
+        # the z ordering is strictly enforced
+        zs = [r.z_monroe for r in rows]
+        assert zs == sorted(zs, reverse=True)

@@ -328,6 +328,8 @@ def load_all() -> None:
     from timestream_travel_spark.operators import analytics19  # noqa: F401
     from timestream_travel_spark.operators import timeseries29  # noqa: F401
     from timestream_travel_spark.operators import graph12  # noqa: F401
+    from timestream_travel_spark.operators import analytics20  # noqa: F401
+    from timestream_travel_spark.operators import llm_text29  # noqa: F401
 
 
 # Next-round modules, STAGED: written, oracled, and strict-verified
