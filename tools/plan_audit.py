@@ -256,6 +256,35 @@ AUDITED = [
     "q_tukey_fences",
     "q_cramer_von_mises",
     "q_trimmed_winsorized_mean",
+    # round-12 wave A (HDBSCAN finish, boundary-ring DBSCAN, full Louvain)
+    "q_hdbscan_mst",
+    "q_hdbscan_clusters",
+    "q_dbscan_core_census_ring",
+    "q_dbscan_clusters_ring",
+    "q_louvain_two_level",
+    # round-12 wave B
+    "q_retrieval_map",
+    "q_retrieval_err",
+    "q_retrieval_rbp",
+    "q_retrieval_success_f1",
+    "q_theil_atkinson",
+    "q_hoover_index",
+    "q_palma_ratio",
+    "q_quantile_ratio",
+    "q_brunner_munzel",
+    "q_dunn_posthoc",
+    "q_mood_scale_test",
+    "q_mad_robust_z",
+    "q_elder_ray",
+    "q_mass_index",
+    "q_ease_of_movement",
+    "q_kst",
+    "q_stochastic_rsi",
+    "q_ktruss_edges",
+    "q_closeness_harmonic",
+    "q_graph_eccentricity",
+    "q_katz_centrality",
+    "q_monroe_log_odds",
 ]
 
 
