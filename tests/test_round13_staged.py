@@ -1,0 +1,167 @@
+"""SURVEY §5.6 sanity tests for the round-13 STAGED wave
+(analytics21, graph13) — exercised here and by
+`tools/oracle_check.py --staged`; registered next round."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from timestream_travel_spark import registry
+from timestream_travel_spark.registry import QUERIES
+from timestream_travel_spark.tables import load_table
+
+registry.load_all()
+registry.load_staged()
+
+
+def _values_by_type(spark, sf_dir):
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .collect()
+    )
+    by_t: dict[str, list[float]] = {}
+    for r in rows:
+        by_t.setdefault(r.event_type, []).append(r.value)
+    return by_t
+
+
+def _midranks(values, universe_sorted):
+    import bisect
+
+    out = []
+    for v in values:
+        lo = bisect.bisect_left(universe_sorted, v)
+        hi = bisect.bisect_right(universe_sorted, v)
+        out.append((lo + hi + 1) / 2.0)
+    return out
+
+
+def test_conover_squared_ranks_recompute(spark, sf_dir):
+    by_t = _values_by_type(spark, sf_dir)
+    got = {
+        (r.type_a, r.type_b): r.z_conover
+        for r in QUERIES["q_conover_squared_ranks"](spark, sf_dir).collect()
+    }
+    types = sorted(by_t)
+    for i, ta in enumerate(types):
+        for tb in types[i + 1 :]:
+            xa, xb = by_t[ta], by_t[tb]
+            na, nb = len(xa), len(xb)
+            sa, sb = sum(xa), sum(xb)
+            # scaled-out deviations on a common denominator n_a·n_b
+            da = [abs(na * x - sa) * nb for x in xa]
+            db = [abs(nb * y - sb) * na for y in xb]
+            comb = sorted(da + db)
+            ra = _midranks(da, comb)
+            rall = ra + _midranks(db, comb)
+            nn = na + nb
+            t1 = sum(r * r for r in ra)
+            s1 = sum(r * r for r in rall)
+            s2 = sum(r**4 for r in rall)
+            z = (t1 - na * s1 / nn) / math.sqrt(
+                na * nb / (nn * (nn - 1.0)) * (s2 - s1 * s1 / nn)
+            )
+            assert got[(ta, tb)] == pytest.approx(round(z, 6), abs=1e-5)
+
+
+def test_cucconi_recompute(spark, sf_dir):
+    by_t = _values_by_type(spark, sf_dir)
+    got = {
+        (r.type_a, r.type_b): r
+        for r in QUERIES["q_cucconi_test"](spark, sf_dir).collect()
+    }
+    types = sorted(by_t)
+    for i, ta in enumerate(types):
+        for tb in types[i + 1 :]:
+            xa, xb = by_t[ta], by_t[tb]
+            na, nb = len(xa), len(xb)
+            nn = na + nb
+            comb = sorted(xa + xb)
+            rb = _midranks(xb, comb)
+            sr2 = sum(r * r for r in rb)
+            sc2 = sum((nn + 1 - r) ** 2 for r in rb)
+            den = math.sqrt(
+                na * nb * (nn + 1) * (2 * nn + 1) * (8 * nn + 11) / 5.0
+            )
+            u = (6 * sr2 - nb * (nn + 1) * (2 * nn + 1)) / den
+            v = (6 * sc2 - nb * (nn + 1) * (2 * nn + 1)) / den
+            rho = 2.0 * (nn * nn - 4) / ((2 * nn + 1) * (8 * nn + 11)) - 1
+            c = (u * u + v * v - 2 * rho * u * v) / (2 * (1 - rho * rho))
+            r = got[(ta, tb)]
+            assert r.u_stat == pytest.approx(round(u, 6), abs=1e-5)
+            assert r.v_stat == pytest.approx(round(v, 6), abs=1e-5)
+            assert r.c_cucconi == pytest.approx(round(c, 6), abs=1e-5)
+            assert r.c_cucconi >= -1e-9  # C is a nonnegative quadratic form
+
+
+def test_welch_anova_recompute(spark, sf_dir):
+    by_t = _values_by_type(spark, sf_dir)
+    k = len(by_t)
+    ws, ms, ns = {}, {}, {}
+    for t, xs in by_t.items():
+        n = len(xs)
+        mean = sum(xs) / n
+        s2 = sum((x - mean) ** 2 for x in xs) / (n - 1)
+        ns[t], ms[t], ws[t] = n, mean, n / s2
+    wsum = sum(ws.values())
+    grand = sum(ws[t] * ms[t] for t in by_t) / wsum
+    num = sum(ws[t] * (ms[t] - grand) ** 2 for t in by_t) / (k - 1)
+    lam = sum((1 - ws[t] / wsum) ** 2 / (ns[t] - 1) for t in by_t)
+    f = num / (1 + 2 * (k - 2) * lam / (k * k - 1))
+    df2 = (k * k - 1) / (3 * lam)
+    row = QUERIES["q_welch_anova"](spark, sf_dir).collect()[0]
+    assert row.k == k
+    assert row.grand_mean == pytest.approx(round(grand, 6), abs=1e-4)
+    assert row.f_welch == pytest.approx(round(f, 6), rel=1e-6)
+    assert row.df2 == pytest.approx(round(df2, 6), rel=1e-6)
+    assert row.f_welch >= 0.0
+
+
+def test_stress_centrality_recompute(spark, sf_dir):
+    from timestream_travel_spark.operators.graph3 import top_trade_edges
+
+    edges = [(r.a, r.b) for r in top_trade_edges(spark, sf_dir).collect()]
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    def bfs_sigma(src):
+        dist = {src: 0}
+        sigma = {src: 1}
+        frontier = [src]
+        while frontier:
+            nxt = []
+            for u in frontier:
+                for v in adj[u]:
+                    if v not in dist:
+                        dist[v] = dist[u] + 1
+                        sigma[v] = 0
+                        nxt.append(v)
+                    if dist[v] == dist[u] + 1:
+                        sigma[v] += sigma[u]
+            frontier = nxt
+        return dist, sigma
+
+    info = {s: bfs_sigma(s) for s in adj}
+    want: dict[int, int] = {}
+    nodes = sorted(adj)
+    for i, s in enumerate(nodes):
+        ds, sgs = info[s]
+        for t in nodes[i + 1 :]:
+            if t not in ds:
+                continue
+            dt, sgt = info[t]
+            for v in adj:
+                if v in (s, t) or v not in ds or v not in dt:
+                    continue
+                if ds[v] + dt[v] == ds[t]:
+                    want[v] = want.get(v, 0) + sgs[v] * sgt[v]
+    got = {
+        r.node: r.stress
+        for r in QUERIES["q_stress_centrality"](spark, sf_dir).collect()
+    }
+    assert got == want  # integer-exact, row-for-row

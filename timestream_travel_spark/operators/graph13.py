@@ -1,0 +1,136 @@
+"""Graph analytics, part 13 (round-13 STAGED): stress centrality
+(Shimbel, Bull. Math. Biophys. 1953) on the trade backbone — the
+INTEGER-EXACT sibling of betweenness: the number of shortest paths
+passing through each node, Σ_{{s<t, v∉{{s,t}}}} σ(s,v)·σ(v,t)·
+[d(s,v)+d(v,t)=d(s,t)]. Betweenness normalizes each term by σ(s,t),
+making it a sum of short rationals (the documented double→DECIMAL
+quantization trap); stress keeps the whole statistic a BIGINT, so
+the oracle comparison is exact with zero float risk — and the
+σ path-count table it builds is the Brandes forward pass, ready for
+a betweenness follow-up.
+
+Exactness: BFS distances are graph12's fixed {DIST_ROUNDS}-round
+unroll (fixpoint pytest-pinned); path counts σ(s,v) accumulate
+layer-by-layer (σ at distance r sums the σ of distance-(r−1)
+neighbors — pure integer DP, one table per layer, unrolled
+identically in both engines); the triple join counting v-interior
+pairs is exact integer arithmetic end-to-end.
+
+Scale shape: the heavy stage stays the fact-table edge extraction;
+distances/σ are ≤|V|² rows, the pair join ≤|V|³ on the bounded
+backbone; each Spark layer localCheckpoints (graph8/9 lesson).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from timestream_travel_spark.operators.graph3 import (
+    _TOP_EDGES_SQL,
+    top_trade_edges,
+)
+from timestream_travel_spark.operators.graph12 import (
+    DIST_ROUNDS,
+    _dist_sql,
+    _distances,
+    _sym,
+)
+from timestream_travel_spark.registry import query
+
+
+def _sigma_sql() -> str:
+    """Per-layer path-count CTEs sg0..sg{DIST_ROUNDS} + their union
+    `sigma` (src, v, d, s). Requires _dist_sql()'s `sym` and
+    d{DIST_ROUNDS} CTEs in scope."""
+    ctes = [
+        "sg0 AS (SELECT DISTINCT u AS src, u AS v, CAST(1 AS BIGINT) AS s"
+        " FROM sym)"
+    ]
+    for r in range(1, DIST_ROUNDS + 1):
+        ctes.append(
+            f"""sg{r} AS MATERIALIZED (
+      SELECT p.src, s.v, CAST(SUM(p.s) AS BIGINT) AS s
+      FROM sg{r - 1} p
+      JOIN sym s ON s.u = p.v
+      JOIN d{DIST_ROUNDS} dv ON dv.src = p.src AND dv.v = s.v
+                            AND dv.d = {r}
+      GROUP BY p.src, s.v
+    )"""
+        )
+    union = "\n      UNION ALL ".join(
+        f"SELECT src, v, {r} AS d, s FROM sg{r}" for r in range(DIST_ROUNDS + 1)
+    )
+    ctes.append(f"sigma AS MATERIALIZED (\n      {union}\n    )")
+    return ",\n    ".join(ctes)
+
+
+@query(
+    "q_stress_centrality",
+    oracle=f"""
+    WITH {_TOP_EDGES_SQL},
+    {_dist_sql()},
+    {_sigma_sql()},
+    dist AS (SELECT src, v, d FROM d{DIST_ROUNDS})
+    SELECT x.v AS node, CAST(SUM(x.s * y.s) AS BIGINT) AS stress
+    FROM sigma x
+    JOIN sigma y ON y.v = x.v AND x.src < y.src
+    JOIN dist st ON st.src = x.src AND st.v = y.src
+    WHERE x.v <> x.src AND x.v <> y.src
+      AND x.d + y.d = st.d
+    GROUP BY x.v
+    """,
+)
+def q_stress_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stress centrality per backbone node: how many shortest paths
+    pass THROUGH it (σ(s,v)·σ(v,t) summed over endpoint pairs with
+    d(s,v)+d(v,t)=d(s,t)) — integer-exact end-to-end (module
+    docstring). Nodes interior to no shortest path are absent (their
+    stress is 0)."""
+    sym = _sym(top_trade_edges(spark, sf_dir)).persist()
+    dist = _distances(spark, sf_dir).persist()
+    layer = (
+        sym.select(F.col("u").alias("src"))
+        .distinct()
+        .select("src", F.col("src").alias("v"), F.lit(1).cast("bigint").alias("s"))
+    )
+    sigma = layer.withColumn("d", F.lit(0))
+    for r in range(1, DIST_ROUNDS + 1):
+        nbr = sym.select(F.col("u").alias("pu"), F.col("v").alias("nv"))
+        dv = dist.filter(F.col("d") == r).select(
+            F.col("src").alias("dsrc"), F.col("v").alias("dvv")
+        )
+        layer = (
+            layer.join(nbr, layer.v == nbr.pu)
+            .join(
+                dv,
+                (F.col("src") == F.col("dsrc")) & (F.col("nv") == F.col("dvv")),
+                "left_semi",
+            )
+            .groupBy("src", F.col("nv").alias("v"))
+            .agg(F.sum("s").cast("bigint").alias("s"))
+            .localCheckpoint(eager=True)
+        )
+        sigma = sigma.unionAll(layer.withColumn("d", F.lit(r)))
+    x = sigma.select(
+        F.col("src").alias("xs"), F.col("v").alias("node"),
+        F.col("d").alias("xd"), F.col("s").alias("xsig"),
+    )
+    y = sigma.select(
+        F.col("src").alias("ys"), F.col("v").alias("ynode"),
+        F.col("d").alias("yd"), F.col("s").alias("ysig"),
+    )
+    st = dist.select(
+        F.col("src").alias("ss"), F.col("v").alias("tt"), F.col("d").alias("sd")
+    )
+    return (
+        x.join(y, (F.col("node") == F.col("ynode")) & (F.col("xs") < F.col("ys")))
+        .join(st, (F.col("ss") == F.col("xs")) & (F.col("tt") == F.col("ys")))
+        .filter(
+            (F.col("node") != F.col("xs"))
+            & (F.col("node") != F.col("ys"))
+            & (F.col("xd") + F.col("yd") == F.col("sd"))
+        )
+        .groupBy("node")
+        .agg(F.sum(F.col("xsig") * F.col("ysig")).cast("bigint").alias("stress"))
+    )
