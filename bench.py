@@ -290,6 +290,31 @@ EXTRA = [
     # round-12 wave
     "q_hdbscan_mst",                # Boruvka MSF over mreach eps-graph
     "q_hdbscan_clusters",           # condensed tree + EOM per block
+    "q_dbscan_core_census_ring",    # coarse-cell + boundary-ring pairs
+    "q_dbscan_clusters_ring",       # ring pairs -> CC clusters
+    "q_louvain_two_level",          # sweeps-to-optimum + contraction
+    "q_retrieval_map",              # AP@k over BM25 + labels
+    "q_retrieval_err",              # binary-cascade ERR@k
+    "q_retrieval_rbp",              # rank-biased precision p=3/4
+    "q_retrieval_success_f1",       # success@k + F1@k
+    "q_theil_atkinson",             # inequality indices (quantized ln terms)
+    "q_hoover_index",               # DECIMAL-exact Robin Hood index
+    "q_palma_ratio",                # integer rank-overlap bucket shares
+    "q_quantile_ratio",             # type-1 quantile tail ratios
+    "q_brunner_munzel",             # doubled-midrank heteroscedastic test
+    "q_dunn_posthoc",               # pooled-midrank KW follow-up
+    "q_mood_scale_test",            # quartic permutation moments
+    "q_mad_robust_z",               # float-free outlier census
+    "q_elder_ray",                  # EMA walk on daily OHLC
+    "q_mass_index",                 # double-EMA range bulge
+    "q_ease_of_movement",           # exact-numerator EMV + lag-chain SMA
+    "q_kst",                        # 4-stream weighted ROC composite
+    "q_stochastic_rsi",             # window extrema over Cutler RSI
+    "q_ktruss_edges",               # fixed-round support peel
+    "q_closeness_harmonic",         # fixed-unroll BFS centralities
+    "q_graph_eccentricity",         # radius/diameter/centers
+    "q_katz_centrality",            # dyadic scaled-integer iteration
+    "q_monroe_log_odds",            # Dirichlet-prior keyness top-k
 ]
 
 

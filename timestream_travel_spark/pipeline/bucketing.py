@@ -12,6 +12,8 @@ buckets additionally removes the per-task sort of a sort-merge join.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -22,7 +24,22 @@ def write_bucketed(
     n_buckets: int = 8,
     sort: bool = True,
 ) -> None:
-    """Persist df as a bucketed (and bucket-sorted) managed table."""
+    """Persist df as a bucketed (and bucket-sorted) managed table.
+
+    Scrubs a leftover warehouse directory first: `mode("overwrite")`
+    only replaces a table the CURRENT session's catalog knows about —
+    an orphaned `spark-warehouse/<table>` dir from another session
+    (e.g. a crashed or concurrent job) fails the save with
+    LOCATION_ALREADY_EXISTS instead of being overwritten."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    if not spark.catalog.tableExists(table):
+        import shutil
+
+        warehouse = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        shutil.rmtree(os.path.join(warehouse, table.lower()), ignore_errors=True)
     w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
     if sort:
         w = w.sortBy(bucket_col)
