@@ -255,27 +255,37 @@ def _wdeg(sym: DataFrame, sw: DataFrame, nodes: DataFrame) -> DataFrame:
 def _q4w2(
     ew: DataFrame, sw: DataFrame, deg: DataFrame, lab: DataFrame, tw: int
 ) -> int:
-    """Exact-integer 4W²·Q of the partition (1-row collect)."""
+    """Exact-integer 4W²·Q of the partition — ONE 1-row collect.
+
+    The three sufficient statistics (intra-community cross weight,
+    self-loop weight, Σ per-community degree²) cross-join into a
+    single plan: the sweep loop calls this up to {MAX_SWEEPS}+1
+    times per level, so three separate collects tripled the
+    driver-job count (measured 12.4 s → the job-count overhead
+    dominated this query's bench row)."""
     la = lab.select(F.col("node").alias("u"), F.col("lab").alias("lab_u"))
     lb = lab.select(F.col("node").alias("v"), F.col("lab").alias("lab_v"))
-    intra_pairs = (
+    intra = (
         ew.join(F.broadcast(la), "u")
         .join(F.broadcast(lb), "v")
         .filter(F.col("lab_u") == F.col("lab_v"))
-        .agg(F.coalesce(F.sum("w"), F.lit(0)).cast("bigint").alias("x"))
-        .collect()[0]["x"]
+        .agg(F.coalesce(F.sum("w"), F.lit(0)).cast("bigint").alias("intra"))
     )
-    self_w = sw.agg(
-        F.coalesce(F.sum("s"), F.lit(0)).cast("bigint").alias("x")
-    ).collect()[0]["x"]
+    selfw = sw.agg(
+        F.coalesce(F.sum("s"), F.lit(0)).cast("bigint").alias("selfw")
+    )
     d2 = (
         deg.join(lab, "node")
         .groupBy("lab")
         .agg(F.sum("d").cast("bigint").alias("dsum"))
-        .agg(F.sum(F.col("dsum") * F.col("dsum")).cast("bigint").alias("x"))
-        .collect()[0]["x"]
+        .agg(
+            F.coalesce(F.sum(F.col("dsum") * F.col("dsum")), F.lit(0))
+            .cast("bigint")
+            .alias("d2")
+        )
     )
-    return 2 * tw * (int(intra_pairs) + int(self_w)) - int(d2)
+    row = intra.crossJoin(selfw).crossJoin(d2).collect()[0]
+    return 2 * tw * (int(row["intra"]) + int(row["selfw"])) - int(row["d2"])
 
 
 def _sweep(sym: DataFrame, deg: DataFrame, lab: DataFrame, tw: int) -> DataFrame:
@@ -430,9 +440,13 @@ def q_louvain_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     accepted-sweep counts, community counts, and exact-integer
     modularity (see module docstring for the algebra and the
     unrolled-oracle equivalence)."""
-    e = top_trade_edges(spark, sf_dir).persist()
+    e = top_trade_edges(spark, sf_dir)
     ew1 = e.select(
         F.col("a").alias("u"), F.col("b").alias("v"),
         F.lit(1).cast("bigint").alias("w"),
-    ).persist()
+        # eager checkpoint, not persist: ~20 small driver jobs follow
+        # (sweep scoring loop), and each would re-ANALYZE the full
+        # fact-table extraction lineage even on a cache hit — the
+        # graph8/9 plan-width lesson applied to the level-1 inputs
+    ).localCheckpoint(eager=True)
     return louvain_two_level(spark, ew1)
