@@ -578,6 +578,25 @@ def main() -> None:
     # build/reuse timings are reported per-query but not summed.
     # An errored headline query contributes nothing to the sum —
     # `headline_errors` flags that the total is then an undercount.
+    # END-of-run twin of the calibration row: the same fixed
+    # synthetic op timed after every query has run. start≈end means
+    # per-query numbers are comparable across the whole run; end ≫
+    # start exposes WITHIN-RUN drift (accumulated JVM/session state
+    # inflating late-run queries), which a single leading calibration
+    # can't see — measured locally in r12: late-list queries ran ~2×
+    # their fresh-session time while the shared persisted tables were
+    # experimentally exonerated (ROADMAP r12 notes).
+    record(
+        "calibration_range_sum_end",
+        lambda: spark.range(200_000_000)
+        .selectExpr("sum(id) AS s")
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
+    calibration_end = timings.pop("calibration_range_sum_end", None)
+    minima.pop("calibration_range_sum_end", None)
+
     total = round(sum(timings.get(n, 0.0) for n in HEADLINE), 3)
     payload = {
         "metric": "headline_queries_total_wall",
@@ -588,6 +607,7 @@ def main() -> None:
         "queries_min": minima,
         "sf": sf,
         "calibration": calibration,
+        "calibration_end": calibration_end,
         "rollup_store_files": rollup_files,
         "rollup_store_partitions": rollup_partitions,
     }
@@ -607,6 +627,7 @@ def main() -> None:
         "reps": reps,
         "n_queries": len(timings),
         "calibration": calibration,
+        "calibration_end": calibration_end,
         "errors": sorted(errors) if errors else [],
     }
     sys.stdout.flush()
