@@ -165,3 +165,68 @@ def test_stress_centrality_recompute(spark, sf_dir):
         for r in QUERIES["q_stress_centrality"](spark, sf_dir).collect()
     }
     assert got == want  # integer-exact, row-for-row
+
+
+def test_ansari_bradley_lepage_recompute(spark, sf_dir):
+    by_t = _values_by_type(spark, sf_dir)
+    ab = {
+        (r.type_a, r.type_b): r
+        for r in QUERIES["q_ansari_bradley"](spark, sf_dir).collect()
+    }
+    lp = {
+        (r.type_a, r.type_b): r
+        for r in QUERIES["q_lepage_test"](spark, sf_dir).collect()
+    }
+    types = sorted(by_t)
+    for i, ta in enumerate(types):
+        for tb in types[i + 1 :]:
+            xa, xb = by_t[ta], by_t[tb]
+            na, nb = len(xa), len(xb)
+            nn = na + nb
+            comb = sorted(xa + xb)
+            ra = _midranks(xa, comb)
+            rall = ra + _midranks(xb, comb)
+            sa = [min(r, nn + 1 - r) for r in ra]
+            aall = [min(r, nn + 1 - r) for r in rall]
+            t_ab = sum(sa)
+            s1, s2 = sum(aall), sum(x * x for x in aall)
+            z_ab = (t_ab - na * s1 / nn) / math.sqrt(
+                na * nb / (nn * (nn - 1.0)) * (s2 - s1 * s1 / nn)
+            )
+            t_w = sum(ra)
+            sw2 = sum(r * r for r in rall)
+            z_w = (t_w - na * (nn + 1) / 2.0) / math.sqrt(
+                na
+                * nb
+                / (nn * (nn - 1.0))
+                * (sw2 - nn * ((nn + 1) / 2.0) ** 2)
+            )
+            r = ab[(ta, tb)]
+            assert r.ab_stat == pytest.approx(t_ab)
+            assert r.z_ab == pytest.approx(round(z_ab, 6), abs=1e-5)
+            q = lp[(ta, tb)]
+            assert q.z_wilcoxon == pytest.approx(round(z_w, 6), abs=1e-5)
+            assert q.z_ab == pytest.approx(round(z_ab, 6), abs=1e-5)
+            assert q.l_lepage == pytest.approx(
+                round(z_w * z_w + z_ab * z_ab, 6), abs=1e-4
+            )
+            assert q.l_lepage >= -1e-9
+
+
+def test_hodges_lehmann_recompute(spark, sf_dir):
+    """Exact brute-force median of all pairwise cent differences —
+    the selection search must land on it precisely."""
+    by_t = _values_by_type(spark, sf_dir)
+    got = {
+        (r.type_a, r.type_b): r.hl_shift
+        for r in QUERIES["q_hodges_lehmann_shift"](spark, sf_dir).collect()
+    }
+    types = sorted(by_t)
+    for i, ta in enumerate(types):
+        for tb in types[i + 1 :]:
+            a = [round(v * 100) for v in by_t[ta]]
+            b = [round(v * 100) for v in by_t[tb]]
+            diffs = sorted(y - x for x in a for y in b)
+            p = len(diffs)
+            want = (diffs[(p + 1) // 2 - 1] + diffs[(p + 2) // 2 - 1]) / 200.0
+            assert got[(ta, tb)] == want, (ta, tb)
