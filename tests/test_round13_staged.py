@@ -230,3 +230,168 @@ def test_hodges_lehmann_recompute(spark, sf_dir):
             p = len(diffs)
             want = (diffs[(p + 1) // 2 - 1] + diffs[(p + 2) // 2 - 1]) / 200.0
             assert got[(ta, tb)] == want, (ta, tb)
+
+
+def test_copurchase_recompute(spark, sf_dir):
+    from collections import Counter
+
+    from timestream_travel_spark.operators.graph14 import COPURCHASE_TOP_K
+
+    inc = {
+        (r.l_orderkey, r.l_partkey)
+        for r in load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    }
+    by_order: dict[int, list[int]] = {}
+    for o, p in inc:
+        by_order.setdefault(o, []).append(p)
+    pair_n = Counter()
+    for parts in by_order.values():
+        ps = sorted(set(parts))
+        for i, a in enumerate(ps):
+            for b in ps[i + 1 :]:
+                pair_n[(a, b)] += 1
+    sup = Counter(p for _, p in inc)
+    n_orders = len(by_order)
+    ranked = sorted(pair_n.items(), key=lambda kv: (-kv[1], kv[0]))[
+        :COPURCHASE_TOP_K
+    ]
+    rows = QUERIES["q_copurchase_pairs"](spark, sf_dir).collect()
+    assert len(rows) == min(COPURCHASE_TOP_K, len(pair_n))
+    got = {(r.pa, r.pb): r for r in rows}
+    for (a, b), n_co in ranked:
+        r = got[(a, b)]
+        assert r.n_co == n_co and (r.n_a, r.n_b) == (sup[a], sup[b])
+        assert r.n_orders == n_orders
+        assert r.lift == pytest.approx(
+            round(n_co * n_orders / (sup[a] * sup[b]), 6), abs=1e-6
+        )
+
+
+def _ohlc_tr_py(spark, sf_dir):
+    """(t -> [(day, op, hi, lo, cl, tr)]) with exact-Decimal OHLC and
+    true range — mirrors timeseries30's substrate."""
+    from decimal import Decimal
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("ts", "event_type", "value")
+        .collect()
+    )
+    hourly: dict[tuple, Decimal] = {}
+    for r in rows:
+        key = (r.event_type, r.ts.strftime("%Y-%m-%d"), r.ts.hour)
+        hourly[key] = hourly.get(key, Decimal(0)) + Decimal(
+            str(round(r.value, 4))
+        )
+    days: dict[tuple, dict[int, Decimal]] = {}
+    for (t, day, hr), v in hourly.items():
+        days.setdefault((t, day), {})[hr] = v
+    out: dict[str, list] = {}
+    prev_cl: dict[str, Decimal] = {}
+    for (t, day), hrs in sorted(days.items()):
+        vals = [hrs[h] for h in sorted(hrs)]
+        op, hi, lo, cl = vals[0], max(vals), min(vals), vals[-1]
+        if t in prev_cl:
+            tr = max(hi - lo, abs(hi - prev_cl[t]), abs(lo - prev_cl[t]))
+        else:
+            tr = hi - lo
+        prev_cl[t] = cl
+        out.setdefault(t, []).append((day, op, hi, lo, cl, tr))
+    return out
+
+
+def test_chandelier_qstick_recompute(spark, sf_dir):
+    from timestream_travel_spark.operators.timeseries30 import (
+        CE_K,
+        CE_W,
+        QS_W,
+    )
+
+    ohlc = _ohlc_tr_py(spark, sf_dir)
+    ce = {
+        (r.event_type, r.day): r
+        for r in QUERIES["q_chandelier_exit"](spark, sf_dir).collect()
+    }
+    qb = {
+        (r.event_type, r.day): r
+        for r in QUERIES["q_qstick_bop"](spark, sf_dir).collect()
+    }
+    for t, series in ohlc.items():
+        for i in range(len(series)):
+            day = series[i][0]
+            if i + 1 >= CE_W:
+                win = series[i - CE_W + 1 : i + 1]
+                hh = max(float(r[2]) for r in win)
+                ll = min(float(r[3]) for r in win)
+                atr = float(sum(r[5] for r in win)) / CE_W
+                r = ce[(t, day)]
+                assert r.chandelier_long == pytest.approx(
+                    round(hh - CE_K * atr, 6), abs=1e-6
+                )
+                assert r.chandelier_short == pytest.approx(
+                    round(ll + CE_K * atr, 6), abs=1e-6
+                )
+                assert r.long_held == (
+                    1 if float(series[i][4]) > hh - CE_K * atr else 0
+                )
+            if i + 1 >= QS_W:
+                win = series[i - QS_W + 1 : i + 1]
+                body = float(sum(r[4] - r[1] for r in win)) / QS_W
+                bops = [
+                    0.0
+                    if r[2] == r[3]
+                    else float(r[4] - r[1]) / float(r[2] - r[3])
+                    for r in win
+                ]
+                s = bops[-1]
+                for x in bops[-2::-1]:
+                    s = s + x
+                r = qb[(t, day)]
+                assert r.qstick == pytest.approx(round(body, 6), abs=1e-6)
+                assert r.bop_sma == pytest.approx(
+                    round(s / QS_W, 6), abs=1e-6
+                )
+
+
+def test_supertrend_walk_replay(spark, sf_dir):
+    """Bit-exact pure-Python replay of the band/trend hysteresis,
+    plus the invariant: the indicator sits on the lower band in an
+    up-trend and the upper band in a down-trend."""
+    from timestream_travel_spark.operators.timeseries30 import ST_M, ST_W
+
+    ohlc = _ohlc_tr_py(spark, sf_dir)
+    got = {
+        (r.event_type, r.day): r
+        for r in QUERIES["q_supertrend"](spark, sf_dir).collect()
+    }
+    n_checked = 0
+    for t, series in ohlc.items():
+        f_ub = f_lb = prev_cl = None
+        trend = 1
+        for i in range(ST_W - 1, len(series)):
+            day = series[i][0]
+            win = series[i - ST_W + 1 : i + 1]
+            mid = float(series[i][2] + series[i][3]) / 2.0
+            atr = float(sum(r[5] for r in win)) / ST_W
+            cl = float(series[i][4])
+            bub, blb = mid + ST_M * atr, mid - ST_M * atr
+            if f_ub is None:
+                f_ub, f_lb = bub, blb
+                trend = 1 if cl > bub else -1
+            else:
+                if bub < f_ub or prev_cl > f_ub:
+                    f_ub = bub
+                if blb > f_lb or prev_cl < f_lb:
+                    f_lb = blb
+                if trend == 1:
+                    trend = -1 if cl <= f_lb else 1
+                else:
+                    trend = 1 if cl >= f_ub else -1
+            prev_cl = cl
+            r = got[(t, day)]
+            assert r.trend == trend
+            assert r.supertrend == (f_lb if trend == 1 else f_ub)
+            n_checked += 1
+    assert n_checked == len(got)

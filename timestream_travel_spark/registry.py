@@ -339,7 +339,13 @@ def load_all() -> None:
 # The next round promotes them by moving the module names into
 # load_all()'s tail (registered-last rule). Until then they are
 # exercised by pytest and `tools/oracle_check.py --staged`.
-STAGED_MODULES: tuple[str, ...] = ("analytics21", "analytics22", "graph13")
+STAGED_MODULES: tuple[str, ...] = (
+    "analytics21",
+    "analytics22",
+    "graph13",
+    "graph14",
+    "timeseries30",
+)
 
 
 def load_staged() -> None:
