@@ -395,3 +395,48 @@ def test_supertrend_walk_replay(spark, sf_dir):
             assert r.supertrend == (f_lb if trend == 1 else f_ub)
             n_checked += 1
     assert n_checked == len(got)
+
+
+def test_page_hinkley_walk_replay(spark, sf_dir):
+    """Bit-exact pure-Python replay of the running-mean CUSUM walk;
+    PH is nonnegative by construction."""
+    from decimal import Decimal
+
+    from timestream_travel_spark.operators.timeseries31 import (
+        PH_DELTA,
+        PH_LAMBDA,
+    )
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("ts", "event_type", "value")
+        .collect()
+    )
+    daily: dict[tuple, Decimal] = {}
+    for r in rows:
+        key = (r.event_type, r.ts.strftime("%Y-%m-%d"))
+        daily[key] = daily.get(key, Decimal(0)) + Decimal(
+            str(round(r.value, 4))
+        )
+    got = {
+        (r.event_type, r.day): r
+        for r in QUERIES["q_page_hinkley"](spark, sf_dir).collect()
+    }
+    series: dict[str, list] = {}
+    for (t, day), v in sorted(daily.items()):
+        series.setdefault(t, []).append((day, float(v)))
+    for t, days in series.items():
+        s = m = mn = 0.0
+        for k, (day, x) in enumerate(days, 1):
+            if k == 1:
+                s = x
+                m = x - s / 1 - PH_DELTA
+                mn = min(0.0, m)
+            else:
+                s = s + x
+                m = m + (x - s / k - PH_DELTA)
+                mn = min(mn, m)
+            r = got[(t, day)]
+            assert r.m == m and r.ph == m - mn
+            assert r.ph >= 0.0
+            assert r.alarm == (1 if m - mn > PH_LAMBDA else 0)

@@ -345,6 +345,7 @@ STAGED_MODULES: tuple[str, ...] = (
     "graph13",
     "graph14",
     "timeseries30",
+    "timeseries31",
 )
 
 
