@@ -440,3 +440,44 @@ def test_page_hinkley_walk_replay(spark, sf_dir):
             assert r.m == m and r.ph == m - mn
             assert r.ph >= 0.0
             assert r.alarm == (1 if m - mn > PH_LAMBDA else 0)
+
+
+def test_heikin_ashi_walk_replay(spark, sf_dir):
+    """Bit-exact dyadic walk replay + the candle-envelope invariant
+    (ha_low ≤ ha_open, ha_close ≤ ha_high)."""
+    ohlc = _ohlc_tr_py(spark, sf_dir)
+    got = {
+        (r.event_type, r.day): r
+        for r in QUERIES["q_heikin_ashi"](spark, sf_dir).collect()
+    }
+    for t, series in ohlc.items():
+        ha_o = ha_c = None
+        for day, op, hi, lo, cl, _ in series:
+            op, hi, lo, cl = float(op), float(hi), float(lo), float(cl)
+            nc = (op + hi + lo + cl) / 4.0
+            no = (op + cl) / 2.0 if ha_o is None else (ha_o + ha_c) / 2.0
+            ha_o, ha_c = no, nc
+            r = got[(t, day)]
+            assert (r.ha_open, r.ha_close) == (no, nc)
+            assert r.ha_high == max(hi, no, nc)
+            assert r.ha_low == min(lo, no, nc)
+            assert r.ha_low <= min(no, nc) <= max(no, nc) <= r.ha_high
+
+
+def test_pivot_points_recompute(spark, sf_dir):
+    ohlc = _ohlc_tr_py(spark, sf_dir)
+    got = {
+        (r.event_type, r.day): r
+        for r in QUERIES["q_pivot_points"](spark, sf_dir).collect()
+    }
+    for t, series in ohlc.items():
+        for (pd_, _, ph, pl, pc, _), (day, *_rest) in zip(
+            series, series[1:]
+        ):
+            ph, pl, pc = float(ph), float(pl), float(pc)
+            p = (ph + pl + pc) / 3.0
+            r = got[(t, day)]
+            assert r.pivot == p
+            assert r.r1 == 2.0 * p - pl and r.s1 == 2.0 * p - ph
+            assert r.r2 == p + (ph - pl) and r.s2 == p - (ph - pl)
+            assert r.s2 <= r.s1 <= r.r1 <= r.r2

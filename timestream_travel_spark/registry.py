@@ -346,6 +346,7 @@ STAGED_MODULES: tuple[str, ...] = (
     "graph14",
     "timeseries30",
     "timeseries31",
+    "timeseries32",
 )
 
 
