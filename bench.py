@@ -632,6 +632,17 @@ def main() -> None:
     }
     sys.stdout.flush()
     print(json.dumps(summary))
+    # The driver records only a 2000-char TAIL of stdout, so the
+    # full per-query payload is lost to round-over-round comparison
+    # (bench_compare could see just ~60 shared queries in r11→r12).
+    # Persist the complete payload beside the repo so the next
+    # round's attribution compares EVERY query, not the tail.
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as fh:
+            json.dump(payload, fh)
+    except OSError:
+        pass  # read-only checkout: stdout payload remains the record
 
 
 if __name__ == "__main__":
