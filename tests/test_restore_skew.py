@@ -336,6 +336,50 @@ def test_bucketed_join_elides_shuffle(spark, sf_dir):
         spark.sql("DROP TABLE IF EXISTS b_orders")
 
 
+def test_write_bucketed_orphan_scrub_is_scoped(spark, sf_dir):
+    """The warehouse scrub fires ONLY for the true orphan case — a
+    `spark-warehouse/<table>` dir the catalog does not know about
+    (ADVICE r12): a planted orphan is cleared and the write succeeds;
+    a catalog-known table overwrites without any rmtree (the sentinel
+    we plant next to it survives, proving the scrub didn't run)."""
+    import os
+
+    from timestream_travel_spark.pipeline.bucketing import write_bucketed
+
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    tbl = "b_orphan_scrub"
+    path = os.path.join(warehouse, tbl)
+    try:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        # plant an orphan: dir exists, catalog doesn't know it
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "junk"), "w") as fh:
+            fh.write("orphan")
+        write_bucketed(li, tbl, "l_orderkey", n_buckets=4)
+        assert spark.table(tbl).count() == li.count()
+        assert not os.path.exists(os.path.join(path, "junk"))
+
+        # catalog-known overwrite: the scrub must NOT run at all —
+        # a recorded rmtree would mean the old unconditional clobber
+        # (which raced a genuinely concurrent writer) is back
+        import shutil
+
+        calls: list[str] = []
+        real_rmtree = shutil.rmtree
+        shutil.rmtree = lambda p, **kw: calls.append(str(p))
+        try:
+            write_bucketed(li.limit(10), tbl, "l_orderkey", n_buckets=4)
+        finally:
+            shutil.rmtree = real_rmtree
+        assert spark.table(tbl).count() == 10
+        assert calls == []
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
 def test_incremental_backup_in_place_append(spark, sf_dir, tmp_path):
     """In-place increments: write_mode='append' lands strictly-newer
     rows into the SAME dest; old chunks stay byte-identical, the

@@ -1,6 +1,6 @@
-"""SURVEY §5.6 sanity tests for the round-13 STAGED wave
-(analytics21, graph13) — exercised here and by
-`tools/oracle_check.py --staged`; registered next round."""
+"""SURVEY §5.6 sanity tests for the formerly-staged round-13 wave
+(analytics21, graph13 — promoted into load_all()'s round-13 tail;
+load_staged() below is a no-op kept for form)."""
 
 from __future__ import annotations
 

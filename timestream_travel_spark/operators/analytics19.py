@@ -408,19 +408,20 @@ def q_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(d38(F.col("cb") * F.col("rc2"))).alias("ub"),
         F.sum(d38(F.col("ca") * (F.col("rc2") - F.col("ra2")))).alias("t1a"),
         F.sum(d38(F.col("cb") * (F.col("rc2") - F.col("rb2")))).alias("t1b"),
+        # cubic terms cross into decimal BEFORE the second multiply —
+        # BIGINT ca·(rc2−ra2)² wraps int64 above ~1.3e6 rows per
+        # type-pair; the oracle multiplies in HUGEINT (ADVICE r12)
         F.sum(
-            d38(
-                F.col("ca")
-                * (F.col("rc2") - F.col("ra2"))
-                * (F.col("rc2") - F.col("ra2"))
-            )
+            d38(F.col("ca"))
+            * (
+                (F.col("rc2") - F.col("ra2")) * (F.col("rc2") - F.col("ra2"))
+            ).cast("decimal(19,0)")
         ).alias("t2a"),
         F.sum(
-            d38(
-                F.col("cb")
-                * (F.col("rc2") - F.col("rb2"))
-                * (F.col("rc2") - F.col("rb2"))
-            )
+            d38(F.col("cb"))
+            * (
+                (F.col("rc2") - F.col("rb2")) * (F.col("rc2") - F.col("rb2"))
+            ).cast("decimal(19,0)")
         ).alias("t2b"),
     )
     dbl = lambda name: F.col(name).cast("double")  # noqa: E731

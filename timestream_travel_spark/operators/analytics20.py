@@ -238,12 +238,14 @@ def q_mood_scale_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s2"),
     )
     d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    # s2² stays a BIGINT product (safe to ~1.5e9 rows/pair) but the
+    # CUBIC terms cross into decimal BEFORE multiplying — the oracle
+    # casts to HUGEINT first, and a BIGINT ca·s2² wraps int64 above
+    # ~1.3e6 rows per type-pair (ADVICE r12).
     s2sq = (F.col("s2") * F.col("s2")).cast("decimal(19,0)")
     agg = ranks.groupBy("ta", "tb", "n_a", "n_b").agg(
-        F.sum(d38(F.col("ca") * F.col("s2") * F.col("s2"))).alias("t1"),
-        F.sum(d38((F.col("ca") + F.col("cb")) * F.col("s2") * F.col("s2"))).alias(
-            "sa"
-        ),
+        F.sum(d38(F.col("ca")) * s2sq).alias("t1"),
+        F.sum(d38(F.col("ca") + F.col("cb")) * s2sq).alias("sa"),
         F.sum(d38(F.col("ca") + F.col("cb")) * s2sq * s2sq).alias("sa2"),
     )
     dbl = lambda name: F.col(name).cast("double")  # noqa: E731

@@ -1,4 +1,4 @@
-"""Round-13 STAGED analytics: the scale/location rank tests and the
+"""Analytics (promoted into load_all()'s round-13 tail): the scale/location rank tests and the
 heteroscedastic ANOVA that complete the k-sample family — Conover's
 squared-ranks test for scale (Conover & Iman, Commun. Stat. 1978),
 the Cucconi scale-location test (Cucconi, Giorn. Econom. 1968 — the
@@ -154,12 +154,13 @@ def q_conover_squared_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r2"),
     )
     d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    # cubic terms cross into decimal BEFORE the second multiply —
+    # BIGINT ca·r2² wraps int64 above ~1.3e6 rows per type-pair; the
+    # oracle multiplies in HUGEINT (ADVICE r12)
     r2sq = (F.col("r2") * F.col("r2")).cast("decimal(19,0)")
     agg = ranks.groupBy("ta", "tb", "n_a", "n_b").agg(
-        F.sum(d38(F.col("ca") * F.col("r2") * F.col("r2"))).alias("t1"),
-        F.sum(d38((F.col("ca") + F.col("cb")) * F.col("r2") * F.col("r2"))).alias(
-            "sa"
-        ),
+        F.sum(d38(F.col("ca")) * r2sq).alias("t1"),
+        F.sum(d38(F.col("ca") + F.col("cb")) * r2sq).alias("sa"),
         F.sum(d38(F.col("ca") + F.col("cb")) * r2sq * r2sq).alias("sa2"),
     )
     dbl = lambda name: F.col(name).cast("double")  # noqa: E731
@@ -285,9 +286,14 @@ def q_cucconi_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     contra = F.lit(2) * (F.col("n_a") + F.col("n_b") + 1) - F.col("r2")
+    # same decimal-before-cubic rule as above (ADVICE r12)
     agg = ranks.groupBy("ta", "tb", "n_a", "n_b").agg(
-        F.sum(d38(F.col("cb") * F.col("r2") * F.col("r2"))).alias("sr2"),
-        F.sum(d38(F.col("cb") * contra * contra)).alias("sc2"),
+        F.sum(
+            d38(F.col("cb")) * (F.col("r2") * F.col("r2")).cast("decimal(19,0)")
+        ).alias("sr2"),
+        F.sum(d38(F.col("cb")) * (contra * contra).cast("decimal(19,0)")).alias(
+            "sc2"
+        ),
     )
     nn = (F.col("n_a") + F.col("n_b")).cast("double")
     denom = F.sqrt(

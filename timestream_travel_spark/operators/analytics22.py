@@ -1,4 +1,4 @@
-"""Round-13 STAGED analytics, part B: the remaining classical
+"""Analytics, part B (promoted into load_all()'s round-13 tail): the remaining classical
 two-sample machinery — the Ansari–Bradley dispersion test (Ansari &
 Bradley, AMS 1960), the Lepage combined location-scale test (Lepage,
 Biometrika 1971 — standardized Wilcoxon² + standardized

@@ -1,4 +1,4 @@
-"""Graph analytics, part 13 (round-13 STAGED): stress centrality
+"""Graph analytics, part 13 (promoted into load_all()'s round-13 tail): stress centrality
 (Shimbel, Bull. Math. Biophys. 1953) on the trade backbone — the
 INTEGER-EXACT sibling of betweenness: the number of shortest paths
 passing through each node, Σ_{{s<t, v∉{{s,t}}}} σ(s,v)·σ(v,t)·
@@ -65,6 +65,37 @@ def _sigma_sql() -> str:
     return ",\n    ".join(ctes)
 
 
+def sigma_table(sym: DataFrame, dist: DataFrame) -> DataFrame:
+    """Shortest-path count table (src, v, s, d) — the Brandes forward
+    pass: σ at layer r sums the σ of layer-(r−1) neighbors that are
+    genuinely at distance r (pure integer DP, localCheckpoint per
+    layer). Shared by stress (graph13) and betweenness (graph15)."""
+    layer = (
+        sym.select(F.col("u").alias("src"))
+        .distinct()
+        .select("src", F.col("src").alias("v"), F.lit(1).cast("bigint").alias("s"))
+    )
+    sigma = layer.withColumn("d", F.lit(0))
+    for r in range(1, DIST_ROUNDS + 1):
+        nbr = sym.select(F.col("u").alias("pu"), F.col("v").alias("nv"))
+        dv = dist.filter(F.col("d") == r).select(
+            F.col("src").alias("dsrc"), F.col("v").alias("dvv")
+        )
+        layer = (
+            layer.join(nbr, layer.v == nbr.pu)
+            .join(
+                dv,
+                (F.col("src") == F.col("dsrc")) & (F.col("nv") == F.col("dvv")),
+                "left_semi",
+            )
+            .groupBy("src", F.col("nv").alias("v"))
+            .agg(F.sum("s").cast("bigint").alias("s"))
+            .localCheckpoint(eager=True)
+        )
+        sigma = sigma.unionAll(layer.withColumn("d", F.lit(r)))
+    return sigma
+
+
 @query(
     "q_stress_centrality",
     oracle=f"""
@@ -89,29 +120,7 @@ def q_stress_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     stress is 0)."""
     sym = _sym(top_trade_edges(spark, sf_dir)).persist()
     dist = _distances(spark, sf_dir).persist()
-    layer = (
-        sym.select(F.col("u").alias("src"))
-        .distinct()
-        .select("src", F.col("src").alias("v"), F.lit(1).cast("bigint").alias("s"))
-    )
-    sigma = layer.withColumn("d", F.lit(0))
-    for r in range(1, DIST_ROUNDS + 1):
-        nbr = sym.select(F.col("u").alias("pu"), F.col("v").alias("nv"))
-        dv = dist.filter(F.col("d") == r).select(
-            F.col("src").alias("dsrc"), F.col("v").alias("dvv")
-        )
-        layer = (
-            layer.join(nbr, layer.v == nbr.pu)
-            .join(
-                dv,
-                (F.col("src") == F.col("dsrc")) & (F.col("nv") == F.col("dvv")),
-                "left_semi",
-            )
-            .groupBy("src", F.col("nv").alias("v"))
-            .agg(F.sum("s").cast("bigint").alias("s"))
-            .localCheckpoint(eager=True)
-        )
-        sigma = sigma.unionAll(layer.withColumn("d", F.lit(r)))
+    sigma = sigma_table(sym, dist)
     x = sigma.select(
         F.col("src").alias("xs"), F.col("v").alias("node"),
         F.col("d").alias("xd"), F.col("s").alias("xsig"),

@@ -1,4 +1,4 @@
-"""Graph analytics, part 14 (round-13 STAGED): the co-purchase
+"""Graph analytics, part 14 (promoted into load_all()'s round-13 tail): the co-purchase
 backbone — the market-basket pair graph (Agrawal & Srikant, VLDB
 1994 association-rule censuses, reduced to the pair level): which
 part pairs appear in the same order far more often than chance,

@@ -16,8 +16,11 @@ makes the prior the scaled background distribution):
 Exactness: every ln/division argument (y + g/{PRIOR_DEN}, the four
 complement masses) is an exact DECIMAL built from integer counts,
 converted to double once (correctly rounded identically), so δ, σ
-and z are flat identically-shaped double expressions; the top-k cut
-orders by those identical doubles with a word tiebreak.
+and z are flat identically-shaped double expressions. ln() itself is
+NOT guaranteed correctly rounded in both libm and Math.log, so the
+top-k cut orders by the QUANTIZED round(z, 6) (the emitted score)
+with a word tiebreak — a ≤1-ulp raw-z gap at the rank-K boundary
+then cannot flip the emitted set cross-engine (ADVICE r12).
 
 Scale shape: one token reduce to (lang, word) counts (map-side
 combined), a broadcast of the |langs|-row mass table, and a top-k
@@ -76,10 +79,15 @@ MONROE_MIN_G = 5  # ignore corpus-rare words (prior too diffuse)
       CROSS JOIN tot t
       WHERE g.g >= {MONROE_MIN_G}
     ), ranked AS (
+      -- rank by the QUANTIZED z (the emitted score), not raw ln()
+      -- doubles: libm log and Math.log are not both correctly
+      -- rounded, so a <=1-ulp z gap at the rank-K boundary could
+      -- flip the top-k set cross-engine (ADVICE r12)
       SELECT lang, w, y, g,
              round(delta / sqrt(var), 6) AS z_monroe,
              row_number() OVER (PARTITION BY lang
-                                ORDER BY delta / sqrt(var) DESC, w) AS rnk
+                                ORDER BY round(delta / sqrt(var), 6) DESC, w
+                               ) AS rnk
       FROM scored
     )
     SELECT lang, w AS word, y AS n_in_lang, g AS n_corpus,
@@ -121,7 +129,11 @@ def q_monroe_log_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w",
             "y",
             "g",
-            (delta / F.sqrt(var)).alias("z"),
+            # quantize BEFORE ranking so boundary order is
+            # ulp-insensitive cross-engine (ADVICE r12): ln() itself
+            # is not correctly rounded identically in libm vs
+            # Math.log, only the decimal→double inputs are
+            F.round(delta / F.sqrt(var), 6).alias("z"),
         )
     )
     w_rank = Window.partitionBy("lang").orderBy(F.desc("z"), F.asc("w"))
@@ -134,6 +146,6 @@ def q_monroe_log_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("y").alias("n_in_lang"),
             F.col("g").alias("n_corpus"),
             F.col("rnk").cast("int").alias("rnk"),
-            F.round("z", 6).alias("z_monroe"),
+            F.col("z").alias("z_monroe"),
         )
     )

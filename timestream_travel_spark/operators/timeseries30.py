@@ -1,4 +1,4 @@
-"""Round-13 STAGED time-series wave: volatility-stop and candle-body
+"""Time-series wave (promoted into load_all()'s round-13 tail): volatility-stop and candle-body
 indicators — the Chandelier exit (LeBeau, *Technical Traders Guide*,
 1992 — ATR-trailed extrema stops), Qstick (Chande 1992, the candle-
 body SMA) beside the per-day Balance of Power (Levine), and the

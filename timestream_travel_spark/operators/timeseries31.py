@@ -1,4 +1,4 @@
-"""Round-13 STAGED: the Page–Hinkley drift detector (Page,
+"""Promoted into load_all()'s round-13 tail: the Page–Hinkley drift detector (Page,
 Biometrika 1954; Hinkley 1971 — the sequential mean-shift test that
 streaming drift monitors like MOA/river implement): accumulate
 m_t = Σ(x_i − x̄_i − δ) against the RUNNING mean, track its running

@@ -1,4 +1,4 @@
-"""Round-13 STAGED: candle transforms — Heikin-Ashi smoothed candles
+"""Promoted into load_all()'s round-13 tail: candle transforms — Heikin-Ashi smoothed candles
 (the standard noise-reduced OHLC re-representation; Valcu, TASC
 2004) and classic floor-trader pivot points (P/R1/S1/R2/S2 from the
 prior day's range — the oldest published intraday support/resistance

@@ -26,20 +26,34 @@ def write_bucketed(
 ) -> None:
     """Persist df as a bucketed (and bucket-sorted) managed table.
 
-    Scrubs a leftover warehouse directory first: `mode("overwrite")`
+    Scrubs an ORPHANED warehouse directory first: `mode("overwrite")`
     only replaces a table the CURRENT session's catalog knows about —
     an orphaned `spark-warehouse/<table>` dir from another session
-    (e.g. a crashed or concurrent job) fails the save with
-    LOCATION_ALREADY_EXISTS instead of being overwritten."""
+    (e.g. a crashed job) fails the save with LOCATION_ALREADY_EXISTS
+    instead of being overwritten. The scrub is scoped to the actual
+    orphan case (ADVICE r12): the catalog-known check runs BEFORE the
+    DROP (after it, tableExists is always false and the old guard
+    clobbered a directory a genuinely concurrent job was writing),
+    db-qualified names resolve to `<db>.db/<table>`, and non-local
+    warehouse URIs are left alone rather than silently no-op'd."""
     spark = df.sparkSession
+    known = spark.catalog.tableExists(table)
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    if not spark.catalog.tableExists(table):
+    if not known:
         import shutil
 
         warehouse = spark.conf.get(
             "spark.sql.warehouse.dir", "spark-warehouse"
         ).removeprefix("file:")
-        shutil.rmtree(os.path.join(warehouse, table.lower()), ignore_errors=True)
+        if "://" not in warehouse:
+            parts = table.lower().split(".")
+            orphan = (
+                os.path.join(warehouse, parts[-1])
+                if len(parts) == 1
+                else os.path.join(warehouse, parts[-2] + ".db", parts[-1])
+            )
+            if os.path.isdir(orphan):
+                shutil.rmtree(orphan, ignore_errors=True)
     w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
     if sort:
         w = w.sortBy(bucket_col)

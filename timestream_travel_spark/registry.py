@@ -331,6 +331,20 @@ def load_all() -> None:
     from timestream_travel_spark.operators import analytics20  # noqa: F401
     from timestream_travel_spark.operators import llm_text29  # noqa: F401
 
+    # round-13 promotions — staged (strict 3-SF verified + recompute
+    # pytests) during round 12, promoted here so the driver's
+    # unverified-first queue drains them at the head of round 13's
+    # slots, right after the 12 expired rows-only re-checks
+    from timestream_travel_spark.operators import (  # noqa: F401
+        analytics21,
+        analytics22,
+        graph13,
+        graph14,
+        timeseries30,
+        timeseries31,
+        timeseries32,
+    )
+
 
 # Next-round modules, STAGED: written, oracled, and strict-verified
 # this round but NOT loaded by load_all() — the registry freezes at
@@ -339,15 +353,7 @@ def load_all() -> None:
 # The next round promotes them by moving the module names into
 # load_all()'s tail (registered-last rule). Until then they are
 # exercised by pytest and `tools/oracle_check.py --staged`.
-STAGED_MODULES: tuple[str, ...] = (
-    "analytics21",
-    "analytics22",
-    "graph13",
-    "graph14",
-    "timeseries30",
-    "timeseries31",
-    "timeseries32",
-)
+STAGED_MODULES: tuple[str, ...] = ()
 
 
 def load_staged() -> None:

@@ -530,9 +530,27 @@ def main() -> None:
         out.append(simple[: tree_end if 0 < tree_end < 4000 else 4000].rstrip())
         out.append("```\n")
     out += skew_demo(spark)
-    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as fh:
-        fh.write("\n".join(out))
-    print(f"wrote PLANS.md ({len(AUDITED)} queries)")
+    # a FULL regen must carry the marker-delimited multi-file section
+    # through the rewrite — r12's plain regen silently dropped the
+    # block `--multifile` had written (VERDICT r12 what's-wrong #1)
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"
+    )
+    carried: str | None = None
+    if os.path.exists(path):
+        with open(path) as fh:
+            old = fh.read()
+        if _MF_BEGIN in old and _MF_END in old:
+            carried = old[old.index(_MF_BEGIN) : old.index(_MF_END) + len(_MF_END)]
+    text = "\n".join(out)
+    if carried:
+        text = text.rstrip() + "\n\n" + carried + "\n"
+    with open(path, "w") as fh:
+        fh.write(text)
+    print(
+        f"wrote PLANS.md ({len(AUDITED)} queries"
+        + (", multi-file section carried through)" if carried else ")")
+    )
 
 
 if __name__ == "__main__":
