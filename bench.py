@@ -315,6 +315,24 @@ EXTRA = [
     "q_graph_eccentricity",         # radius/diameter/centers
     "q_katz_centrality",            # dyadic scaled-integer iteration
     "q_monroe_log_odds",            # Dirichlet-prior keyness top-k
+    # round-13 wave: promoted staged set + growth wave
+    "q_conover_squared_ranks",      # quartic-moment scale rank test
+    "q_cucconi_test",               # joint scale-location U/V
+    "q_welch_anova",                # heteroscedastic one-way ANOVA
+    "q_ansari_bradley",             # folded-midrank dispersion test
+    "q_lepage_test",                # Wilcoxon² + AB² combination
+    "q_hodges_lehmann_shift",       # distributed selection shift
+    "q_stress_centrality",          # shortest-path-count centrality
+    "q_copurchase_pairs",           # support+lift pair backbone
+    "q_chandelier_exit",            # ATR-trailed extrema stops
+    "q_qstick_bop",                 # candle-body frame sums + BoP
+    "q_supertrend",                 # band-flip walk
+    "q_page_hinkley",               # CUSUM drift walk
+    "q_heikin_ashi",                # dyadic candle recurrence
+    "q_pivot_points",               # floor-trader pivot levels
+    "q_betweenness_centrality",     # truncated fixed-point Brandes
+    "q_pagerank_backbone",          # truncated fixed-point PageRank
+    "q_c4_line_filters",            # C4 line-rule panel
 ]
 
 

@@ -345,6 +345,14 @@ def load_all() -> None:
         timeseries32,
     )
 
+    # round-13 growth wave — registered behind the promotions; the
+    # unchecked queue (12 expired rows-only + 14 promoted + these)
+    # stays inside the driver's ~50-slot drain
+    from timestream_travel_spark.operators import (  # noqa: F401
+        graph15,
+        llm_text30,
+    )
+
 
 # Next-round modules, STAGED: written, oracled, and strict-verified
 # this round but NOT loaded by load_all() — the registry freezes at

@@ -285,6 +285,13 @@ AUDITED = [
     "q_graph_eccentricity",
     "q_katz_centrality",
     "q_monroe_log_odds",
+    "q_stress_centrality",
+    "q_hodges_lehmann_shift",
+    "q_copurchase_pairs",
+    "q_supertrend",
+    "q_betweenness_centrality",
+    "q_pagerank_backbone",
+    "q_c4_line_filters",
 ]
 
 
