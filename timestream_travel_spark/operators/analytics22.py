@@ -250,6 +250,9 @@ def q_lepage_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 # distinct-value tables, never a grid. {HL_ITERS} fixed iterations
 # cover the full cent range (2^{HL_ITERS} > max−min spread).
 HL_ITERS = 17
+# Spark-side probes per live (pair, k) bracket per round: 65-ary
+# search; ceil(log65(2^17)) + terminal-coverage slack ≈ 3-4 rounds
+HL_PROBES = 16
 
 
 def _hl_sql() -> str:
@@ -358,15 +361,28 @@ def q_hodges_lehmann_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             k2 = (np_ + 2) // 2
             if k2 != (np_ + 1) // 2:
                 state[(ta, tb, k2)] = [lo, hi]
+    # Spark probes MULTI-POINT (16-ary) brackets: the merged-rank
+    # window is per (pair, k) and each probe row reads its own
+    # cumulative key, so probing {HL_PROBES} midpoints costs ONE job
+    # the same shape as one binary probe — bracket width shrinks
+    # ~{HL_PROBES}+1× per round, so ≤5 driver jobs replace the 17
+    # sequential binary rounds (measured 24.6 s → the job count was
+    # the cost, not the data). The SQL oracle keeps the unrolled
+    # BINARY chain — different probe schedule, same selection: both
+    # converge to lo = hi = the k-th order statistic exactly.
     for _ in range(HL_ITERS):
         live = {key: lh for key, lh in state.items() if lh[0] < lh[1]}
         if not live:
             break
+        probe_rows = []
+        for (ta, tb, k), lh in live.items():
+            w_ = lh[1] - lh[0]
+            mids = sorted(
+                {lh[0] + (j * w_) // (HL_PROBES + 1) for j in range(1, HL_PROBES + 1)}
+            )
+            probe_rows += [(ta, tb, k, mid) for mid in mids]
         probes = spark.createDataFrame(
-            [
-                (ta, tb, k, (lh[0] + lh[1]) // 2)
-                for (ta, tb, k), lh in live.items()
-            ],
+            probe_rows,
             "ta string, tb string, k long, mid long",
         )
         # merged-rank count: a-rows (tag 0, weight ca) and probe rows
@@ -383,7 +399,7 @@ def q_hodges_lehmann_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (integer cents), so each probe row reads the STRICT-below
         # a-mass at key = vb − mid − 1 and the count complements it.
         brows = probes.join(cnt.withColumnRenamed("t", "tb"), "tb").select(
-            "ta", "tb", "k",
+            "ta", "tb", "k", "mid",
             (F.col("vc") - F.col("mid") - 1).alias("key"),
             F.lit(1).alias("tag"),
             F.lit(0).cast("bigint").alias("wa"), F.col("c").alias("wb"),
@@ -394,24 +410,33 @@ def q_hodges_lehmann_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         counts = (
-            arows.unionAll(brows)
+            arows.withColumn("mid", F.lit(None).cast("long"))
+            .unionByName(brows)
             .select(
-                "ta", "tb", "k", "tag", "wb",
+                "ta", "tb", "k", "mid", "tag", "wb",
                 F.sum("wa").over(w).alias("cum"),
             )
             .filter(F.col("tag") == 1)
-            .groupBy("ta", "tb", "k")
+            .groupBy("ta", "tb", "k", "mid")
             .agg(F.sum(F.col("wb") * F.col("cum")).alias("cum_lt"))
             .collect()
         )
+        by_state: dict[tuple, list] = {}
         for r in counts:
-            lh = state[(r.ta, r.tb, r.k)]
-            mid = (lh[0] + lh[1]) // 2
-            cnt_le = info[r.ta].n * info[r.tb].n - r.cum_lt
-            if cnt_le >= r.k:
-                lh[1] = mid
-            else:
-                lh[0] = mid + 1
+            by_state.setdefault((r.ta, r.tb, r.k), []).append(r)
+        for key, rows_ in by_state.items():
+            ta, tb, k = key
+            lh = state[key]
+            np_ = info[ta].n * info[tb].n
+            lo_new, hi_new = lh[0], None
+            for r in sorted(rows_, key=lambda r: r.mid):
+                if np_ - r.cum_lt >= k:  # cnt_le(mid) >= k
+                    hi_new = r.mid
+                    break
+                lo_new = r.mid + 1
+            lh[0] = lo_new
+            if hi_new is not None:
+                lh[1] = hi_new
     out = {}
     for (ta, tb, k), lh in state.items():
         np_ = info[ta].n * info[tb].n
