@@ -1,0 +1,358 @@
+"""Round-14 STAGED analytics: order/extrema-based classical tests —
+the Wald–Wolfowitz two-sample runs test (Wald & Wolfowitz, AMS 1940),
+the
+Freeman–Tukey goodness-of-fit statistic (Freeman & Tukey, AMS 1950;
+the variance-stabilized sibling of the already-green Pearson χ² GOF),
+Tukey's quick two-sample pocket test (Tukey, Technometrics 1959),
+and the trimean / quartile-coefficient-of-dispersion robust-location
+panel (Tukey, EDA 1977).
+
+Exactness design:
+- runs: the merged block sequence orders the distinct-value count
+  table by (v, t) — the DECLARED tie convention (cross-sample ties
+  make the classical run count ill-defined; both engines use the
+  identical deterministic order) — and counts label changes as exact
+  integers; z standardizes by the flat double composition of the
+  permutation moments (same shape both engines);
+- Freeman–Tukey: T² = Σ_t (√O_t + √(O_t+1) − √(4E+1))² over the
+  EVENT_TYPES literal domain, chain-added left-associatively (the
+  analytics8 _chain_add idiom) so both engines add the k=5 irrational
+  terms in the same order; 4E+1 = 4N/k+1 is ONE division;
+- Tukey–Duckworth: pure integer exceedance counts against the other
+  sample's extrema (both directions emitted; the classical
+  'ends from different samples' gate is left to the reader as the
+  counts make it checkable);
+- trimean/QCD: type-1 quantiles over integer CENTS (smallest value
+  whose cumulative count reaches ⌈p·n⌉) — exact integers; trimean is
+  ONE flat division by 400 (cents × the /4), QCD one flat ratio.
+
+Scale shape: every query is one (type, value) count reduce (or one
+5-row count pivot) + value-domain-bounded windows — nothing touches
+raw rows twice.
+
+Reference parity: none (cmd/backup.go has no statistics surface) —
+north-star derived capability, sibling of analytics19-22.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from timestream_travel_spark.operators.analytics5 import _CNT_SQL, _counts
+from timestream_travel_spark.operators.analytics8 import EVENT_TYPES, _chain_add
+from timestream_travel_spark.registry import query
+from timestream_travel_spark.tables import load_table
+
+_PAIRS_SQL = """
+    n AS (SELECT t, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY t),
+    pairs AS (
+      SELECT a.t AS ta, b.t AS tb, a.n AS n_a, b.n AS n_b
+      FROM n a JOIN n b ON a.t < b.t
+    )
+"""
+
+
+def _pairs(cnt: DataFrame) -> DataFrame:
+    n = cnt.groupBy("t").agg(F.sum("c").cast("bigint").alias("n"))
+    a = n.select(F.col("t").alias("ta"), F.col("n").alias("n_a"))
+    b = n.select(F.col("t").alias("tb"), F.col("n").alias("n_b"))
+    return a.join(b, F.col("ta") < F.col("tb"))
+
+
+@query(
+    "q_runs_two_sample",
+    oracle=f"""
+    WITH cnt AS ({_CNT_SQL}),
+    {_PAIRS_SQL},
+    seq AS (
+      SELECT p.ta, p.tb, p.n_a, p.n_b, c.t,
+             lag(c.t) OVER (PARTITION BY p.ta, p.tb
+                            ORDER BY c.v, c.t) AS pt
+      FROM pairs p JOIN cnt c ON c.t = p.ta OR c.t = p.tb
+    )
+    SELECT ta AS type_a, tb AS type_b, n_a, n_b,
+           CAST(SUM(CASE WHEN pt IS NULL OR t <> pt THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_runs,
+           round((SUM(CASE WHEN pt IS NULL OR t <> pt THEN 1 ELSE 0 END)
+                  - (2.0 * n_a * n_b / (n_a + n_b) + 1))
+                 / sqrt(2.0 * n_a * n_b * (2.0 * n_a * n_b - n_a - n_b)
+                        / ((n_a + n_b) * (n_a + n_b)
+                           * (n_a + n_b - 1.0))), 6) AS z_runs
+    FROM seq GROUP BY ta, tb, n_a, n_b
+    """,
+)
+def q_runs_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz two-sample runs test per event-type pair over
+    the merged (v, t)-ordered block sequence (module docstring):
+    exact integer run count, flat-composition z."""
+    cnt = _counts(spark, sf_dir)
+    pairs = _pairs(cnt)
+    seq = cnt.join(
+        F.broadcast(pairs),
+        (F.col("t") == F.col("ta")) | (F.col("t") == F.col("tb")),
+    ).select(
+        "ta",
+        "tb",
+        "n_a",
+        "n_b",
+        "t",
+        F.lag("t")
+        .over(Window.partitionBy("ta", "tb").orderBy("v", "t"))
+        .alias("pt"),
+    )
+    is_start = F.when(
+        F.col("pt").isNull() | (F.col("t") != F.col("pt")), 1
+    ).otherwise(0)
+    na, nb = F.col("n_a"), F.col("n_b")
+    runs = F.sum(is_start)
+    return seq.groupBy(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        "n_a",
+        "n_b",
+    ).agg(
+        runs.cast("bigint").alias("n_runs"),
+        F.round(
+            (runs - (F.lit(2.0) * na * nb / (na + nb) + 1))
+            / F.sqrt(
+                F.lit(2.0)
+                * na
+                * nb
+                * (F.lit(2.0) * na * nb - na - nb)
+                / ((na + nb) * (na + nb) * (na + nb - F.lit(1.0)))
+            ),
+            6,
+        ).alias("z_runs"),
+    )
+
+
+_FT_K = len(EVENT_TYPES)
+_FT_PIVOT = ",\n             ".join(
+    f"MAX(CASE WHEN t = '{t}' THEN n END) AS n_{t}" for t in EVENT_TYPES
+)
+_FT_N = " + ".join(f"n_{t}" for t in EVENT_TYPES)
+_FT_TERMS_SQL = "".join(
+    (
+        f"(sqrt(CAST(n_{t} AS DOUBLE)) + sqrt(n_{t} + 1.0)"
+        f" - sqrt(4.0 * ({_FT_N}) / {_FT_K} + 1.0))"
+        f" * (sqrt(CAST(n_{t} AS DOUBLE)) + sqrt(n_{t} + 1.0)"
+        f" - sqrt(4.0 * ({_FT_N}) / {_FT_K} + 1.0))"
+        + (" + " if i < _FT_K - 1 else "")
+    )
+    for i, t in enumerate(EVENT_TYPES)
+)
+
+
+@query(
+    "q_freeman_tukey_gof",
+    oracle=f"""
+    WITH obs AS (
+      SELECT event_type AS t, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ), piv AS (
+      SELECT {_FT_PIVOT}
+      FROM obs
+    )
+    SELECT CAST({_FT_K} AS BIGINT) AS k,
+           CAST({_FT_N} AS BIGINT) AS n_total,
+           round({_FT_TERMS_SQL}, 6) AS ft_t2
+    FROM piv
+    """,
+)
+def q_freeman_tukey_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freeman–Tukey goodness-of-fit of the event-type frequencies
+    against a uniform null: T² = Σ(√O + √(O+1) − √(4E+1))² over the
+    EVENT_TYPES literal domain, chain-added so both engines sum the
+    irrational terms in the same order (module docstring)."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(F.col("event_type").alias("t")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    piv = obs.agg(
+        *[
+            F.max(F.when(F.col("t") == t, F.col("n"))).alias(f"n_{t}")
+            for t in EVENT_TYPES
+        ]
+    )
+    ncols = [F.col(f"n_{t}") for t in EVENT_TYPES]
+    n_total = _chain_add(ncols)
+    e_term = F.sqrt(F.lit(4.0) * n_total / _FT_K + F.lit(1.0))
+    terms = [
+        (F.sqrt(c.cast("double")) + F.sqrt(c + F.lit(1.0)) - e_term)
+        * (F.sqrt(c.cast("double")) + F.sqrt(c + F.lit(1.0)) - e_term)
+        for c in ncols
+    ]
+    return piv.select(
+        F.lit(_FT_K).cast("bigint").alias("k"),
+        n_total.cast("bigint").alias("n_total"),
+        F.round(_chain_add(terms), 6).alias("ft_t2"),
+    )
+
+
+@query(
+    "q_tukey_duckworth",
+    oracle=f"""
+    WITH cnt AS ({_CNT_SQL}),
+    {_PAIRS_SQL},
+    bounds AS (
+      SELECT t, MIN(v) AS mn, MAX(v) AS mx FROM cnt GROUP BY t
+    )
+    SELECT p.ta AS type_a, p.tb AS type_b, p.n_a, p.n_b,
+           CAST(COALESCE(SUM(CASE WHEN c.t = p.ta AND c.v < bb.mn
+                                  THEN c.c END), 0)
+                + COALESCE(SUM(CASE WHEN c.t = p.tb AND c.v > ba.mx
+                                    THEN c.c END), 0) AS BIGINT) AS t_ab,
+           CAST(COALESCE(SUM(CASE WHEN c.t = p.tb AND c.v < ba.mn
+                                  THEN c.c END), 0)
+                + COALESCE(SUM(CASE WHEN c.t = p.ta AND c.v > bb.mx
+                                    THEN c.c END), 0) AS BIGINT) AS t_ba
+    FROM pairs p
+    JOIN bounds ba ON ba.t = p.ta
+    JOIN bounds bb ON bb.t = p.tb
+    JOIN cnt c ON c.t = p.ta OR c.t = p.tb
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def q_tukey_duckworth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey's quick two-sample pocket test per event-type pair:
+    exact integer counts of a-values strictly below b's minimum plus
+    b-values strictly above a's maximum (t_ab) and the mirror
+    direction (t_ba) — module docstring."""
+    cnt = _counts(spark, sf_dir)
+    pairs = _pairs(cnt)
+    bounds = cnt.groupBy("t").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    ba = bounds.select(
+        F.col("t").alias("ta"), F.col("mn").alias("mn_a"), F.col("mx").alias("mx_a")
+    )
+    bb = bounds.select(
+        F.col("t").alias("tb"), F.col("mn").alias("mn_b"), F.col("mx").alias("mx_b")
+    )
+    base = (
+        cnt.join(
+            F.broadcast(pairs.join(ba, "ta").join(bb, "tb")),
+            (F.col("t") == F.col("ta")) | (F.col("t") == F.col("tb")),
+        )
+    )
+    z = F.lit(0).cast("bigint")
+    return base.groupBy(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        "n_a",
+        "n_b",
+    ).agg(
+        (
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("t") == F.col("ta")) & (F.col("v") < F.col("mn_b")),
+                        F.col("c"),
+                    )
+                ),
+                z,
+            )
+            + F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("t") == F.col("tb")) & (F.col("v") > F.col("mx_a")),
+                        F.col("c"),
+                    )
+                ),
+                z,
+            )
+        )
+        .cast("bigint")
+        .alias("t_ab"),
+        (
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("t") == F.col("tb")) & (F.col("v") < F.col("mn_a")),
+                        F.col("c"),
+                    )
+                ),
+                z,
+            )
+            + F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("t") == F.col("ta")) & (F.col("v") > F.col("mx_b")),
+                        F.col("c"),
+                    )
+                ),
+                z,
+            )
+        )
+        .cast("bigint")
+        .alias("t_ba"),
+    )
+
+
+@query(
+    "q_trimean_qcd",
+    oracle="""
+    WITH cnt AS (
+      SELECT event_type AS t,
+             CAST(round(value * 100, 0) AS BIGINT) AS vc,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ), cum AS (
+      SELECT t, vc, SUM(c) OVER (PARTITION BY t ORDER BY vc
+                                 ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(c) OVER (PARTITION BY t) AS n
+      FROM cnt
+    )
+    SELECT t AS event_type, CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MIN(CASE WHEN cum >= (n + 3) // 4 THEN vc END)
+                AS BIGINT) AS q1_cents,
+           CAST(MIN(CASE WHEN cum >= (n + 1) // 2 THEN vc END)
+                AS BIGINT) AS q2_cents,
+           CAST(MIN(CASE WHEN cum >= (3 * n + 3) // 4 THEN vc END)
+                AS BIGINT) AS q3_cents,
+           round((MIN(CASE WHEN cum >= (n + 3) // 4 THEN vc END)
+                  + 2 * MIN(CASE WHEN cum >= (n + 1) // 2 THEN vc END)
+                  + MIN(CASE WHEN cum >= (3 * n + 3) // 4 THEN vc END))
+                 / 400.0, 6) AS trimean,
+           round(CAST(MIN(CASE WHEN cum >= (3 * n + 3) // 4 THEN vc END)
+                      - MIN(CASE WHEN cum >= (n + 3) // 4 THEN vc END)
+                      AS DOUBLE)
+                 / (MIN(CASE WHEN cum >= (3 * n + 3) // 4 THEN vc END)
+                    + MIN(CASE WHEN cum >= (n + 3) // 4 THEN vc END)),
+                 6) AS qcd
+    FROM cum GROUP BY t
+    """,
+)
+def q_trimean_qcd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey trimean + quartile coefficient of dispersion per event
+    type over integer cents: type-1 quantiles (smallest value whose
+    cumulative count reaches ⌈p·n⌉) are exact integers; trimean is
+    one flat /400 division, QCD one flat ratio (module docstring)."""
+    ev = load_table(spark, sf_dir, "events")
+    cnt = ev.groupBy(
+        F.col("event_type").alias("t"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("vc"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wc = (
+        Window.partitionBy("t")
+        .orderBy("vc")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cnt.select(
+        "t",
+        "vc",
+        F.sum("c").over(wc).alias("cum"),
+        F.sum("c").over(Window.partitionBy("t")).alias("n"),
+    )
+    n = F.col("n")
+    q1 = F.min(F.when(F.col("cum") >= F.expr("(n + 3) div 4"), F.col("vc")))
+    q2 = F.min(F.when(F.col("cum") >= F.expr("(n + 1) div 2"), F.col("vc")))
+    q3 = F.min(F.when(F.col("cum") >= F.expr("(3 * n + 3) div 4"), F.col("vc")))
+    return cum.groupBy(F.col("t").alias("event_type")).agg(
+        F.max(n).cast("bigint").alias("n"),
+        q1.cast("bigint").alias("q1_cents"),
+        q2.cast("bigint").alias("q2_cents"),
+        q3.cast("bigint").alias("q3_cents"),
+        F.round((q1 + 2 * q2 + q3) / F.lit(400.0), 6).alias("trimean"),
+        F.round((q3 - q1).cast("double") / (q3 + q1), 6).alias("qcd"),
+    )

@@ -177,6 +177,19 @@ def q_ql_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     determinism: the score is one fixed-shape expression tree (a
     3-term ordered sum, not a data-dependent aggregation), identical
     in both engines; ties after round-8 break on doc_id."""
+    return (
+        ql_scores(spark, sf_dir)
+        .orderBy(F.desc("ql_score"), "doc_id")
+        .limit(QL_TOP_K)
+    )
+
+
+def ql_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, ql_score) Dirichlet query-likelihood table for
+    QUERY_TERMS over EVERY document — the scored table behind
+    q_ql_dirichlet_topk (round-8-quantized; callers order with the
+    doc_id tiebreak). Factored out so retrieval9's rank-biased
+    overlap ranks the IDENTICAL scorer."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
@@ -208,9 +221,6 @@ def q_ql_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("dl") + F.lit(QL_MU))
         )
         score = term if score is None else score + term
-    return (
-        pd.crossJoin(F.broadcast(coll))
-        .select("doc_id", F.round(score, 8).alias("ql_score"))
-        .orderBy(F.desc("ql_score"), "doc_id")
-        .limit(QL_TOP_K)
+    return pd.crossJoin(F.broadcast(coll)).select(
+        "doc_id", F.round(score, 8).alias("ql_score")
     )
