@@ -121,6 +121,53 @@ def test_choppiness_matches_replay(spark):
     assert got == want
 
 
+def test_parabolic_sar_matches_replay(spark):
+    from timestream_travel_spark.operators.timeseries15 import _daily_ohlc
+    from timestream_travel_spark.operators.timeseries34 import SAR_AF0, SAR_AFMAX
+
+    rows = _daily_ohlc(spark, SF).collect()
+    by_t: dict[str, list] = {}
+    for r in rows:
+        by_t.setdefault(r.t, []).append(r)
+    want = {}
+    for t, seq in by_t.items():
+        seq.sort(key=lambda r: r.day)
+        sar = ep = af = phi = plo = 0.0
+        trend = 1
+        for i, r in enumerate(seq):
+            hi, lo = float(r.hi), float(r.lo)
+            if i == 0:
+                trend, sar, ep, af = 1, lo, hi, SAR_AF0
+            else:
+                sar0 = sar + af * (ep - sar)
+                if trend == 1:
+                    sar1 = min(sar0, plo)
+                    if lo < sar1:
+                        trend, sar, ep, af = -1, ep, lo, SAR_AF0
+                    else:
+                        sar = sar1
+                        if hi > ep:
+                            ep, af = hi, min(af + SAR_AF0, SAR_AFMAX)
+                else:
+                    sar1 = max(sar0, phi)
+                    if hi > sar1:
+                        trend, sar, ep, af = 1, ep, hi, SAR_AF0
+                    else:
+                        sar = sar1
+                        if lo < ep:
+                            ep, af = lo, min(af + SAR_AF0, SAR_AFMAX)
+            phi, plo = hi, lo
+            want[(t, r.day.strftime("%Y-%m-%d"))] = (sar, trend)
+    got = {
+        (r.event_type, r.day): (r.psar, r.trend)
+        for r in QUERIES["q_parabolic_sar"](spark, SF).collect()
+    }
+    assert got == want
+    # the walk actually exercises both trends and the af ladder
+    assert any(tr == -1 for _, tr in got.values())
+    assert any(tr == 1 for _, tr in got.values())
+
+
 # ------------------------------------------------------- analytics23
 def _events(spark):
     from timestream_travel_spark.tables import load_table

@@ -366,6 +366,7 @@ STAGED_MODULES: tuple[str, ...] = (
     "graph16",
     "retrieval9",
     "timeseries33",
+    "timeseries34",
 )
 
 
