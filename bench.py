@@ -354,6 +354,43 @@ def main() -> None:
     timings: dict[str, float] = {}
     minima: dict[str, float] = {}
     errors: dict[str, str] = {}
+    rep_samples: dict[str, list[float]] = {}
+    env_snapshots: list[dict] = []
+    n_recorded = [0]
+
+    def _jvm_snapshot(after: str) -> None:
+        """Driver-JVM heap / cumulative-GC / block-manager storage
+        snapshot — the in-session context a standalone reproduction
+        can't replay (the r13 q_hodges_lehmann_shift in-bench
+        inflation was unattributable without exactly this)."""
+        try:
+            jvm = spark.sparkContext._jvm
+            rt = jvm.java.lang.Runtime.getRuntime()
+            beans = jvm.java.lang.management.ManagementFactory.getGarbageCollectorMXBeans()
+            gc_ms = gc_n = 0
+            it = beans.iterator()
+            while it.hasNext():
+                b = it.next()
+                gc_ms += max(0, b.getCollectionTime())
+                gc_n += max(0, b.getCollectionCount())
+            storage = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+            env_snapshots.append(
+                {
+                    "after": after,
+                    "n_recorded": n_recorded[0],
+                    "heap_used_mb": round(
+                        (rt.totalMemory() - rt.freeMemory()) / 1048576
+                    ),
+                    "gc_ms_total": int(gc_ms),
+                    "gc_count_total": int(gc_n),
+                    "cached_rdds": len(storage),
+                    "cached_mem_mb": round(
+                        sum(s.memSize() for s in storage) / 1048576
+                    ),
+                }
+            )
+        except Exception:  # noqa: BLE001 — instrumentation never fails the bench
+            pass
 
     def record(name: str, run) -> None:
         # Per-query fault isolation: one broken query must never turn
@@ -370,6 +407,12 @@ def main() -> None:
             return
         timings[name] = round(statistics.median(samples), 3)
         minima[name] = round(min(samples), 3)
+        # per-rep detail: a median hides a one-rep spike; the r13
+        # in-bench HL mystery needed rep-level receipts (VERDICT r13)
+        rep_samples[name] = [round(s, 3) for s in samples]
+        n_recorded[0] += 1
+        if n_recorded[0] % 25 == 0:
+            _jvm_snapshot(name)
 
     # environment-calibration row: a FIXED synthetic op (no data, no
     # IO beyond the noop sink) timed like every query. The r10→r9
@@ -610,6 +653,7 @@ def main() -> None:
     # can't see — measured locally in r12: late-list queries ran ~2×
     # their fresh-session time while the shared persisted tables were
     # experimentally exonerated (ROADMAP r12 notes).
+    _jvm_snapshot("pre_end_calibration")
     record(
         "calibration_range_sum_end",
         lambda: spark.range(200_000_000)
@@ -636,6 +680,8 @@ def main() -> None:
         "calibration_end": calibration_end,
         "rollup_store_files": rollup_files,
         "rollup_store_partitions": rollup_partitions,
+        "queries_reps": rep_samples,
+        "env_snapshots": env_snapshots,
     }
     if errors:
         payload["errors"] = errors

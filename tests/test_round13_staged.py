@@ -1,6 +1,8 @@
 """SURVEY §5.6 sanity tests for the formerly-staged round-13 wave
-(analytics21, graph13 — promoted into load_all()'s round-13 tail;
-load_staged() below is a no-op kept for form)."""
+(analytics21, graph13 — promoted into load_all()'s round-13 tail).
+load_staged() below now loads whatever STAGED_MODULES currently
+holds (the round-14+ staged set) — harmless here, and it keeps this
+module runnable standalone alongside the staged tests."""
 
 from __future__ import annotations
 

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import math
 from collections import deque
+from decimal import ROUND_HALF_UP, Decimal
 from fractions import Fraction
 
 from timestream_travel_spark import registry
@@ -18,6 +19,16 @@ registry.load_all()
 registry.load_staged()
 
 SF = "/root/testdata/sf0.001"
+
+
+def _r6(x: float) -> float:
+    """HALF_UP quantize to 6dp via the shortest decimal repr — the
+    engines' documented rounding contract (Spark BigDecimal.valueOf +
+    setScale(HALF_UP), DuckDB round()). Python round() is half-even
+    and would flip an exact .5 boundary (ADVICE r13)."""
+    return float(
+        Decimal(repr(float(x))).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP)
+    )
 
 
 # ------------------------------------------------------ timeseries33
@@ -54,8 +65,8 @@ def test_vortex_matches_replay(spark):
                 continue
             day = r.day.strftime("%Y-%m-%d")
             want[(t, day)] = (
-                round(float(sum(vp)) / float(sum(tr)), 6),
-                round(float(sum(vm)) / float(sum(tr)), 6),
+                _r6(float(sum(vp)) / float(sum(tr))),
+                _r6(float(sum(vm)) / float(sum(tr))),
             )
     got = {
         (r.event_type, r.day): (r.vi_plus, r.vi_minus)
@@ -85,8 +96,8 @@ def test_awesome_oscillator_matches_replay(spark):
                 continue
             sf_ = sum(mid2[i - AO_FAST + 1 : i + 1])
             ss = sum(mid2[i - AO_SLOW + 1 : i + 1])
-            want[(t, r.day.strftime("%Y-%m-%d"))] = round(
-                float(AO_SLOW * sf_ - AO_FAST * ss) / AO_DEN, 6
+            want[(t, r.day.strftime("%Y-%m-%d"))] = _r6(
+                float(AO_SLOW * sf_ - AO_FAST * ss) / AO_DEN
             )
     got = {
         (r.event_type, r.day): r.awesome_osc
@@ -108,11 +119,10 @@ def test_choppiness_matches_replay(spark):
             ll = min(x.lo for x in seq[lo : i + 1])
             if len(tr) != CH_W or hh <= ll or sum(tr) <= 0:
                 continue
-            want[(t, r.day.strftime("%Y-%m-%d"))] = round(
+            want[(t, r.day.strftime("%Y-%m-%d"))] = _r6(
                 100.0
                 * math.log(float(sum(tr)) / float(hh - ll))
-                / math.log(float(CH_W)),
-                6,
+                / math.log(float(CH_W))
             )
     got = {
         (r.event_type, r.day): r.choppiness
@@ -205,7 +215,7 @@ def test_runs_two_sample_matches_recompute(spark):
                 * (2.0 * na * nb - na - nb)
                 / ((na + nb) * (na + nb) * (na + nb - 1.0))
             )
-            assert r.z_runs == round(z, 6)
+            assert r.z_runs == _r6(z)
 
 
 def test_tukey_duckworth_matches_recompute(spark):
@@ -252,7 +262,7 @@ def test_freeman_tukey_matches_recompute(spark):
         first = False
     row = QUERIES["q_freeman_tukey_gof"](spark, SF).collect()[0]
     assert (row.k, row.n_total) == (k, n)
-    assert row.ft_t2 == round(t2, 6)
+    assert row.ft_t2 == _r6(t2)
 
 
 def test_trimean_qcd_matches_recompute(spark):
@@ -273,8 +283,9 @@ def test_trimean_qcd_matches_recompute(spark):
         q1, q2, q3 = q((n + 3) // 4), q((n + 1) // 2), q((3 * n + 3) // 4)
         r = got[t]
         assert (r.n, r.q1_cents, r.q2_cents, r.q3_cents) == (n, q1, q2, q3)
-        assert r.trimean == round((q1 + 2 * q2 + q3) / 400.0, 6)
-        assert r.qcd == round(float(q3 - q1) / (q3 + q1), 6)
+        assert r.trimean == _r6((q1 + 2 * q2 + q3) / 400.0)
+        expect_qcd = None if q3 + q1 == 0 else _r6(float(q3 - q1) / (q3 + q1))
+        assert r.qcd == expect_qcd
 
 
 # ----------------------------------------------------------- graph16
@@ -374,7 +385,7 @@ def test_global_efficiency_matches_recompute(spark):
     n = len(nodes)
     row = QUERIES["q_global_efficiency"](spark, SF).collect()[0]
     assert (row.n_nodes, row.n_reachable_pairs) == (n, reachable)
-    assert row.global_efficiency == round(chain / (n * (n - 1.0)), 6)
+    assert row.global_efficiency == _r6(chain / (n * (n - 1.0)))
 
 
 # -------------------------------------------------------- retrieval9
@@ -413,7 +424,7 @@ def test_rbo_matches_exact_fraction(spark):
     assert Fraction(num, RBO_Q) == rbo  # the weight table IS the sum
     row = QUERIES["q_rbo_rankers"](spark, SF).collect()[0]
     assert (row.n_common, row.rbo_num) == (n_common, num)
-    assert row.rbo == round(num / RBO_Q, 6)
+    assert row.rbo == _r6(num / RBO_Q)
 
 
 def test_bpref_matches_exact_fraction(spark):
@@ -431,4 +442,4 @@ def test_bpref_matches_exact_fraction(spark):
         len(hits),
         num,
     )
-    assert row.bpref == round(float(num) / (rp * rp), 6)
+    assert row.bpref == _r6(float(num) / (rp * rp))

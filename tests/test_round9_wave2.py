@@ -377,20 +377,27 @@ def test_backbone_degree_metrics_recompute(spark, sf_dir):
 
 
 def test_hits_parity_and_shape(spark, sf_dir):
-    import numpy as np
-
+    """Exact integer replay of the truncated fixed-point HITS walk
+    (HITS_SCALE iterates, max-normalized by integer DIV — the r14
+    rows-only→oracled conversion, graph15 convention)."""
     from timestream_travel_spark.operators.graph5 import (
         HITS_ITERS,
+        HITS_SCALE,
         q_hits_hubs_authorities,
     )
 
     rows = q_hits_hubs_authorities(spark, sf_dir).collect()
     assert len(rows) > 1
-    # L2 norms ≈ 1 after the final normalization
-    assert abs(sum(r.hub**2 for r in rows) - 1.0) < 1e-3
-    assert abs(sum(r.authority**2 for r in rows) - 1.0) < 1e-3
-    assert all(r.hub >= 0 and r.authority >= 0 for r in rows)
-    # parity: rebuild the same directed edge set and iterate in numpy
+    # max-normalization: top hub / top authority at exactly SCALE
+    assert max(r.hub_scaled for r in rows) == HITS_SCALE
+    assert max(r.auth_scaled for r in rows) == HITS_SCALE
+    assert all(0 <= r.hub_scaled <= HITS_SCALE for r in rows)
+    assert all(r.hub == r.hub_scaled / float(HITS_SCALE) for r in rows)
+    assert all(
+        r.authority == r.auth_scaled / float(HITS_SCALE) for r in rows
+    )
+    # parity: rebuild the same directed edge set and replay the
+    # integer walk exactly (arbitrary-precision Python == BIGINT DIV)
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     supp = {r.s_suppkey: r.s_nationkey
@@ -404,17 +411,18 @@ def test_hits_parity_and_shape(spark, sf_dir):
         if s != c:
             E.add((s, c))
     nodes = sorted({x for e in E for x in e})
-    idx = {n: i for i, n in enumerate(nodes)}
-    A = np.zeros((len(nodes), len(nodes)))
-    for s, c in E:
-        A[idx[s], idx[c]] = 1.0
-    h = np.ones(len(nodes))
+    into = {n: [s for s, c in E if c == n] for n in nodes}
+    out = {n: [c for s, c in E if s == n] for n in nodes}
+    h = {n: HITS_SCALE for n in nodes}
+    a = {n: 0 for n in nodes}
     for _ in range(HITS_ITERS):
-        a = A.T @ h
-        a /= np.linalg.norm(a)
-        h = A @ a
-        h /= np.linalg.norm(h)
-    got = {r.n_nationkey: (r.hub, r.authority) for r in rows}
-    for n in nodes:
-        assert abs(got[n][0] - round(float(h[idx[n]]), 6)) < 1e-6
-        assert abs(got[n][1] - round(float(a[idx[n]]), 6)) < 1e-6
+        araw = {n: sum(h[u] for u in into[n]) for n in nodes}
+        mxa = max(max(araw.values()), 1)
+        a = {n: (araw[n] * HITS_SCALE) // mxa for n in nodes}
+        hraw = {n: sum(a[v] for v in out[n]) for n in nodes}
+        mxh = max(max(hraw.values()), 1)
+        h = {n: (hraw[n] * HITS_SCALE) // mxh for n in nodes}
+    got = {r.n_nationkey: (r.hub_scaled, r.auth_scaled) for r in rows}
+    assert got == {n: (h[n], a[n]) for n in nodes}
+
+

@@ -20,13 +20,13 @@ Exactness design:
 - Hodges–Lehmann NEVER materializes the pairwise-difference grid
   (even the distinct-value grid is |domain|² ≈ 1e8 rows per pair at
   sf0.1 — the first cut timed out on exactly that): the k-th
-  smallest difference is found by a lockstep BINARY SEARCH over
-  integer cents, each probe one distributed merged-rank count over
-  the two bounded distinct-value tables, with the driver holding
-  only the 2·|pairs|-row (lo, hi) state. The DuckDB oracle unrolls
-  the identical {HL_ITERS}-step search with ASOF-joined cumulative
-  counts (MATERIALIZED per step — a plain CTE chain re-executes per
-  reference and goes exponential).
+  smallest difference is found by BINARY SEARCH over integer cents,
+  each probe a merged-rank count over the two DOMAIN-bounded
+  distinct-cents count tables, which are collected once and probed
+  driver-side (bounded-backbone pattern — see the query docstring).
+  The DuckDB oracle unrolls the identical {HL_ITERS}-step search
+  with ASOF-joined cumulative counts (MATERIALIZED per step — a
+  plain CTE chain re-executes per reference and goes exponential).
 
 Scale shape: one (type, value) count reduce; the rank tests run on
 the value-domain-bounded merged table; the HL search does
@@ -250,9 +250,6 @@ def q_lepage_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 # distinct-value tables, never a grid. {HL_ITERS} fixed iterations
 # cover the full cent range (2^{HL_ITERS} > max−min spread).
 HL_ITERS = 17
-# Spark-side probes per live (pair, k) bracket per round: 65-ary
-# search; ceil(log65(2^17)) + terminal-coverage slack ≈ 3-4 rounds
-HL_PROBES = 16
 
 
 def _hl_sql() -> str:
@@ -322,135 +319,84 @@ def _hl_sql() -> str:
 def q_hodges_lehmann_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hodges–Lehmann two-sample shift estimate for every event-type
     pair: the median of all n_a·n_b pairwise differences (y − x),
-    WITHOUT materializing the grid — a lockstep binary search over
-    integer cents finds the two middle order statistics, each probe
-    one distributed merged-rank count over the bounded distinct-value
-    tables (module comment). The driver holds only the 2·|pairs|-row
-    (lo, hi) search state — the documented bounded-driver-loop
-    pattern; the emitted estimate is exact integer cents halved
-    once."""
-    cnt = (
+    WITHOUT materializing the grid — a binary search over integer
+    cents finds the two middle order statistics, each probe a
+    merged-rank count over the two distinct-cents count tables.
+
+    The count table is DOMAIN-bounded: one row per (type, cent), so
+    ≤ |types|·(value-spread·100) rows regardless of event count (49k
+    at sf0.1; the same bound the DuckDB oracle's materialized cuma
+    CTE relies on). The distributed stage is the groupBy count over
+    raw events; the selection then collects the bounded table ONCE
+    and runs entirely driver-side on numpy cumulative arrays — the
+    bounded-backbone pattern (cf. Louvain, graph11). The r13
+    implementation probed via per-round Spark window jobs (~5 jobs,
+    ~10 s at sf0.1 and 2.5× that inside a busy bench session); zero
+    in-loop jobs removes both costs. For a genuinely unbounded value
+    domain the scale path is re-quantization to a coarser fixed grid
+    + a final exact pass over the one surviving bracket, or the r13
+    distributed merged-rank probe (git history).
+
+    The SQL oracle keeps the unrolled binary chain — same selection,
+    same exact integer answer; the emitted estimate is exact integer
+    cents halved once."""
+    import numpy as np
+
+    rows = (
         _counts(spark, sf_dir)
         .select(
             "t",
             F.round(F.col("v") * 100, 0).cast("bigint").alias("vc"),
             "c",
         )
-        .localCheckpoint(eager=True)
-    )
-    stats = (
-        cnt.groupBy("t")
-        .agg(
-            F.sum("c").cast("bigint").alias("n"),
-            F.min("vc").alias("mn"),
-            F.max("vc").alias("mx"),
-        )
         .collect()
     )
-    info = {r.t: r for r in stats}
+    by_t: dict[str, list[tuple[int, int]]] = {}
+    for r in rows:
+        by_t.setdefault(r.t, []).append((r.vc, r.c))
+    vcs: dict[str, "np.ndarray"] = {}
+    cum: dict[str, "np.ndarray"] = {}
+    info: dict[str, tuple[int, int, int]] = {}  # t -> (n, mn, mx)
+    for t, pairs in by_t.items():
+        pairs.sort()
+        v = np.array([p[0] for p in pairs], dtype=np.int64)
+        c = np.cumsum(np.array([p[1] for p in pairs], dtype=np.int64))
+        vcs[t], cum[t] = v, c
+        info[t] = (int(c[-1]), int(v[0]), int(v[-1]))
+
+    cnts = {t: np.diff(cum[t], prepend=0) for t in cum}  # raw c per vc
+    cum0 = {t: np.concatenate(([0], cum[t])) for t in cum}
+
+    def cnt_le(ta: str, tb: str, mid: int) -> int:
+        # pairs with y − x ≤ mid ⟺ x ≥ y − mid; count via the strict
+        # complement: n_a·n_b − Σ_y c_b(y)·cumA(y − mid − 1)
+        idx = np.searchsorted(vcs[ta], vcs[tb] - mid - 1, side="right")
+        cum_lt = int((cnts[tb] * cum0[ta][idx]).sum())
+        return info[ta][0] * info[tb][0] - cum_lt
+
     types = sorted(info)
-    # search state: (ta, tb, k) -> [lo, hi]; two order statistics per
-    # pair (lower + upper middle of the n_a·n_b differences)
-    state: dict[tuple, list[int]] = {}
+    out_rows = []
     for i, ta in enumerate(types):
         for tb in types[i + 1 :]:
-            np_ = info[ta].n * info[tb].n
-            lo = info[tb].mn - info[ta].mx
-            hi = info[tb].mx - info[ta].mn
-            state[(ta, tb, (np_ + 1) // 2)] = [lo, hi]
-            k2 = (np_ + 2) // 2
-            if k2 != (np_ + 1) // 2:
-                state[(ta, tb, k2)] = [lo, hi]
-    # Spark probes MULTI-POINT (16-ary) brackets: the merged-rank
-    # window is per (pair, k) and each probe row reads its own
-    # cumulative key, so probing {HL_PROBES} midpoints costs ONE job
-    # the same shape as one binary probe — bracket width shrinks
-    # ~{HL_PROBES}+1× per round, so ≤5 driver jobs replace the 17
-    # sequential binary rounds (measured 24.6 s → the job count was
-    # the cost, not the data). The SQL oracle keeps the unrolled
-    # BINARY chain — different probe schedule, same selection: both
-    # converge to lo = hi = the k-th order statistic exactly.
-    for _ in range(HL_ITERS):
-        live = {key: lh for key, lh in state.items() if lh[0] < lh[1]}
-        if not live:
-            break
-        probe_rows = []
-        for (ta, tb, k), lh in live.items():
-            w_ = lh[1] - lh[0]
-            mids = sorted(
-                {lh[0] + (j * w_) // (HL_PROBES + 1) for j in range(1, HL_PROBES + 1)}
-            )
-            probe_rows += [(ta, tb, k, mid) for mid in mids]
-        probes = spark.createDataFrame(
-            probe_rows,
-            "ta string, tb string, k long, mid long",
-        )
-        # merged-rank count: a-rows (tag 0, weight ca) and probe rows
-        # (tag 1, key = vb − mid, weight cb) share one cumulative
-        # window per (pair, k); each probe row reads Σca at its key.
-        arows = probes.select("ta", "tb", "k").distinct().join(
-            cnt.withColumnRenamed("t", "ta"), "ta"
-        ).select(
-            "ta", "tb", "k",
-            F.col("vc").alias("key"), F.lit(0).alias("tag"),
-            F.col("c").alias("wa"), F.lit(0).cast("bigint").alias("wb"),
-        )
-        # diff = y − x ≤ mid  ⟺  x ≥ y − mid  ⟺  NOT(x ≤ y − mid − 1)
-        # (integer cents), so each probe row reads the STRICT-below
-        # a-mass at key = vb − mid − 1 and the count complements it.
-        brows = probes.join(cnt.withColumnRenamed("t", "tb"), "tb").select(
-            "ta", "tb", "k", "mid",
-            (F.col("vc") - F.col("mid") - 1).alias("key"),
-            F.lit(1).alias("tag"),
-            F.lit(0).cast("bigint").alias("wa"), F.col("c").alias("wb"),
-        )
-        w = (
-            Window.partitionBy("ta", "tb", "k")
-            .orderBy("key", "tag")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        counts = (
-            arows.withColumn("mid", F.lit(None).cast("long"))
-            .unionByName(brows)
-            .select(
-                "ta", "tb", "k", "mid", "tag", "wb",
-                F.sum("wa").over(w).alias("cum"),
-            )
-            .filter(F.col("tag") == 1)
-            .groupBy("ta", "tb", "k", "mid")
-            .agg(F.sum(F.col("wb") * F.col("cum")).alias("cum_lt"))
-            .collect()
-        )
-        by_state: dict[tuple, list] = {}
-        for r in counts:
-            by_state.setdefault((r.ta, r.tb, r.k), []).append(r)
-        for key, rows_ in by_state.items():
-            ta, tb, k = key
-            lh = state[key]
-            np_ = info[ta].n * info[tb].n
-            lo_new, hi_new = lh[0], None
-            for r in sorted(rows_, key=lambda r: r.mid):
-                if np_ - r.cum_lt >= k:  # cnt_le(mid) >= k
-                    hi_new = r.mid
-                    break
-                lo_new = r.mid + 1
-            lh[0] = lo_new
-            if hi_new is not None:
-                lh[1] = hi_new
-    out = {}
-    for (ta, tb, k), lh in state.items():
-        np_ = info[ta].n * info[tb].n
-        rec = out.setdefault(
-            (ta, tb), {"n_a": info[ta].n, "n_b": info[tb].n, "sum": 0}
-        )
-        # an odd pair count has one middle statistic counted twice
-        weight = 2 if (np_ + 1) // 2 == (np_ + 2) // 2 else 1
-        rec["sum"] += weight * lh[1]
-    rows = [
-        (ta, tb, rec["n_a"], rec["n_b"], rec["sum"] / 200.0)
-        for (ta, tb), rec in sorted(out.items())
-    ]
+            (n_a, mn_a, mx_a), (n_b, mn_b, mx_b) = info[ta], info[tb]
+            np_ = n_a * n_b
+            k_lo, k_hi = (np_ + 1) // 2, (np_ + 2) // 2
+            total = 0
+            for k, weight in ((k_lo, 1), (k_hi, 1)) if k_lo != k_hi else ((k_lo, 2),):
+                lo, hi = mn_b - mx_a, mx_b - mn_a
+                for _ in range(HL_ITERS):
+                    if lo >= hi:
+                        break
+                    # Python // floors, matching the oracle's
+                    # floor((lo+hi)/2.0) on negative midpoints too
+                    mid = (lo + hi) // 2
+                    if cnt_le(ta, tb, mid) >= k:
+                        hi = mid
+                    else:
+                        lo = mid + 1
+                total += weight * hi
+            out_rows.append((ta, tb, n_a, n_b, total / 200.0))
     return spark.createDataFrame(
-        rows,
+        out_rows,
         "type_a string, type_b string, n_a long, n_b long, hl_shift double",
     )

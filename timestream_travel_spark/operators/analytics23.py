@@ -314,12 +314,15 @@ def q_tukey_duckworth(spark: SparkSession, sf_dir: str) -> DataFrame:
                   + 2 * MIN(CASE WHEN cum >= (n + 1) // 2 THEN vc END)
                   + MIN(CASE WHEN cum >= (3 * n + 3) // 4 THEN vc END))
                  / 400.0, 6) AS trimean,
-           round(CAST(MIN(CASE WHEN cum >= (3 * n + 3) // 4 THEN vc END)
+           CASE WHEN MIN(CASE WHEN cum >= (3 * n + 3) // 4 THEN vc END)
+                     + MIN(CASE WHEN cum >= (n + 3) // 4 THEN vc END) <> 0
+                THEN round(
+                 CAST(MIN(CASE WHEN cum >= (3 * n + 3) // 4 THEN vc END)
                       - MIN(CASE WHEN cum >= (n + 3) // 4 THEN vc END)
                       AS DOUBLE)
                  / (MIN(CASE WHEN cum >= (3 * n + 3) // 4 THEN vc END)
                     + MIN(CASE WHEN cum >= (n + 3) // 4 THEN vc END)),
-                 6) AS qcd
+                 6) END AS qcd
     FROM cum GROUP BY t
     """,
 )
@@ -354,5 +357,10 @@ def q_trimean_qcd(spark: SparkSession, sf_dir: str) -> DataFrame:
         q2.cast("bigint").alias("q2_cents"),
         q3.cast("bigint").alias("q3_cents"),
         F.round((q1 + 2 * q2 + q3) / F.lit(400.0), 6).alias("trimean"),
-        F.round((q3 - q1).cast("double") / (q3 + q1), 6).alias("qcd"),
+        # q3 + q1 == 0 is reachable with negative cent values; both
+        # engines emit NULL there (DuckDB's IEEE division would
+        # otherwise yield Inf/NaN while Spark yields NULL — ADVICE r13)
+        F.when(
+            (q3 + q1) != 0, F.round((q3 - q1).cast("double") / (q3 + q1), 6)
+        ).alias("qcd"),
     )

@@ -1,0 +1,555 @@
+"""Analytics, part C (round 14): the remaining classical association
+and trend machinery — the Fligner–Policello robust rank-order test
+(Fligner & Policello, JASA 1981 — the Behrens–Fisher-safe cousin of
+Mann–Whitney: placements instead of pooled ranks, so unequal
+variances don't distort the null), the Mann–Kendall trend test
+(Mann, Econometrica 1945; Kendall 1975 — THE nonparametric monotone
+trend test, the significance companion of the already-green
+q_theilsen_trend), Goodman–Kruskal lambda (Goodman & Kruskal, JASA
+1954 — the proportional-reduction-in-error association measure for
+nominal×nominal), Theil's uncertainty coefficient (Theil 1970 — the
+entropy-based asymmetric association), and the Wilson score interval
+(Wilson, JASA 1927 — the binomial CI that behaves at extreme p̂).
+
+Exactness design:
+- Fligner–Policello placements come from the merged per-pair count
+  table (the analytics22 spine): the DOUBLED placement of an
+  x-observation at value v is p2 = 2·Σ_{w<v} cb(w) + cb(v), an exact
+  integer; ΣP, ΣP² stay BIGINT/DECIMAL(38,0), and
+  z = ((Σp2 − Σq2)/2) / sqrt(V̂₁ + V̂₂ + P̄·Q̄) is ONE
+  identically-parenthesized double composition of the exact
+  aggregates (DECIMAL sums cross to double via the VARCHAR bridge —
+  the dsum_sql rule).
+- Mann–Kendall compares daily MEANS exactly by cross-multiplication
+  of cent-sums (sign(s_j·c_i − s_i·c_j) — no rational ever
+  materializes); the tie correction Σ t(t−1)(2t+5) is recovered
+  WITHOUT group keys as Σ_days (t_i−1)(2t_i+5) where t_i counts
+  equal-mean days via the same exact pair equality; z applies the
+  standard ±1 continuity correction, one sqrt composition.
+- Lambda is pure integer: Σ_r max_c n_rc, Σ_c max_r n_rc, the two
+  modal marginals, three flat divisions (zero-denominator guarded to
+  NULL in BOTH engines — the q_trimean_qcd ADVICE rule).
+- Theil's U quantizes each −p·ln p term to DECIMAL(24,15) before the
+  exact associative sum (irrational terms are quantize-safe — the
+  q_mutual_information idiom), then composes the three entropies in
+  identical double shapes.
+- Wilson needs only k (successes: events strictly above their
+  type's mean, decided by the exact integer comparison
+  vc·n > Σvc) and n; z = 1.96 enters as the literals 1.96/3.8416
+  written identically at both sites.
+
+Scale shape: everything reduces to the (type, value)/(type, day)/
+(priority, status) count tables first — one map-side-combined
+shuffle each over the raw fact table; the pair joins and window
+sums run on domain-bounded tables (|distinct cents| per type, 30
+days, 5×3 cells). Nothing downstream grows with raw row count.
+
+Reference parity: none (cmd/backup.go has no statistics surface) —
+north-star derived capability, siblings of analytics5-23.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from timestream_travel_spark.operators.analytics5 import (
+    _CNT_SQL,
+    _PAIRS_SQL,
+    _counts,
+    _pairs,
+)
+from timestream_travel_spark.registry import query
+from timestream_travel_spark.tables import load_table
+
+# ------------------------------------------------ Fligner–Policello
+
+_FP_BASE_SQL = f"""
+    WITH cnt AS ({_CNT_SQL}
+    ), n AS (SELECT t, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY t
+    ), pairs AS ({_PAIRS_SQL}
+    ), merged AS (
+      SELECT p.ta, p.tb, p.n_a, p.n_b, c.v,
+             SUM(CASE WHEN c.t = p.ta THEN c.c ELSE 0 END) AS ca,
+             SUM(CASE WHEN c.t = p.tb THEN c.c ELSE 0 END) AS cb
+      FROM pairs p JOIN cnt c ON c.t = p.ta OR c.t = p.tb
+      GROUP BY p.ta, p.tb, p.n_a, p.n_b, c.v
+    ), plc AS (
+      SELECT ta, tb, n_a, n_b, ca, cb,
+             2 * (SUM(cb) OVER w) - cb AS p2,
+             2 * (SUM(ca) OVER w) - ca AS q2
+      FROM merged
+      WINDOW w AS (PARTITION BY ta, tb ORDER BY v ROWS UNBOUNDED PRECEDING)
+    ), agg AS (
+      SELECT ta, tb, n_a, n_b,
+             CAST(SUM(ca * p2) AS BIGINT) AS sp,
+             SUM(CAST(ca AS DECIMAL(38,0)) * p2 * p2) AS sp2,
+             CAST(SUM(cb * q2) AS BIGINT) AS sq,
+             SUM(CAST(cb AS DECIMAL(38,0)) * q2 * q2) AS sq2
+      FROM plc GROUP BY ta, tb, n_a, n_b
+    )
+"""
+
+
+@query(
+    "q_fligner_policello",
+    oracle=f"""{_FP_BASE_SQL}
+    SELECT ta AS type_a, tb AS type_b, n_a, n_b,
+           sp AS sum_p2, sq AS sum_q2,
+           round(((CAST(sp AS DOUBLE) - sq) / 2.0)
+                 / sqrt((CAST(n_a AS DOUBLE)
+                           * CAST(CAST(sp2 AS VARCHAR) AS DOUBLE)
+                         - CAST(sp AS DOUBLE) * sp) / (4.0 * n_a)
+                        + (CAST(n_b AS DOUBLE)
+                             * CAST(CAST(sq2 AS VARCHAR) AS DOUBLE)
+                           - CAST(sq AS DOUBLE) * sq) / (4.0 * n_b)
+                        + CAST(sp AS DOUBLE) * sq
+                          / (4.0 * CAST(n_a AS DOUBLE) * n_b)), 6) AS z_fp
+    FROM agg
+    """,
+)
+def q_fligner_policello(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fligner–Policello robust rank-order z for every event-type
+    pair: U = (ΣP − ΣQ) / (2·sqrt(SS_P + SS_Q + P̄·Q̄)) with
+    placements P_i = #{{y < x_i}} + ½#{{y = x_i}} — computed on
+    DOUBLED integer placements from the merged count table, one
+    identically-shaped double composition (module docstring)."""
+    cnt = _counts(spark, sf_dir)
+    pairs = _pairs(cnt)
+    merged = (
+        cnt.join(
+            F.broadcast(pairs),
+            (F.col("t") == F.col("ta")) | (F.col("t") == F.col("tb")),
+        )
+        .groupBy("ta", "tb", "n_a", "n_b", "v")
+        .agg(
+            F.sum(F.when(F.col("t") == F.col("ta"), F.col("c")).otherwise(0)).alias(
+                "ca"
+            ),
+            F.sum(F.when(F.col("t") == F.col("tb"), F.col("c")).otherwise(0)).alias(
+                "cb"
+            ),
+        )
+    )
+    w = (
+        Window.partitionBy("ta", "tb")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    plc = merged.select(
+        "ta",
+        "tb",
+        "n_a",
+        "n_b",
+        "ca",
+        "cb",
+        (F.lit(2) * F.sum("cb").over(w) - F.col("cb")).alias("p2"),
+        (F.lit(2) * F.sum("ca").over(w) - F.col("ca")).alias("q2"),
+    )
+    agg = plc.groupBy("ta", "tb", "n_a", "n_b").agg(
+        F.sum(F.col("ca") * F.col("p2")).cast("bigint").alias("sp"),
+        F.sum(
+            F.col("ca").cast("decimal(38,0)") * F.col("p2") * F.col("p2")
+        ).alias("sp2"),
+        F.sum(F.col("cb") * F.col("q2")).cast("bigint").alias("sq"),
+        F.sum(
+            F.col("cb").cast("decimal(38,0)") * F.col("q2") * F.col("q2")
+        ).alias("sq2"),
+    )
+    dbl = lambda name: F.col(name).cast("double")  # noqa: E731
+    z = ((dbl("sp") - F.col("sq")) / F.lit(2.0)) / F.sqrt(
+        (F.col("n_a").cast("double") * dbl("sp2") - dbl("sp") * F.col("sp"))
+        / (F.lit(4.0) * F.col("n_a"))
+        + (F.col("n_b").cast("double") * dbl("sq2") - dbl("sq") * F.col("sq"))
+        / (F.lit(4.0) * F.col("n_b"))
+        + dbl("sp") * F.col("sq")
+        / (F.lit(4.0) * F.col("n_a").cast("double") * F.col("n_b"))
+    )
+    return agg.select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        "n_a",
+        "n_b",
+        F.col("sp").alias("sum_p2"),
+        F.col("sq").alias("sum_q2"),
+        F.round(z, 6).alias("z_fp"),
+    )
+
+
+# --------------------------------------------------- Mann–Kendall
+
+_MK_DAILY_SQL = """
+      SELECT event_type AS t, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+"""
+
+
+@query(
+    "q_mann_kendall_trend",
+    oracle=f"""
+    WITH daily AS ({_MK_DAILY_SQL}
+    ), pr AS (
+      SELECT a.t,
+             CASE WHEN b.s * a.c > a.s * b.c THEN 1
+                  WHEN b.s * a.c < a.s * b.c THEN -1 ELSE 0 END AS sg
+      FROM daily a JOIN daily b ON a.t = b.t AND a.day < b.day
+    ), s_stat AS (
+      SELECT t, CAST(SUM(sg) AS BIGINT) AS s_mk FROM pr GROUP BY t
+    ), tie AS (
+      SELECT a.t, a.day, CAST(COUNT(*) AS BIGINT) AS ti
+      FROM daily a JOIN daily b
+        ON a.t = b.t AND a.s * b.c = b.s * a.c
+      GROUP BY a.t, a.day
+    ), corr AS (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM((ti - 1) * (2 * ti + 5)) AS BIGINT) AS tie_corr
+      FROM tie GROUP BY t
+    )
+    SELECT s.t AS event_type, c.n_days, s.s_mk,
+           CAST(c.n_days * (c.n_days - 1) * (2 * c.n_days + 5)
+                - c.tie_corr AS BIGINT) AS var18_num,
+           round(CASE WHEN s.s_mk > 0 THEN
+                   (CAST(s.s_mk AS DOUBLE) - 1.0)
+                   / sqrt(CAST(c.n_days * (c.n_days - 1) * (2 * c.n_days + 5)
+                               - c.tie_corr AS DOUBLE) / 18.0)
+                 WHEN s.s_mk < 0 THEN
+                   (CAST(s.s_mk AS DOUBLE) + 1.0)
+                   / sqrt(CAST(c.n_days * (c.n_days - 1) * (2 * c.n_days + 5)
+                               - c.tie_corr AS DOUBLE) / 18.0)
+                 ELSE 0.0 END, 6) AS z_mk
+    FROM s_stat s JOIN corr c ON c.t = s.t
+    """,
+)
+def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall monotone trend test per event type over the
+    30-day daily-mean series: S = Σ_{{i<j}} sign(x̄_j − x̄_i) with
+    the sign decided by exact cent-sum cross-multiplication, the
+    tie-corrected variance numerator n(n−1)(2n+5) − Σt(t−1)(2t+5)
+    recovered per-day from equal-mean pair counts, and the
+    continuity-corrected z (module docstring). Day count is bounded
+    by the calendar, so the pair join is O(days²) per type at any
+    SF."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("t"),
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+    )
+    a = daily.select(
+        F.col("t"), F.col("day").alias("da"), F.col("s").alias("sa"),
+        F.col("c").alias("ca"),
+    )
+    b = daily.select(
+        F.col("t").alias("tb_"), F.col("day").alias("db"),
+        F.col("s").alias("sb"), F.col("c").alias("cb"),
+    )
+    pr = a.join(b, (F.col("t") == F.col("tb_")) & (F.col("da") < F.col("db")))
+    sg = (
+        F.when(F.col("sb") * F.col("ca") > F.col("sa") * F.col("cb"), 1)
+        .when(F.col("sb") * F.col("ca") < F.col("sa") * F.col("cb"), -1)
+        .otherwise(0)
+    )
+    s_stat = pr.groupBy("t").agg(F.sum(sg).cast("bigint").alias("s_mk"))
+    tie = (
+        a.join(b, (F.col("t") == F.col("tb_"))
+               & (F.col("sa") * F.col("cb") == F.col("sb") * F.col("ca")))
+        .groupBy("t", "da")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ti"))
+    )
+    corr = tie.groupBy("t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum((F.col("ti") - 1) * (2 * F.col("ti") + 5))
+        .cast("bigint")
+        .alias("tie_corr"),
+    )
+    joined = s_stat.join(corr, "t")
+    nd = F.col("n_days")
+    var_num = (nd * (nd - 1) * (2 * nd + 5) - F.col("tie_corr")).cast("bigint")
+    sd = F.sqrt(var_num.cast("double") / F.lit(18.0))
+    z = (
+        F.when(F.col("s_mk") > 0, (F.col("s_mk").cast("double") - F.lit(1.0)) / sd)
+        .when(F.col("s_mk") < 0, (F.col("s_mk").cast("double") + F.lit(1.0)) / sd)
+        .otherwise(F.lit(0.0))
+    )
+    return joined.select(
+        F.col("t").alias("event_type"),
+        "n_days",
+        "s_mk",
+        var_num.alias("var18_num"),
+        F.round(z, 6).alias("z_mk"),
+    )
+
+
+# -------------------------------------- Goodman–Kruskal lambda
+
+_GK_CELLS_SQL = """
+      SELECT o_orderpriority AS r, o_orderstatus AS cl,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1, 2
+"""
+
+
+@query(
+    "q_gk_lambda",
+    oracle=f"""
+    WITH cells AS ({_GK_CELLS_SQL}
+    ), agg AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n,
+             CAST((SELECT SUM(m) FROM (SELECT MAX(c) AS m FROM cells
+                                       GROUP BY r)) AS BIGINT) AS sum_rowmax,
+             CAST((SELECT SUM(m) FROM (SELECT MAX(c) AS m FROM cells
+                                       GROUP BY cl)) AS BIGINT) AS sum_colmax,
+             CAST((SELECT MAX(nc) FROM (SELECT SUM(c) AS nc FROM cells
+                                        GROUP BY cl)) AS BIGINT) AS max_coltot,
+             CAST((SELECT MAX(nr) FROM (SELECT SUM(c) AS nr FROM cells
+                                        GROUP BY r)) AS BIGINT) AS max_rowtot
+      FROM cells
+    )
+    SELECT n, sum_rowmax, sum_colmax, max_coltot, max_rowtot,
+           CASE WHEN n > max_coltot THEN
+             round(CAST(sum_rowmax - max_coltot AS DOUBLE)
+                   / (n - max_coltot), 6) END AS lambda_c_given_r,
+           CASE WHEN n > max_rowtot THEN
+             round(CAST(sum_colmax - max_rowtot AS DOUBLE)
+                   / (n - max_rowtot), 6) END AS lambda_r_given_c,
+           CASE WHEN 2 * n > max_coltot + max_rowtot THEN
+             round(CAST(sum_rowmax + sum_colmax - max_coltot - max_rowtot
+                        AS DOUBLE)
+                   / (2 * n - max_coltot - max_rowtot), 6) END AS lambda_sym
+    FROM agg
+    """,
+)
+def q_gk_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goodman–Kruskal lambda over the (order priority × order
+    status) contingency table: the proportional reduction in modal
+    prediction error, λ(C|R) = (Σ_r max_c n_rc − max_c n_·c) /
+    (n − max_c n_·c), its transpose, and the symmetric form — all
+    exact integers, three guarded flat divisions."""
+    od = load_table(spark, sf_dir, "orders")
+    cells = od.groupBy(
+        F.col("o_orderpriority").alias("r"), F.col("o_orderstatus").alias("cl")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    cells = cells.localCheckpoint(eager=True)
+    rowmax = cells.groupBy("r").agg(F.max("c").alias("m")).agg(
+        F.sum("m").cast("bigint").alias("sum_rowmax")
+    )
+    colmax = cells.groupBy("cl").agg(F.max("c").alias("m")).agg(
+        F.sum("m").cast("bigint").alias("sum_colmax")
+    )
+    coltot = cells.groupBy("cl").agg(F.sum("c").alias("nc")).agg(
+        F.max("nc").cast("bigint").alias("max_coltot")
+    )
+    rowtot = cells.groupBy("r").agg(F.sum("c").alias("nr")).agg(
+        F.max("nr").cast("bigint").alias("max_rowtot")
+    )
+    n_df = cells.agg(F.sum("c").cast("bigint").alias("n"))
+    agg = (
+        n_df.crossJoin(F.broadcast(rowmax))
+        .crossJoin(F.broadcast(colmax))
+        .crossJoin(F.broadcast(coltot))
+        .crossJoin(F.broadcast(rowtot))
+    )
+    n = F.col("n")
+    mc, mr = F.col("max_coltot"), F.col("max_rowtot")
+    return agg.select(
+        "n",
+        "sum_rowmax",
+        "sum_colmax",
+        "max_coltot",
+        "max_rowtot",
+        F.when(
+            n > mc,
+            F.round((F.col("sum_rowmax") - mc).cast("double") / (n - mc), 6),
+        ).alias("lambda_c_given_r"),
+        F.when(
+            n > mr,
+            F.round((F.col("sum_colmax") - mr).cast("double") / (n - mr), 6),
+        ).alias("lambda_r_given_c"),
+        F.when(
+            2 * n > mc + mr,
+            F.round(
+                (F.col("sum_rowmax") + F.col("sum_colmax") - mc - mr).cast(
+                    "double"
+                )
+                / (2 * n - mc - mr),
+                6,
+            ),
+        ).alias("lambda_sym"),
+    )
+
+
+# ------------------------------------ Theil's uncertainty coefficient
+
+
+@query(
+    "q_theil_uncertainty",
+    oracle=f"""
+    WITH cells AS ({_GK_CELLS_SQL}
+    ), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells
+    ), hr AS (
+      SELECT -CAST(CAST(SUM(CAST((CAST(nr AS DOUBLE) / n)
+                                 * ln(CAST(nr AS DOUBLE) / n)
+                                 AS DECIMAL(24,15))) AS VARCHAR) AS DOUBLE)
+             AS h
+      FROM (SELECT SUM(c) AS nr FROM cells GROUP BY r), tot
+    ), hc AS (
+      SELECT -CAST(CAST(SUM(CAST((CAST(nc AS DOUBLE) / n)
+                                 * ln(CAST(nc AS DOUBLE) / n)
+                                 AS DECIMAL(24,15))) AS VARCHAR) AS DOUBLE)
+             AS h
+      FROM (SELECT SUM(c) AS nc FROM cells GROUP BY cl), tot
+    ), hrc AS (
+      SELECT -CAST(CAST(SUM(CAST((CAST(c AS DOUBLE) / n)
+                                 * ln(CAST(c AS DOUBLE) / n)
+                                 AS DECIMAL(24,15))) AS VARCHAR) AS DOUBLE)
+             AS h
+      FROM cells, tot
+    )
+    SELECT tot.n,
+           round(hr.h, 6) AS h_row, round(hc.h, 6) AS h_col,
+           round(hrc.h, 6) AS h_joint,
+           CASE WHEN hr.h > 0.0 THEN
+             round((hr.h + hc.h - hrc.h) / hr.h, 6) END AS u_r_given_c,
+           CASE WHEN hc.h > 0.0 THEN
+             round((hr.h + hc.h - hrc.h) / hc.h, 6) END AS u_c_given_r,
+           CASE WHEN hr.h + hc.h > 0.0 THEN
+             round(2.0 * (hr.h + hc.h - hrc.h) / (hr.h + hc.h), 6)
+           END AS u_sym
+    FROM tot, hr, hc, hrc
+    """,
+)
+def q_theil_uncertainty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's uncertainty coefficient over the (order priority ×
+    order status) table: U(R|C) = (H(R)+H(C)−H(R,C))/H(R), its
+    transpose, and the symmetric form — each entropy is an exact
+    DECIMAL(24,15) sum of identically-shaped −p·ln p terms
+    (irrational, quantize-safe), VARCHAR-bridged to double once."""
+    od = load_table(spark, sf_dir, "orders")
+    cells = od.groupBy(
+        F.col("o_orderpriority").alias("r"), F.col("o_orderstatus").alias("cl")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    cells = cells.localCheckpoint(eager=True)
+    n_df = cells.agg(F.sum("c").cast("bigint").alias("n"))
+
+    def entropy(df: DataFrame, cnt_col: str, alias: str) -> DataFrame:
+        term = (
+            (F.col(cnt_col).cast("double") / F.col("n"))
+            * F.log(F.col(cnt_col).cast("double") / F.col("n"))
+        ).cast("decimal(24,15)")
+        return (
+            df.crossJoin(F.broadcast(n_df))
+            .agg((-F.sum(term).cast("double")).alias(alias))
+        )
+
+    hr = entropy(cells.groupBy("r").agg(F.sum("c").alias("nr")), "nr", "h_r")
+    hc = entropy(cells.groupBy("cl").agg(F.sum("c").alias("nc")), "nc", "h_c")
+    hrc = entropy(cells, "c", "h_rc")
+    agg = (
+        n_df.crossJoin(F.broadcast(hr))
+        .crossJoin(F.broadcast(hc))
+        .crossJoin(F.broadcast(hrc))
+    )
+    r_, c_, rc_ = F.col("h_r"), F.col("h_c"), F.col("h_rc")
+    return agg.select(
+        "n",
+        F.round(r_, 6).alias("h_row"),
+        F.round(c_, 6).alias("h_col"),
+        F.round(rc_, 6).alias("h_joint"),
+        F.when(r_ > 0.0, F.round((r_ + c_ - rc_) / r_, 6)).alias("u_r_given_c"),
+        F.when(c_ > 0.0, F.round((r_ + c_ - rc_) / c_, 6)).alias("u_c_given_r"),
+        F.when(
+            r_ + c_ > 0.0, F.round(F.lit(2.0) * (r_ + c_ - rc_) / (r_ + c_), 6)
+        ).alias("u_sym"),
+    )
+
+
+# --------------------------------------------- Wilson score interval
+
+_WILSON_CNT_SQL = """
+      SELECT event_type AS t, CAST(round(value * 100, 0) AS BIGINT) AS vc,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+"""
+
+
+@query(
+    "q_wilson_interval",
+    oracle=f"""
+    WITH cnt AS ({_WILSON_CNT_SQL}
+    ), st AS (
+      SELECT t, CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(vc * c) AS BIGINT) AS s
+      FROM cnt GROUP BY t
+    ), kk AS (
+      SELECT c.t,
+             CAST(SUM(CASE WHEN c.vc * s.n > s.s THEN c.c ELSE 0 END)
+                  AS BIGINT) AS k
+      FROM cnt c JOIN st s ON s.t = c.t GROUP BY c.t
+    ), p AS (
+      SELECT s.t, s.n, kk.k, CAST(kk.k AS DOUBLE) / s.n AS ph
+      FROM st s JOIN kk ON kk.t = s.t
+    )
+    SELECT t AS event_type, n, k, round(ph, 6) AS p_hat,
+           round((ph + 3.8416 / (2.0 * n)
+                  - 1.96 * sqrt(ph * (1.0 - ph) / n
+                                + 3.8416 / (4.0 * n * n)))
+                 / (1.0 + 3.8416 / n), 6) AS wilson_lo,
+           round((ph + 3.8416 / (2.0 * n)
+                  + 1.96 * sqrt(ph * (1.0 - ph) / n
+                                + 3.8416 / (4.0 * n * n)))
+                 / (1.0 + 3.8416 / n), 6) AS wilson_hi
+    FROM p
+    """,
+)
+def q_wilson_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% Wilson score interval per event type for the proportion of
+    events strictly above the type's mean value — the success flag is
+    the exact integer comparison vc·n > Σvc (no rational mean ever
+    materializes); the interval is one identically-shaped double
+    composition with z = 1.96 / z² = 3.8416 as shared literals."""
+    ev = load_table(spark, sf_dir, "events")
+    cnt = ev.groupBy(
+        F.col("event_type").alias("t"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("vc"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    st = cnt.groupBy("t").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("vc") * F.col("c")).cast("bigint").alias("s"),
+    )
+    kk = (
+        cnt.join(st.select("t", "n", "s"), "t")
+        .groupBy("t")
+        .agg(
+            F.sum(
+                F.when(F.col("vc") * F.col("n") > F.col("s"), F.col("c")).otherwise(
+                    0
+                )
+            )
+            .cast("bigint")
+            .alias("k")
+        )
+    )
+    p = st.join(kk, "t").select(
+        "t", "n", "k", (F.col("k").cast("double") / F.col("n")).alias("ph")
+    )
+    ph, n = F.col("ph"), F.col("n")
+    half = F.lit(1.96) * F.sqrt(
+        ph * (F.lit(1.0) - ph) / n + F.lit(3.8416) / (F.lit(4.0) * n * n)
+    )
+    center = ph + F.lit(3.8416) / (F.lit(2.0) * n)
+    denom = F.lit(1.0) + F.lit(3.8416) / n
+    return p.select(
+        F.col("t").alias("event_type"),
+        "n",
+        "k",
+        F.round(ph, 6).alias("p_hat"),
+        F.round((center - half) / denom, 6).alias("wilson_lo"),
+        F.round((center + half) / denom, 6).alias("wilson_hi"),
+    )

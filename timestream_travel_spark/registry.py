@@ -353,6 +353,18 @@ def load_all() -> None:
         llm_text30,
     )
 
+    # round-14 promotions — staged (strict 3-SF verified + recompute
+    # pytests) during round 13, promoted here so the driver's
+    # unverified-first queue drains them right after the ~21 expired
+    # rows-only re-checks
+    from timestream_travel_spark.operators import (  # noqa: F401
+        analytics23,
+        graph16,
+        retrieval9,
+        timeseries33,
+        timeseries34,
+    )
+
 
 # Next-round modules, STAGED: written, oracled, and strict-verified
 # this round but NOT loaded by load_all() — the registry freezes at
@@ -362,11 +374,7 @@ def load_all() -> None:
 # load_all()'s tail (registered-last rule). Until then they are
 # exercised by pytest and `tools/oracle_check.py --staged`.
 STAGED_MODULES: tuple[str, ...] = (
-    "analytics23",
-    "graph16",
-    "retrieval9",
-    "timeseries33",
-    "timeseries34",
+    "analytics24",
 )
 
 
