@@ -333,6 +333,35 @@ EXTRA = [
     "q_betweenness_centrality",     # truncated fixed-point Brandes
     "q_pagerank_backbone",          # truncated fixed-point PageRank
     "q_c4_line_filters",            # C4 line-rule panel
+    # round-14: promoted staged set + HITS conversion + growth wave
+    "q_vortex_indicator",           # VM+/VM- over shared TR sums
+    "q_awesome_oscillator",         # midprice SMA spread
+    "q_choppiness_index",           # log-ratio range compression
+    "q_parabolic_sar",              # Wilder stop-and-reverse walk
+    "q_runs_two_sample",            # Wald-Wolfowitz runs z
+    "q_freeman_tukey_gof",          # sqrt-stabilized GOF
+    "q_tukey_duckworth",            # tail-count quick test
+    "q_trimean_qcd",                # quartile trimean + QCD
+    "q_edge_betweenness",           # per-edge path load
+    "q_global_efficiency",          # harmonic mean inverse distance
+    "q_rbo_rankers",                # exact rank-biased overlap
+    "q_retrieval_bpref",            # judged-pool-robust bpref
+    "q_hits_hubs_authorities",      # truncated fixed-point HITS
+    "q_fligner_policello",          # placement-based robust rank z
+    "q_mann_kendall_trend",         # cross-multiplied S + tie var
+    "q_gk_lambda",                  # modal PRE association
+    "q_theil_uncertainty",          # entropy uncertainty coefficient
+    "q_wilson_interval",            # score CI, integer successes
+    "q_adx_dmi",                    # Wilder directional system walk
+    "q_rvi",                        # integer vigor ratio
+    "q_vpt",                        # fixed-point volume price trend
+    "q_hull_ma",                    # exact nested-WMA rational
+    "q_wiener_index",               # all-pairs distance sum
+    "q_graph_transitivity",         # 6T / doubled triads
+    "q_token_gini",                 # block-summed frequency Gini
+    "q_simpson_diversity",          # token collision probability
+    "q_smog_source",                # per-source SMOG grade
+    "q_rankers_kendall_tau",        # head-agreement pair census
 ]
 
 

@@ -365,6 +365,18 @@ def load_all() -> None:
         timeseries34,
     )
 
+    # round-14 growth wave — registered behind the promotions; the
+    # unchecked queue (21 expired rows-only + 12 promoted + the HITS
+    # rows-only→oracled conversion + these 15) sits at the driver's
+    # ~50-slot drain
+    from timestream_travel_spark.operators import (  # noqa: F401
+        analytics24,
+        graph17,
+        llm_text31,
+        retrieval10,
+        timeseries35,
+    )
+
 
 # Next-round modules, STAGED: written, oracled, and strict-verified
 # this round but NOT loaded by load_all() — the registry freezes at
@@ -373,9 +385,7 @@ def load_all() -> None:
 # The next round promotes them by moving the module names into
 # load_all()'s tail (registered-last rule). Until then they are
 # exercised by pytest and `tools/oracle_check.py --staged`.
-STAGED_MODULES: tuple[str, ...] = (
-    "analytics24",
-)
+STAGED_MODULES: tuple[str, ...] = ()
 
 
 def load_staged() -> None:

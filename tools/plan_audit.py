@@ -292,6 +292,23 @@ AUDITED = [
     "q_betweenness_centrality",
     "q_pagerank_backbone",
     "q_c4_line_filters",
+    # round 14: promoted staged set + HITS conversion + growth wave
+    "q_vortex_indicator",
+    "q_parabolic_sar",
+    "q_trimean_qcd",
+    "q_edge_betweenness",
+    "q_rbo_rankers",
+    "q_hits_hubs_authorities",
+    "q_fligner_policello",
+    "q_mann_kendall_trend",
+    "q_adx_dmi",
+    "q_hull_ma",
+    "q_vpt",
+    "q_wiener_index",
+    "q_graph_transitivity",
+    "q_token_gini",
+    "q_smog_source",
+    "q_rankers_kendall_tau",
 ]
 
 
