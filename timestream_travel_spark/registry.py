@@ -385,7 +385,13 @@ def load_all() -> None:
 # The next round promotes them by moving the module names into
 # load_all()'s tail (registered-last rule). Until then they are
 # exercised by pytest and `tools/oracle_check.py --staged`.
-STAGED_MODULES: tuple[str, ...] = ()
+STAGED_MODULES: tuple[str, ...] = (
+    "timeseries36",
+    "analytics25",
+    "graph18",
+    "llm_text32",
+    "retrieval11",
+)
 
 
 def load_staged() -> None:
