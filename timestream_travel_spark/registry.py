@@ -21,7 +21,13 @@ Hash-stability rules (SURVEY.md §5.1, FIXTURES.md):
 - never cast a computed double to DECIMAL per-row — Spark converts
   via shortest-repr string, DuckDB via the binary value, and
   half-boundary rows flip; keep such arithmetic in decimal
-  end-to-end (q_series_auc).
+  end-to-end (q_series_auc);
+- Spark ``div`` silently WRAPS DECIMAL operands through LONG (no
+  ANSI error): a fixed-point dividend past int64 comes back as
+  wrapped garbage (measured r14: Σ(S²·10¹²) DIV c in q_siegel_tukey).
+  Use the exact decimal floor ``(x - (x % c)) / c`` there; ``div``
+  is safe only where the dividend provably fits int64 (graph15's
+  < 2⁵³ pins).
 """
 
 from __future__ import annotations
