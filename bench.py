@@ -362,6 +362,7 @@ EXTRA = [
     "q_simpson_diversity",          # token collision probability
     "q_smog_source",                # per-source SMOG grade
     "q_rankers_kendall_tau",        # head-agreement pair census
+    "q_kcore_trade",                # full core-number peel (oracled r14)
 ]
 
 

@@ -506,3 +506,51 @@ def test_rankers_kendall_tau_matches_recompute(spark):
         )
     else:
         assert row.kendall_tau is None
+
+
+# --------------------------------- q_kcore_trade conversion (graph3)
+def test_kcore_trade_matches_exact_peel_and_unroll_bounds(spark):
+    """The r14 rows-only→oracled conversion's convention pin: exact
+    Python core numbers match the query, every cascade level
+    fixpoints within KC_ROUNDS, and the max core stays below
+    KC_KMAX (so the fixed unroll IS the true decomposition here)."""
+    from timestream_travel_spark.operators.graph3 import (
+        KC_KMAX,
+        KC_ROUNDS,
+        top_trade_edges,
+    )
+
+    edges = [(r.a, r.b) for r in top_trade_edges(spark, SF).collect()]
+    adj: dict[int, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    surv = set(adj)
+    core: dict[int, int] = {}
+    k = 1
+    max_rounds_per_k = 0
+    while surv:
+        rounds = 0
+        while True:
+            drop = {n for n in surv if len(adj[n] & surv) < k}
+            if not drop:
+                break
+            surv -= drop
+            rounds += 1
+            for n in drop:
+                core[n] = k - 1
+        max_rounds_per_k = max(max_rounds_per_k, rounds)
+        if not surv:
+            break
+        k += 1
+    assert max(core.values()) < KC_KMAX
+    assert max_rounds_per_k <= KC_ROUNDS
+    nation = {
+        r.n_nationkey: r.n_name
+        for r in load_table(spark, SF, "nation").collect()
+    }
+    want = {nation[n]: c for n, c in core.items()}
+    got = {
+        r.nation: r.core for r in QUERIES["q_kcore_trade"](spark, SF).collect()
+    }
+    assert got == want

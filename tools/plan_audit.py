@@ -309,6 +309,7 @@ AUDITED = [
     "q_token_gini",
     "q_smog_source",
     "q_rankers_kendall_tau",
+    "q_kcore_trade",
 ]
 
 
