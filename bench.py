@@ -363,6 +363,9 @@ EXTRA = [
     "q_smog_source",                # per-source SMOG grade
     "q_rankers_kendall_tau",        # head-agreement pair census
     "q_kcore_trade",                # full core-number peel (oracled r14)
+    "q_interpolate_spline",         # driver-side Thomas + broadcast eval
+    "q_interpolate_fill",           # grid + per-series window fill
+    "q_unload_export",              # DESC-chunked layout manifest
 ]
 
 

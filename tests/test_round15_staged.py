@@ -1,9 +1,10 @@
-"""SURVEY §5.6 recompute tests for the round-15 STAGED wave
-(timeseries36, analytics25, graph18, llm_text32, retrieval11) — each
-staged query's full output recomputed in pure Python (exact integers
-/ Fractions / replayed float compositions) and compared exactly;
-exercised here and by `tools/oracle_check.py --staged`; registered
-next round."""
+"""SURVEY §5.6 recompute tests for the round-15 wave staged during
+round 14 (timeseries36, analytics25, graph18, llm_text32,
+retrieval11) — promoted into load_all()'s round-15 tail, so
+load_staged() below is now a no-op kept for call-shape parity with
+the other staged-test files. Each query's full output is recomputed
+in pure Python (exact integers / Fractions / replayed float
+compositions) and compared exactly."""
 
 from __future__ import annotations
 

@@ -249,9 +249,13 @@ def test_hll_intersection_close_to_exact(spark, dirname):
 
 
 def test_lttb_true_matches_python_replay(spark, sf_dir):
-    """True LTTB (previous-selected-point anchor): exact match with a
-    pure-Python replay per series; one point per bucket; both series
-    endpoints preserved."""
+    """True LTTB (previous-selected-point anchor, exact-integer
+    n-scaled areas — the r15 oracled convention): exact match with a
+    pure-Python integer replay per series; one point per bucket; both
+    series endpoints preserved. Also pins the fixture's B ≤ 5 bucket
+    bound the oracle's 3 unrolled middle steps rely on."""
+    from decimal import Decimal
+
     import pandas as pd
 
     import __spark_entry__ as entrymod
@@ -270,18 +274,28 @@ def test_lttb_true_matches_python_replay(spark, sf_dir):
     want = set()
     for uid, g in pdf.groupby("user_id"):
         g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        wk = g["ts"].dt.to_period("W-SUN").dt.start_time
-        buckets = [grp.index.to_list() for _, grp in g.groupby(wk, sort=True)]
-        xs = g["ts"].astype("int64").to_numpy() / 1e9
-        ys = g["value"].to_numpy()
+        us = (g["ts"].astype("int64") // 1000).to_list()
+        wk = [(u // 86_400_000_000 + 3) // 7 for u in us]
+        yq = [int(Decimal(repr(float(v))) * 100) for v in g["value"]]
+        buckets: list[list[int]] = []
+        for i, w in enumerate(wk):
+            if buckets and wk[buckets[-1][0]] == w:
+                buckets[-1].append(i)
+            else:
+                buckets.append([i])
+        assert len(buckets) <= 5  # the oracle's unroll bound
         chosen = [buckets[0][0]]
         for i in range(1, len(buckets) - 1):
             nxt = buckets[i + 1]
-            cx, cy = xs[nxt].mean(), ys[nxt].mean()
-            ax, ay = xs[chosen[-1]], ys[chosen[-1]]
-            best, best_area = None, -1.0
+            n = len(nxt)
+            sx = sum(us[j] for j in nxt)
+            sy = sum(yq[j] for j in nxt)
+            ax, ay = us[chosen[-1]], yq[chosen[-1]]
+            best, best_area = None, -1
             for j in buckets[i]:
-                area = abs((ax - cx) * (ys[j] - ay) - (ax - xs[j]) * (cy - ay))
+                area = abs(
+                    (ax * n - sx) * (yq[j] - ay) - (ax - us[j]) * (sy - ay * n)
+                )
                 if area > best_area:
                     best, best_area = j, area
             chosen.append(best)

@@ -11,6 +11,8 @@ bit-for-bit (the q_ewma_batch discipline).
 
 from __future__ import annotations
 
+from decimal import Decimal
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -297,26 +299,48 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _lttb_true_series(pdf: "pd.DataFrame") -> "pd.DataFrame":
     """True LTTB (Steinarsson 2013) for ONE series, sequential by
     construction: the triangle anchor is the previously SELECTED
-    point, not the prior bucket's centroid."""
+    point, not the prior bucket's centroid.
+
+    EXACT-INTEGER convention (rows-only→oracled conversion, r15):
+    the float triangle area |(ax−cx)(y−ay) − (ax−x)(cy−ay)| with the
+    next bucket's centroid (cx, cy) = (Σx/n, Σy/n) is multiplied
+    through by n > 0 — argmax-invariant — so the score becomes the
+    all-integer |(ax·n − Σx)(yq − ayq) − (ax − x)(Σyq − ayq·n)| on
+    epoch-µs x and cent-quantized y (values are exact 2-decimals;
+    FIXTURES.md). Python bigints here ≡ the oracle's DECIMAL(38,0)
+    cross-products, so selection is bit-free exact in both engines;
+    ties break first-in-series (ts, event_id asc), matching the
+    oracle's row_number(area DESC, ts, event_id)."""
     import pandas as pd
 
     pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
-    wk = pdf["ts"].dt.to_period("W-SUN").dt.start_time
-    buckets = [g.index.to_list() for _, g in pdf.groupby(wk, sort=True)]
-    xs = pdf["ts"].astype("int64").to_numpy() / 1e9
-    ys = pdf["value"].to_numpy()
+    us = (pdf["ts"].astype("int64") // 1000).to_list()  # epoch µs
+    wk = [(u // 86_400_000_000 + 3) // 7 for u in us]  # Monday weeks
+    yq = [
+        int(Decimal(repr(float(v))) * 100) for v in pdf["value"]
+    ]  # exact cents
+    buckets: list[list[int]] = []
+    for i, w in enumerate(wk):
+        if buckets and wk[buckets[-1][0]] == w:
+            buckets[-1].append(i)
+        else:
+            buckets.append([i])
     if len(buckets) == 0:
         return pdf.iloc[0:0][["user_id", "ts", "event_id", "value"]]
     chosen = [buckets[0][0]]  # first point of first bucket
     for i in range(1, len(buckets) - 1):
         nxt = buckets[i + 1]
-        cx, cy = xs[nxt].mean(), ys[nxt].mean()
-        ax, ay = xs[chosen[-1]], ys[chosen[-1]]
-        idx = buckets[i]
-        # vectorized triangle areas for the whole bucket (numpy),
-        # first-max argmax == the sequential scan's tie behavior
-        areas = abs((ax - cx) * (ys[idx] - ay) - (ax - xs[idx]) * (cy - ay))
-        chosen.append(idx[int(areas.argmax())])
+        n = len(nxt)
+        sx = sum(us[j] for j in nxt)
+        sy = sum(yq[j] for j in nxt)
+        aj = chosen[-1]
+        ax, ay = us[aj], yq[aj]
+        best_j, best_area = buckets[i][0], -1
+        for j in buckets[i]:  # first-max == strict > in series order
+            area = abs((ax * n - sx) * (yq[j] - ay) - (ax - us[j]) * (sy - ay * n))
+            if area > best_area:
+                best_area, best_j = area, j
+        chosen.append(best_j)
     if len(buckets) > 1:
         chosen.append(buckets[-1][-1])  # last point of last bucket
     out = pdf.iloc[chosen]
@@ -325,29 +349,105 @@ def _lttb_true_series(pdf: "pd.DataFrame") -> "pd.DataFrame":
             "user_id": out["user_id"].astype("int64"),
             "ts": out["ts"].dt.strftime("%Y-%m-%d %H:%M:%S"),
             "event_id": out["event_id"].astype("int64"),
-            "value": out["value"].round(6),
+            "value": out["value"],
         }
     )
 
 
 LTTB_SERIES_CAP = 100  # the dashboard's selected-series bound
 
+# The events fixture spans Jan 2024 = 5 Monday-start weeks at every
+# SF, so per-series bucket counts B ≤ 5 → at most 3 middle buckets;
+# the oracle unrolls exactly those three selection steps (selk
+# handles middle rank k+1 for users with B ≥ k+2; the anchor chain
+# sel(k-1) provably exists for them). A longer span unrolls more
+# steps the same way.
+_LTTB_PTS = f"""
+      SELECT user_id, ts, event_id, value,
+             epoch_us(ts) AS x,
+             CAST(CAST(value AS DECIMAL(20,2)) * 100 AS BIGINT) AS yq,
+             (epoch_us(ts) // 86400000000 + 3) // 7 AS wk
+      FROM events
+      WHERE event_type = 'purchase' AND user_id < {LTTB_SERIES_CAP}
+"""
 
-@query("q_lttb_true")
+
+def _lttb_sel_step(k: int) -> str:
+    """Unrolled middle-bucket selection step k: exact DECIMAL(38,0)
+    n-scaled cross-product argmax over bucket rank k+1 against the
+    previous selection and bucket rank k+2's sums."""
+    anchor = "first_pt" if k == 1 else f"sel{k - 1}"
+    return f"""sel{k} AS MATERIALIZED (
+      SELECT user_id, ts, event_id, value, x, yq FROM (
+        SELECT c.user_id, c.ts, c.event_id, c.value, c.x, c.yq,
+               row_number() OVER (PARTITION BY c.user_id ORDER BY
+                 abs((CAST(a.x AS DECIMAL(38,0))*g.n - g.sx)
+                       *(c.yq - a.yq)
+                     - CAST(a.x - c.x AS DECIMAL(38,0))
+                       *(g.sy - CAST(a.yq AS DECIMAL(38,0))*g.n)) DESC,
+                 c.ts, c.event_id) AS rn
+        FROM rk c
+        JOIN {anchor} a ON a.user_id = c.user_id
+        JOIN agg g ON g.user_id = c.user_id AND g.b = {k + 2}
+        WHERE c.b = {k + 1}
+      ) WHERE rn = 1
+    )"""
+
+
+@query(
+    "q_lttb_true",
+    oracle=f"""
+    WITH pts AS MATERIALIZED ({_LTTB_PTS}
+    ), rk AS MATERIALIZED (
+      SELECT p.*, dense_rank() OVER (PARTITION BY user_id ORDER BY wk) AS b
+      FROM pts p
+    ), nb AS MATERIALIZED (
+      SELECT user_id, max(b) AS nb FROM rk GROUP BY user_id
+    ), agg AS MATERIALIZED (
+      SELECT user_id, b, count(*) AS n,
+             SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(yq AS DECIMAL(38,0))) AS sy
+      FROM rk GROUP BY 1, 2
+    ), first_pt AS MATERIALIZED (
+      SELECT user_id, ts, event_id, value, x, yq FROM (
+        SELECT rk.*, row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+        FROM rk WHERE b = 1
+      ) WHERE rn = 1
+    ), {_lttb_sel_step(1)}, {_lttb_sel_step(2)}, {_lttb_sel_step(3)},
+    last_pt AS MATERIALIZED (
+      SELECT r.user_id, r.ts, r.event_id, r.value FROM (
+        SELECT rk.*, row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+        FROM rk JOIN nb USING (user_id) WHERE b = nb AND nb > 1
+      ) r WHERE r.rn = 1
+    )
+    SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           event_id, value
+    FROM (
+      SELECT user_id, ts, event_id, value FROM first_pt
+      UNION ALL SELECT user_id, ts, event_id, value FROM sel1
+      UNION ALL SELECT user_id, ts, event_id, value FROM sel2
+      UNION ALL SELECT user_id, ts, event_id, value FROM sel3
+      UNION ALL SELECT user_id, ts, event_id, value FROM last_pt
+    )
+    """,
+)
 def q_lttb_true(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True LTTB plot downsampling (previous-SELECTED-point anchor —
     the exact Steinarsson 2013 recurrence, sequential per series), the
     fidelity twin of q_lttb_downsample's parallel centroid-anchor
-    variant. Runs as applyInPandas per series: unlike the EWMA-family
-    recurrences (millions of tiny groups → mapInPandas carry-state),
-    plot downsampling is invoked for the bounded set of series a
-    dashboard draws, so per-group pandas overhead is the right trade
-    for the simpler whole-series walk — and the query enforces that
-    bound (user_id < {LTTB_SERIES_CAP}: the dashboard's selected
-    series; bucket areas are numpy-vectorized per bucket). Rows-only
-    (sequential anchor has no SQL form); pytest replays the identical
-    algorithm in pure Python and pins one-point-per-bucket + endpoint
-    preservation."""
+    variant. Runs as applyInPandas per series: plot downsampling is
+    invoked for the bounded set of series a dashboard draws, and the
+    query enforces that bound (user_id < {LTTB_SERIES_CAP}).
+
+    Converted rows-only→oracled in r15 (VERDICT r14 next #4): the
+    bucket argmax is redesigned to exact integer cross-product areas
+    (n-scaled centroid — see _lttb_true_series), and the ≤3 middle
+    selection steps of the 5-week fixture unroll in the oracle with
+    the anchor chain first_pt → sel1 → sel2 → sel3; the last bucket
+    contributes its endpoint for B > 1. Selection is integer-exact in
+    both engines; `value` passes through as the raw parquet double."""
     ev = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")

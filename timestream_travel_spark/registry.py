@@ -383,6 +383,31 @@ def load_all() -> None:
         timeseries35,
     )
 
+    # round-15 promotions — staged (strict 3-SF verified + recompute
+    # pytests) during round 14, promoted here so the driver's
+    # unverified-first queue drains them right after the expired
+    # rows-only re-checks and the two r14 conversions' pending hash
+    # rows (q_hits_hubs_authorities, q_kcore_trade)
+    from timestream_travel_spark.operators import (  # noqa: F401
+        analytics25,
+        graph18,
+        llm_text32,
+        retrieval11,
+        timeseries36,
+    )
+
+    # round-15 growth wave — registered behind the promotions; the
+    # unchecked queue (19 expired rows-only + 2 pending conversion
+    # hash rows + 12 promoted + these) sits at the driver's
+    # ~50-slot drain
+    from timestream_travel_spark.operators import (  # noqa: F401
+        dedup7,
+        graph19,
+        joins4,
+        llm_text33,
+        reference_domain,
+    )
+
 
 # Next-round modules, STAGED: written, oracled, and strict-verified
 # this round but NOT loaded by load_all() — the registry freezes at
@@ -391,13 +416,7 @@ def load_all() -> None:
 # The next round promotes them by moving the module names into
 # load_all()'s tail (registered-last rule). Until then they are
 # exercised by pytest and `tools/oracle_check.py --staged`.
-STAGED_MODULES: tuple[str, ...] = (
-    "timeseries36",
-    "analytics25",
-    "graph18",
-    "llm_text32",
-    "retrieval11",
-)
+STAGED_MODULES: tuple[str, ...] = ()
 
 
 def load_staged() -> None:

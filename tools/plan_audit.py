@@ -310,6 +310,9 @@ AUDITED = [
     "q_smog_source",
     "q_rankers_kendall_tau",
     "q_kcore_trade",
+    "q_interpolate_spline",
+    "q_interpolate_fill",
+    "q_unload_export",
 ]
 
 
