@@ -363,9 +363,26 @@ EXTRA = [
     "q_smog_source",                # per-source SMOG grade
     "q_rankers_kendall_tau",        # head-agreement pair census
     "q_kcore_trade",                # full core-number peel (oracled r14)
+    "q_nvi_pvi",                    # volume-gated cumulative walk (r15 promo)
+    "q_fisher_transform",           # clamp+ln walk (r15 promo)
+    "q_intraday_intensity",         # fixed-point intensity sums (r15 promo)
+    "q_siegel_tukey",               # zigzag midrank z (r15 promo)
+    "q_gini_mean_difference",       # block-summed rank identity (r15 promo)
+    "q_bowley_moors",               # octile shape panel (r15 promo)
+    "q_cramers_v_corrected",        # Bergsma-corrected V (r15 promo)
+    "q_bridge_edges",               # cut-edge census (r15 promo)
+    "q_articulation_points",        # cut-node census (r15 promo)
+    "q_pct_diff_keyness",           # %DIFF keyness (r15 promo)
+    "q_maas_cttr_brunet",           # richness panel (r15 promo)
+    "q_pr_curve_bm25",              # 11-point PR curve (r15 promo)
     "q_interpolate_spline",         # driver-side Thomas + broadcast eval
     "q_interpolate_fill",           # grid + per-series window fill
     "q_unload_export",              # DESC-chunked layout manifest
+    "q_dedup_vocab_set",            # vocab-set template candidates
+    "q_boilerplate_lines",          # CCNet line-dedup census
+    "q_hash_split",                 # content-hash split census
+    "q_graph_assortativity",        # degree-degree Pearson
+    "q_join_asof_tolerance",        # as-of + tolerance window
 ]
 
 

@@ -416,7 +416,12 @@ def load_all() -> None:
 # The next round promotes them by moving the module names into
 # load_all()'s tail (registered-last rule). Until then they are
 # exercised by pytest and `tools/oracle_check.py --staged`.
-STAGED_MODULES: tuple[str, ...] = ()
+STAGED_MODULES: tuple[str, ...] = (
+    "analytics26",
+    "timeseries37",
+    "graph20",
+    "llm_text34",
+)
 
 
 def load_staged() -> None:

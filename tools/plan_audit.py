@@ -313,6 +313,23 @@ AUDITED = [
     "q_interpolate_spline",
     "q_interpolate_fill",
     "q_unload_export",
+    "q_nvi_pvi",
+    "q_fisher_transform",
+    "q_intraday_intensity",
+    "q_siegel_tukey",
+    "q_gini_mean_difference",
+    "q_bowley_moors",
+    "q_cramers_v_corrected",
+    "q_bridge_edges",
+    "q_articulation_points",
+    "q_pct_diff_keyness",
+    "q_maas_cttr_brunet",
+    "q_pr_curve_bm25",
+    "q_dedup_vocab_set",
+    "q_boilerplate_lines",
+    "q_hash_split",
+    "q_graph_assortativity",
+    "q_join_asof_tolerance",
 ]
 
 
