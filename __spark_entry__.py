@@ -41,7 +41,14 @@ def _driver_green_keys() -> set[str]:
     is strong evidence and regressions are caught by the local pytest
     gate), plus rows-only (no_oracle) rows — but those only from the
     last ROWS_ONLY_COVER_ROUNDS files, so their weaker executed-ok
-    check is re-run periodically."""
+    check is re-run periodically.
+
+    A no_oracle row counts ONLY while the query is still oracle-less
+    in the live registry: after a rows-only→oracled conversion the
+    stale executed-ok row is not hash evidence, so the conversion
+    queues for its first hash row immediately (the r14 verdict's
+    conversion-without-coverage gap — q_hits_hubs_authorities'
+    recent r13 rows-only row was masking it from the r15 queue)."""
     import glob
     import json
 
@@ -65,6 +72,7 @@ def _driver_green_keys() -> set[str]:
                 row.get("rows_match") and row.get("schema_match") and row.get("hash_match")
             ) or (
                 err == "no_oracle"
+                and name not in registry.ORACLES
                 and row.get("spark_rows") is not None
                 and path in recent
             )
