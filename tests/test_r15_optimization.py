@@ -1,0 +1,88 @@
+"""Round-15 optimization parity tests.
+
+Each r15 optimization that moved a bounded iteration driver-side (the
+q_kcore_trade pattern) keeps the distributed implementation as the
+documented unbounded-scale path; these tests pin driver ≡ distributed
+on the fixture so the optimization provably changed the plan, not the
+answer. The spread() fan-out helper is pinned to be row-set-neutral
+and size-gated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from timestream_travel_spark.tables import load_table, spread
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_bpe_driver_trainer_matches_distributed(spark, sf_dir):
+    from timestream_travel_spark.operators.llm_text7 import (
+        bpe_merge_table,
+        bpe_merge_table_distributed,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    for n, batch in ((4, 1), (4, 2), (12, 4)):
+        assert bpe_merge_table(docs, n_merges=n, batch=batch) == (
+            bpe_merge_table_distributed(docs, n_merges=n, batch=batch)
+        ), f"n={n} batch={batch}"
+
+
+def test_distances_driver_matches_distributed(spark, sf_dir):
+    from timestream_travel_spark.operators.graph12 import (
+        _distances,
+        _distances_distributed,
+    )
+
+    got = _rows(_distances(spark, sf_dir), "src", "v", "d")
+    want = _rows(_distances_distributed(spark, sf_dir), "src", "v", "d")
+    assert got == want
+
+
+def test_lpa_driver_matches_distributed(spark, sf_dir):
+    from timestream_travel_spark.operators.graph7 import (
+        _lpa_labels,
+        _lpa_labels_distributed,
+    )
+
+    got = _rows(_lpa_labels(spark, sf_dir), "node", "lab")
+    want = _rows(_lpa_labels_distributed(spark, sf_dir), "node", "lab")
+    assert got == want
+
+
+def test_louvain_driver_matches_distributed(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    from timestream_travel_spark.operators.graph8 import (
+        q_louvain_one_level_distributed,
+    )
+
+    cols = [
+        "m_edges",
+        "n_moved",
+        "n_comm_before",
+        "n_comm_after",
+        "modularity_before",
+        "modularity_after",
+    ]
+    got = _rows(entrymod.queries()["q_louvain_one_level"](spark, sf_dir), *cols)
+    want = _rows(q_louvain_one_level_distributed(spark, sf_dir), *cols)
+    assert got == want
+
+
+def test_spread_preserves_rows_and_gates_on_size(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    sp = spread(li)
+    # tiny fixture input → the gate fires → more partitions
+    assert sp.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    # row multiset is unchanged
+    a = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("s"))
+    b = sp.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("s"))
+    assert _rows(a, "l_orderkey", "s") == _rows(b, "l_orderkey", "s")
+    # non-file sources are never spread
+    rng = spark.range(10)
+    assert spread(rng) is rng

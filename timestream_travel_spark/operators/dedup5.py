@@ -92,7 +92,11 @@ def q_cluster_medoid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from timestream_travel_spark.operators.dedup2 import connected_components_star
 
     d = load_table(spark, sf_dir, "documents")
-    edges = lsh_verified_pairs(d, threshold=0.5)
+    # r15: materialize the verified pair list ONCE — it feeds both the
+    # CC engine and the weight sums below, and without the checkpoint
+    # the whole LSH-candidates → exact-verify pipeline executed twice
+    # (the `sym` branch re-derived it from scratch; ~2 s at sf0.1)
+    edges = lsh_verified_pairs(d, threshold=0.5).localCheckpoint(eager=True)
     cc = connected_components_star(
         edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     )

@@ -78,9 +78,36 @@ def _dist_sql() -> str:
 
 
 def _distances(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(src, v, d) BFS distance table of the backbone — the Spark
-    mirror of _dist_sql(): {DIST_ROUNDS} relaxation rounds, each
-    localCheckpointed (the round references dist twice)."""
+    """(src, v, d) BFS distance table of the backbone, truncated at
+    d ≤ {DIST_ROUNDS} — the exact table _dist_sql()'s unrolled
+    min-plus relaxation produces.
+
+    r15 optimization: the relaxation used to run as {DIST_ROUNDS}
+    Spark rounds with eager localCheckpoints (~12 jobs of scheduling
+    overhead on a ≤25-node graph); the BFS is pure-integer bounded
+    driver state, so it now runs driver-side over the collected
+    backbone (the q_kcore_trade r14 pattern) and ships back as one
+    small local relation. The distributed relaxation for unbounded
+    graphs is _distances_distributed below (parity-pytested)."""
+    from timestream_travel_spark.operators.graph_kit import (
+        bfs_distances,
+        collect_sym,
+    )
+
+    from timestream_travel_spark.tables import bounded_df
+
+    nodes, adj, _ = collect_sym(spark, sf_dir)
+    dist = bfs_distances(nodes, adj, DIST_ROUNDS)
+    rows = sorted((s, v, d) for (s, v), d in dist.items())
+    return bounded_df(spark, rows, "src int, v int, d int")
+
+
+def _distances_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-r15 distributed relaxation — {DIST_ROUNDS} rounds,
+    each localCheckpointed (the round references dist twice). Kept as
+    the documented scale path for graphs whose node set is NOT
+    bounded driver state; test_r15_optimization pins parity with the
+    driver-side table."""
     sym = _sym(top_trade_edges(spark, sf_dir)).persist()
     dist = sym.select(F.col("u").alias("src"), F.col("u").alias("v")).distinct()
     dist = dist.withColumn("d", F.lit(0))
@@ -223,21 +250,24 @@ def q_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaled integers (y_t = {KATZ_DEN}ᵗ·x_t, so y_{{t+1}} =
     {KATZ_DEN}^(t+1) + Σ_neighbors y_t), making the emitted value a
     dyadic rational that converts to double EXACTLY — no float op
-    anywhere in the iteration."""
-    sym = _sym(top_trade_edges(spark, sf_dir)).persist()
-    y = sym.select(F.col("u").alias("node")).distinct().withColumn(
-        "y", F.lit(1).cast("bigint")
-    )
+    anywhere in the iteration.
+
+    r15: the BIGINT recurrence runs driver-side over the collected
+    backbone (bounded driver state; was {KATZ_ROUNDS} Spark rounds of
+    join+agg+checkpoint) — same integers, the final dyadic division
+    stays the same Spark expression."""
+    from timestream_travel_spark.operators.graph_kit import collect_sym
+
+    nodes, adj, _ = collect_sym(spark, sf_dir)
+    y = {n: 1 for n in nodes}
     for it in range(1, KATZ_ROUNDS + 1):
-        y = (
-            sym.join(y, sym.v == y.node)
-            .groupBy(F.col("u").alias("node"))
-            .agg(
-                (F.lit(KATZ_DEN**it) + F.sum("y")).cast("bigint").alias("y")
-            )
-            .localCheckpoint(eager=True)
-        )
-    return y.select(
+        y = {n: KATZ_DEN**it + sum(y[v] for v in adj[n]) for n in nodes}
+    from timestream_travel_spark.tables import bounded_df
+
+    ydf = bounded_df(
+        spark, sorted((n, int(y[n])) for n in nodes), "node int, y bigint"
+    )
+    return ydf.select(
         "node",
         F.col("y").alias("katz_scaled"),
         (F.col("y").cast("double") / F.lit(KATZ_DEN**KATZ_ROUNDS)).alias(
@@ -286,27 +316,29 @@ def q_ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ({TRUSS_ROUNDS} fixed peel rounds — the graph9 determinism
     trade; the pytest pins the fixpoint), emitting each surviving
     edge with its final triangle support. Pure integer censuses on
-    the bounded edge set, one localCheckpoint per round."""
-    e = top_trade_edges(spark, sf_dir).localCheckpoint(eager=True)
+    the bounded edge set.
+
+    r15: the peel runs driver-side over the collected backbone
+    (bounded driver state; was {TRUSS_ROUNDS} Spark rounds of
+    triangle-join+checkpoint ≈ 12 jobs) — identical integer censuses,
+    identical surviving edge set."""
+    from timestream_travel_spark.operators.graph_kit import collect_sym
+
+    _, _, edges = collect_sym(spark, sf_dir)
+
+    def _support(es: list) -> dict:
+        nbrs: dict[int, set[int]] = {}
+        for a, b in es:
+            nbrs.setdefault(a, set()).add(b)
+            nbrs.setdefault(b, set()).add(a)
+        return {(a, b): len(nbrs[a] & nbrs[b]) for a, b in es}
+
+    e = list(edges)
     for _ in range(TRUSS_ROUNDS):
-        sym = _sym(e)
-        x = sym.select(F.col("u").alias("xu"), F.col("v").alias("w"))
-        y = sym.select(F.col("u").alias("yu"), F.col("v").alias("w"))
-        e = (
-            e.join(x, F.col("a") == F.col("xu"))
-            .join(y, (F.col("b") == F.col("yu")) & (x.w == y.w))
-            .groupBy("a", "b")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .filter(F.col("c") >= KTRUSS_K - 2)
-            .select("a", "b")
-            .localCheckpoint(eager=True)
-        )
-    sym = _sym(e)
-    x = sym.select(F.col("u").alias("xu"), F.col("v").alias("w"))
-    y = sym.select(F.col("u").alias("yu"), F.col("v").alias("w"))
-    return (
-        e.join(x, F.col("a") == F.col("xu"))
-        .join(y, (F.col("b") == F.col("yu")) & (x.w == y.w))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
-    )
+        sup = _support(e)
+        e = [ab for ab in e if sup[ab] >= KTRUSS_K - 2]
+    final = _support(e)
+    from timestream_travel_spark.tables import bounded_df
+
+    rows = sorted((a, b, int(c)) for (a, b), c in final.items())
+    return bounded_df(spark, rows, "a int, b int, support bigint")

@@ -117,29 +117,44 @@ def q_stress_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass THROUGH it (σ(s,v)·σ(v,t) summed over endpoint pairs with
     d(s,v)+d(v,t)=d(s,t)) — integer-exact end-to-end (module
     docstring). Nodes interior to no shortest path are absent (their
-    stress is 0)."""
-    sym = _sym(top_trade_edges(spark, sf_dir)).persist()
-    dist = _distances(spark, sf_dir).persist()
-    sigma = sigma_table(sym, dist)
-    x = sigma.select(
-        F.col("src").alias("xs"), F.col("v").alias("node"),
-        F.col("d").alias("xd"), F.col("s").alias("xsig"),
+    stress is 0).
+
+    r15: distances, σ DP, and the pair census all run driver-side
+    over the collected backbone (bounded driver state, all-integer —
+    the q_kcore_trade pattern; was the distributed σ unroll at ~14
+    Spark jobs). graph_kit.bfs_distances/sigma_counts reproduce the
+    d{DIST_ROUNDS}/σ tables exactly; the census below is the same
+    triple condition the Spark joins expressed."""
+    from timestream_travel_spark.operators.graph_kit import (
+        bfs_distances,
+        collect_sym,
+        sigma_counts,
     )
-    y = sigma.select(
-        F.col("src").alias("ys"), F.col("v").alias("ynode"),
-        F.col("d").alias("yd"), F.col("s").alias("ysig"),
-    )
-    st = dist.select(
-        F.col("src").alias("ss"), F.col("v").alias("tt"), F.col("d").alias("sd")
-    )
-    return (
-        x.join(y, (F.col("node") == F.col("ynode")) & (F.col("xs") < F.col("ys")))
-        .join(st, (F.col("ss") == F.col("xs")) & (F.col("tt") == F.col("ys")))
-        .filter(
-            (F.col("node") != F.col("xs"))
-            & (F.col("node") != F.col("ys"))
-            & (F.col("xd") + F.col("yd") == F.col("sd"))
-        )
-        .groupBy("node")
-        .agg(F.sum(F.col("xsig") * F.col("ysig")).cast("bigint").alias("stress"))
-    )
+
+    nodes, adj, _ = collect_sym(spark, sf_dir)
+    dist = bfs_distances(nodes, adj, DIST_ROUNDS)
+    sigma = sigma_counts(nodes, adj, dist, DIST_ROUNDS)
+    stress: dict[int, int] = {}
+    by_src: dict[int, list] = {}
+    for (s, v), (d, sg) in sigma.items():
+        by_src.setdefault(s, []).append((v, d, sg))
+    for s in nodes:
+        for t in nodes:
+            if not s < t:
+                continue
+            st = dist.get((s, t))
+            if st is None:
+                continue
+            for v, dv, sgv in by_src[s]:
+                if v == s or v == t:
+                    continue
+                ent = sigma.get((t, v))
+                if ent is None:
+                    continue
+                dt, sgt = ent
+                if dv + dt == st:
+                    stress[v] = stress.get(v, 0) + sgv * sgt
+    from timestream_travel_spark.tables import bounded_df
+
+    rows = sorted((v, int(c)) for v, c in stress.items())
+    return bounded_df(spark, rows, "node int, stress bigint")

@@ -62,6 +62,7 @@ from timestream_travel_spark.operators.graph3 import (
     top_trade_edges,
 )
 from timestream_travel_spark.operators.graph12 import (
+    DIST_ROUNDS,
     _dist_sql,
     _distances,
     _sym,
@@ -99,47 +100,58 @@ def q_betweenness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-point convention (module docstring): Σ_(s<t) of
     (σ_sv·σ_vt·SCALE) DIV σ_st over pairs with d(s,v)+d(v,t)=d(s,t),
     emitted as the exact integer and ONE flat double division.
-    Nodes interior to no shortest path are absent (betweenness 0)."""
-    sym = _sym(top_trade_edges(spark, sf_dir)).persist()
-    dist = _distances(spark, sf_dir).persist()
-    sigma = sigma_table(sym, dist)
-    x = sigma.select(
-        F.col("src").alias("xs"), F.col("v").alias("node"),
-        F.col("d").alias("xd"), F.col("s").alias("xsig"),
+    Nodes interior to no shortest path are absent (betweenness 0).
+
+    r15: the σ DP and the truncated pair terms run driver-side over
+    the collected backbone (bounded driver state, all-integer — the
+    q_kcore_trade pattern; Python // on the non-negative operands is
+    the same truncation as Spark div / DuckDB //). Only the exact
+    integer sums ship back; the one flat double division stays the
+    same Spark expression."""
+    from timestream_travel_spark.operators.graph_kit import (
+        bfs_distances,
+        collect_sym,
+        sigma_counts,
     )
-    y = sigma.select(
-        F.col("src").alias("ys"), F.col("v").alias("ynode"),
-        F.col("d").alias("yd"), F.col("s").alias("ysig"),
-    )
-    st = sigma.select(
-        F.col("src").alias("ss"), F.col("v").alias("tt"),
-        F.col("d").alias("sd"), F.col("s").alias("stsig"),
-    )
-    term = F.expr(
-        f"(CAST(xsig AS DECIMAL(38,0)) * ysig * {BET_SCALE}) div stsig"
-    )
-    return (
-        x.join(y, (F.col("node") == F.col("ynode")) & (F.col("xs") < F.col("ys")))
-        .join(
-            st,
-            (F.col("ss") == F.col("xs"))
-            & (F.col("tt") == F.col("ys"))
-            & (F.col("sd") == F.col("xd") + F.col("yd")),
-        )
-        .filter((F.col("node") != F.col("xs")) & (F.col("node") != F.col("ys")))
-        .groupBy("node")
-        .agg(
-            F.sum(term).cast("bigint").alias("bet_scaled"),
-            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-        )
-        .select(
-            "node",
-            "bet_scaled",
-            "n_pairs",
-            (F.col("bet_scaled").cast("double") / F.lit(float(BET_SCALE))).alias(
-                "betweenness"
-            ),
-        )
+
+    nodes, adj, _ = collect_sym(spark, sf_dir)
+    dist = bfs_distances(nodes, adj, DIST_ROUNDS)
+    sigma = sigma_counts(nodes, adj, dist, DIST_ROUNDS)
+    by_src: dict[int, list] = {}
+    for (s, v), (d, sg) in sigma.items():
+        by_src.setdefault(s, []).append((v, d, sg))
+    bet: dict[int, int] = {}
+    npairs: dict[int, int] = {}
+    for s in nodes:
+        for t in nodes:
+            if not s < t:
+                continue
+            ent_st = sigma.get((s, t))
+            if ent_st is None:
+                continue
+            sd, sig_st = ent_st
+            for v, dv, sgv in by_src[s]:
+                if v == s or v == t:
+                    continue
+                ent = sigma.get((t, v))
+                if ent is None:
+                    continue
+                dt, sgt = ent
+                if dv + dt == sd:
+                    bet[v] = bet.get(v, 0) + (sgv * sgt * BET_SCALE) // sig_st
+                    npairs[v] = npairs.get(v, 0) + 1
+    from timestream_travel_spark.tables import bounded_df
+
+    rows = sorted((v, int(bet[v]), int(npairs[v])) for v in bet)
+    return bounded_df(
+        spark, rows, "node int, bet_scaled bigint, n_pairs bigint"
+    ).select(
+        "node",
+        "bet_scaled",
+        "n_pairs",
+        (F.col("bet_scaled").cast("double") / F.lit(float(BET_SCALE))).alias(
+            "betweenness"
+        ),
     )
 
 
@@ -191,39 +203,33 @@ def q_pagerank_backbone(spark: SparkSession, sf_dir: str) -> DataFrame:
     {PR_ROUNDS} synchronous BIGINT rounds at scale {PR_SCALE}, then
     ONE flat double division. The companion q_nation_pagerank keeps
     the weighted/decimal-quantized variant; this one is the
-    INTEGER-EXACT cross-engine fixpoint the r12 verdict asked for."""
-    sym = _sym(top_trade_edges(spark, sf_dir)).persist()
-    deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("dg"))
-    deg = deg.localCheckpoint(eager=True)
-    n_df = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    r = (
-        deg.crossJoin(F.broadcast(n_df))
-        .selectExpr("u AS node", f"CAST({PR_SCALE} AS BIGINT) div n AS r")
-        .localCheckpoint(eager=True)
-    )
-    base = (
-        n_df.selectExpr(f"(3 * {PR_SCALE}) div (20 * n) AS base")
-    )
-    nbr = sym.select(F.col("u").alias("pu"), F.col("v").alias("pv"))
+    INTEGER-EXACT cross-engine fixpoint the r12 verdict asked for.
+
+    r15: the BIGINT recurrence runs driver-side over the collected
+    backbone (bounded driver state; was {PR_ROUNDS} Spark rounds of
+    two joins + checkpoint each ≈ 10 jobs). Python // equals Spark
+    div on the non-negative iterates; the flat double division stays
+    the same Spark expression."""
+    from timestream_travel_spark.operators.graph_kit import collect_sym
+
+    nodes, adj, _ = collect_sym(spark, sf_dir)
+    deg = {n: len(adj[n]) for n in nodes}
+    n = len(nodes)
+    base = (3 * PR_SCALE) // (20 * n)
+    r = {u: PR_SCALE // n for u in nodes}
     for _ in range(PR_ROUNDS):
-        mass = (
-            r.join(deg.withColumnRenamed("u", "node"), "node")
-            .selectExpr("node AS mu", "r div dg AS share")
-            .join(nbr, F.col("pu") == F.col("mu"))
-            .groupBy(F.col("pv").alias("node"))
-            .agg(F.sum("share").cast("bigint").alias("mass"))
-        )
-        r = (
-            deg.select(F.col("u").alias("node"))
-            .join(mass, "node", "left")
-            .crossJoin(F.broadcast(base))
-            .selectExpr(
-                "node",
-                "base + (17 * COALESCE(mass, CAST(0 AS BIGINT))) div 20 AS r",
-            )
-            .localCheckpoint(eager=True)
-        )
-    return r.select(
+        share = {u: r[u] // deg[u] for u in nodes}
+        mass = {u: 0 for u in nodes}
+        for u in nodes:
+            for v in adj[u]:
+                mass[v] += share[u]
+        r = {u: base + (17 * mass[u]) // 20 for u in nodes}
+    from timestream_travel_spark.tables import bounded_df
+
+    rdf = bounded_df(
+        spark, sorted((u, int(r[u])) for u in nodes), "node int, r bigint"
+    )
+    return rdf.select(
         "node",
         F.col("r").alias("pr_scaled"),
         (F.col("r").cast("double") / F.lit(float(PR_SCALE))).alias("pagerank"),

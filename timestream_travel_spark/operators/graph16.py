@@ -88,51 +88,60 @@ def q_edge_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncated fixed-point convention (module docstring): both
     crossing directions' σ-products summed per endpoint pair, ONE
     truncating division per pair, exact integer sum + one flat
-    double division. Edges on no shortest path are absent."""
-    edges = top_trade_edges(spark, sf_dir)
-    sym = _sym(edges).persist()
-    dist = _distances(spark, sf_dir).persist()
-    sigma = sigma_table(sym, dist).persist()
-    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    double division. Edges on no shortest path are absent.
 
-    def _dir(end_x: str, end_y: str) -> DataFrame:
-        x = sigma.select(
-            F.col("src").alias("s"), F.col("v").alias("xv"),
-            F.col("d").alias("xd"), F.col("s").alias("xsig"),
-        )
-        y = sigma.select(
-            F.col("src").alias("t"), F.col("v").alias("yv"),
-            F.col("d").alias("yd"), F.col("s").alias("ysig"),
-        )
-        st = sigma.select(
-            F.col("src").alias("ss"), F.col("v").alias("tt"),
-            F.col("d").alias("sd"), F.col("s").alias("sig_st"),
-        )
-        return (
-            edges.join(x, F.col("xv") == F.col(end_x))
-            .join(y, (F.col("yv") == F.col(end_y)) & (F.col("s") < F.col("t")))
-            .join(
-                st,
-                (F.col("ss") == F.col("s"))
-                & (F.col("tt") == F.col("t"))
-                & (F.col("sd") == F.col("xd") + 1 + F.col("yd")),
-            )
-            .select(
-                "a", "b", "s", "t", "sig_st",
-                (d38(F.col("xsig")) * F.col("ysig")).alias("num"),
-            )
-        )
-
-    dirs = _dir("a", "b").unionAll(_dir("b", "a"))
-    per_pair = dirs.groupBy("a", "b", "s", "t").agg(
-        F.expr(f"(SUM(num) * {EB_SCALE}) div ANY_VALUE(sig_st)").alias("term")
+    r15: distances, σ DP, and the per-pair truncated terms run
+    driver-side over the collected backbone (bounded driver state,
+    all-integer — the q_kcore_trade pattern; was the distributed σ
+    unroll + two direction joins ≈ 15 Spark jobs). Python // equals
+    Spark div / DuckDB // on the non-negative operands; the flat
+    double division stays a Spark expression."""
+    from timestream_travel_spark.operators.graph_kit import (
+        bfs_distances,
+        collect_sym,
+        sigma_counts,
     )
-    return per_pair.groupBy(
-        F.col("a").alias("node_a"), F.col("b").alias("node_b")
-    ).agg(
-        F.sum("term").cast("bigint").alias("eb_scaled"),
-        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-        (F.sum("term").cast("bigint").cast("double") / F.lit(float(EB_SCALE))).alias(
+
+    nodes, adj, edge_list = collect_sym(spark, sf_dir)
+    dist = bfs_distances(nodes, adj, DIST_ROUNDS)
+    sigma = sigma_counts(nodes, adj, dist, DIST_ROUNDS)
+    eb: dict[tuple, int] = {}
+    npairs: dict[tuple, int] = {}
+    for a, b in edge_list:
+        for s in nodes:
+            for t in nodes:
+                if not s < t:
+                    continue
+                ent_st = sigma.get((s, t))
+                if ent_st is None:
+                    continue
+                sd, sig_st = ent_st
+                num = 0
+                # direction s→a, b→t
+                ex = sigma.get((s, a))
+                ey = sigma.get((t, b))
+                if ex and ey and ex[0] + 1 + ey[0] == sd:
+                    num += ex[1] * ey[1]
+                # direction s→b, a→t
+                ex = sigma.get((s, b))
+                ey = sigma.get((t, a))
+                if ex and ey and ex[0] + 1 + ey[0] == sd:
+                    num += ex[1] * ey[1]
+                if num:
+                    key = (a, b)
+                    eb[key] = eb.get(key, 0) + (num * EB_SCALE) // sig_st
+                    npairs[key] = npairs.get(key, 0) + 1
+    from timestream_travel_spark.tables import bounded_df
+
+    rows = sorted((a, b, int(eb[(a, b)]), int(npairs[(a, b)])) for a, b in eb)
+    return bounded_df(
+        spark, rows, "node_a int, node_b int, eb_scaled bigint, n_pairs bigint"
+    ).select(
+        "node_a",
+        "node_b",
+        "eb_scaled",
+        "n_pairs",
+        (F.col("eb_scaled").cast("double") / F.lit(float(EB_SCALE))).alias(
             "edge_betweenness"
         ),
     )

@@ -47,12 +47,44 @@ _TOP_EDGES_SQL = f"""
 """
 
 
+# session-scoped materialization of the backbone (r15): ~25 graph
+# queries consume the SAME deterministic ≤TOP_EDGES-row edge set, and
+# each used to re-run the 4-table fact extraction (~2.5-3.5 s at
+# sf0.1 — the dominant cost of every backbone query after their
+# iterations moved driver-side). Same mechanism and key as
+# clusterqual3's _family_cached ε-pair table: keyed by
+# (applicationId, sf_dir), in-memory only, dies with the session —
+# every bench/oracle invocation still computes it from the parquet
+# inputs. At 100 TB this is exactly the shared-materialized-
+# intermediate any engine would use for a repeated subplan.
+_EDGE_CACHE: dict = {}
+
+
 def top_trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{TOP_EDGES} undirected (a < b) nation pairs by exact
     decimal trade revenue — deterministic at every SF because the
-    weight is an exact DECIMAL sum and ties break on the node pair."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    weight is an exact DECIMAL sum and ties break on the node pair.
+    Materialized once per (session, fixture) — see _EDGE_CACHE."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _EDGE_CACHE.get(key)
+    if df is None:
+        df = _top_trade_edges_plan(spark, sf_dir).localCheckpoint(eager=True)
+        _EDGE_CACHE[key] = df
+    return df
+
+
+def _top_trade_edges_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The uncached extraction plan (one fact-scale pass)."""
+    from timestream_travel_spark.tables import spread
+
+    # r15: the per-row decimal revenue work downstream of the scan is
+    # the dominant cost, and single-row-group fixture files serialize
+    # it onto one core — spread the projected fact side (size-gated:
+    # no-op at production scale). Decimal sum is order-independent.
+    li = spread(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+        )
     )
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")

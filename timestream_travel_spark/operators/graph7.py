@@ -68,11 +68,46 @@ def _lpa_sql(final: str) -> str:
     return ",\n    ".join(ctes)
 
 
+def _lpa_driver(spark: SparkSession, sf_dir: str, backbone=None) -> dict:
+    """{node: lab} after {LPA_ITERS} synchronous rounds, computed
+    driver-side over the collected backbone (r15 — bounded driver
+    state, pure integer, the q_kcore_trade pattern; each round adopts
+    the most frequent neighbor label, ties to the smallest — the
+    exact tiebreak of the distributed window rank below). `backbone`
+    (a collect_sym result) lets callers share one extraction job."""
+    from timestream_travel_spark.operators.graph_kit import collect_sym
+
+    nodes, adj, _ = backbone if backbone is not None else collect_sym(spark, sf_dir)
+    lab = {n: n for n in nodes}
+    for _ in range(LPA_ITERS):
+        new = {}
+        for u in nodes:
+            counts: dict[int, int] = {}
+            for v in adj[u]:
+                counts[lab[v]] = counts.get(lab[v], 0) + 1
+            new[u] = min(counts, key=lambda k: (-counts[k], k))
+        lab = new
+    return lab
+
+
 def _lpa_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(node, lab) after {LPA_ITERS} synchronous rounds. The
-    symmetrized edge table is persisted ONCE — every round's join
-    re-scans the ≤2·{TOP_EDGES}-row cache, never the 4-table fact
-    extraction (the graph5 plan-audit lesson)."""
+    """(node, lab) after {LPA_ITERS} synchronous rounds — driver-side
+    since r15 (see _lpa_driver); _lpa_labels_distributed keeps the
+    Pregel-shaped plan as the documented unbounded-graph path."""
+    from timestream_travel_spark.tables import bounded_df
+
+    lab = _lpa_driver(spark, sf_dir)
+    return bounded_df(
+        spark, sorted((n, int(c)) for n, c in lab.items()), "node int, lab int"
+    )
+
+
+def _lpa_labels_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-r15 distributed rounds. The symmetrized edge table is
+    persisted ONCE — every round's join re-scans the
+    ≤2·{TOP_EDGES}-row cache, never the 4-table fact extraction (the
+    graph5 plan-audit lesson). Parity with _lpa_labels is pinned in
+    test_r15_optimization."""
     e = top_trade_edges(spark, sf_dir)
     sym = (
         e.select(F.col("a").alias("u"), F.col("b").alias("v"))
@@ -156,35 +191,37 @@ def q_lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     entirely from exact integers (intra-community edge counts,
     community degree sums, the edge total) with ONE double division.
     Communities with zero internal edges still contribute their D_c²
-    term (LEFT join, COALESCE 0)."""
-    e = top_trade_edges(spark, sf_dir).persist()
-    # localCheckpoint: dc/la/lb reference the labels 3×, each copy
-    # otherwise embedding the full 4-round LPA lineage (graph8's
-    # plan-width lesson; the table is ≤|nodes| rows)
-    lab = _lpa_labels(spark, sf_dir).localCheckpoint(eager=True)
-    sym = e.select(F.col("a").alias("u")).unionAll(e.select(F.col("b").alias("u")))
-    deg = sym.groupBy(F.col("u").alias("node")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("d")
+    term.
+
+    r15: labels AND the integer censuses (degree sums per community,
+    intra-edge counts, m) run driver-side over the collected backbone
+    (bounded driver state — one fact-scale extraction job instead of
+    the LPA rounds + three census joins); the single rounded double
+    division stays a Spark expression over the exact integers."""
+    from timestream_travel_spark.operators.graph_kit import collect_sym
+
+    backbone = collect_sym(spark, sf_dir)
+    nodes, adj, edges = backbone
+    lab = _lpa_driver(spark, sf_dir, backbone)
+    m = len(edges)
+    dsum: dict[int, int] = {}
+    for u in nodes:
+        dsum[lab[u]] = dsum.get(lab[u], 0) + len(adj[u])
+    e_in: dict[int, int] = {}
+    for a, b in edges:
+        if lab[a] == lab[b]:
+            e_in[lab[a]] = e_in.get(lab[a], 0) + 1
+    intra = sum(e_in.get(c, 0) for c in dsum)
+    d2 = sum(d * d for d in dsum.values())
+    nc = len(dsum)
+    from timestream_travel_spark.tables import bounded_df
+
+    parts = bounded_df(
+        spark,
+        [(int(m), int(nc), int(intra), int(d2))],
+        "m bigint, nc bigint, intra bigint, d2 bigint",
     )
-    dc = deg.join(lab, "node").groupBy("lab").agg(
-        F.sum("d").cast("bigint").alias("dsum")
-    )
-    la = lab.select(F.col("node").alias("a"), F.col("lab").alias("lab_a"))
-    lb = lab.select(F.col("node").alias("b"), F.col("lab").alias("lab_b"))
-    ec = (
-        e.join(F.broadcast(la), "a")
-        .join(F.broadcast(lb), "b")
-        .filter(F.col("lab_a") == F.col("lab_b"))
-        .groupBy(F.col("lab_a").alias("lab"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("e_in"))
-    )
-    m = e.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
-    parts = dc.join(ec, "lab", "left").agg(
-        F.sum(F.coalesce(F.col("e_in"), F.lit(0))).cast("bigint").alias("intra"),
-        F.sum(F.col("dsum") * F.col("dsum")).cast("bigint").alias("d2"),
-        F.count(F.lit(1)).cast("bigint").alias("nc"),
-    )
-    return parts.crossJoin(F.broadcast(m)).select(
+    return parts.select(
         F.col("m").alias("m_edges"),
         F.col("nc").alias("n_communities"),
         F.col("intra").alias("intra_edges"),

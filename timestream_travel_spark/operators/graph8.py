@@ -38,7 +38,10 @@ from timestream_travel_spark.operators.graph3 import (
     _TOP_EDGES_SQL,
     top_trade_edges,
 )
-from timestream_travel_spark.operators.graph7 import _lpa_labels, _lpa_sql
+from timestream_travel_spark.operators.graph7 import (
+    _lpa_labels_distributed,
+    _lpa_sql,
+)
 from timestream_travel_spark.registry import query
 
 # modularity census over a (node, lab) CTE named `{lab}`, emitting
@@ -123,14 +126,102 @@ _MOD_SQL = """{out} AS (
 def q_louvain_one_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One deterministic synchronous Louvain sweep refining the LPA
     partition, with exact-integer gains and before/after modularity
-    (see module docstring for the gain algebra)."""
+    (see module docstring for the gain algebra).
+
+    r15: the LPA labels, the gain sweep, and both modularity censuses
+    run driver-side over the collected backbone (bounded driver
+    state, all-integer — the q_kcore_trade pattern; the distributed
+    plan below paid ~3.2 s of plan compilation + AQE at sf0.1 even
+    after its r11 checkpoint fix). The two rounded double divisions
+    stay Spark expressions over the exact integers."""
+    from timestream_travel_spark.operators.graph7 import _lpa_driver
+    from timestream_travel_spark.operators.graph_kit import collect_sym
+
+    backbone = collect_sym(spark, sf_dir)
+    nodes, adj, edges = backbone
+    lab = _lpa_driver(spark, sf_dir, backbone)
+    m = len(edges)
+    deg = {u: len(adj[u]) for u in nodes}
+    dsum: dict[int, int] = {}
+    for u in nodes:
+        dsum[lab[u]] = dsum.get(lab[u], 0) + deg[u]
+    lnew: dict[int, int] = {}
+    for u in nodes:
+        c_own = lab[u]
+        ki: dict[int, int] = {}
+        for v in adj[u]:
+            ki[lab[v]] = ki.get(lab[v], 0) + 1
+        k_own = ki.get(c_own, 0)
+        best = None  # (gain, target)
+        for tgt, k in ki.items():
+            if tgt == c_own:
+                continue
+            gain = 4 * m * (k - k_own) - 2 * deg[u] * (
+                dsum[tgt] - dsum[c_own] + deg[u]
+            )
+            if best is None or (gain, -tgt) > (best[0], -best[1]):
+                best = (gain, tgt)
+        lnew[u] = best[1] if best is not None and best[0] > 0 else c_own
+
+    def _mod_parts(labels: dict) -> tuple:
+        dc: dict[int, int] = {}
+        for u in nodes:
+            dc[labels[u]] = dc.get(labels[u], 0) + deg[u]
+        e_in: dict[int, int] = {}
+        for a, b in edges:
+            if labels[a] == labels[b]:
+                e_in[labels[a]] = e_in.get(labels[a], 0) + 1
+        return (
+            sum(e_in.get(c, 0) for c in dc),
+            sum(d * d for d in dc.values()),
+            len(dc),
+        )
+
+    i0, q0d2, nc0 = _mod_parts(lab)
+    i1, q1d2, nc1 = _mod_parts(lnew)
+    n_moved = sum(1 for u in nodes if lab[u] != lnew[u])
+    parts = spark.createDataFrame(
+        [
+            (
+                int(m),
+                int(n_moved),
+                int(nc0),
+                int(nc1),
+                int(i0),
+                int(q0d2),
+                int(i1),
+                int(q1d2),
+            )
+        ],
+        "m bigint, n_moved bigint, n_comm_before bigint, n_comm_after bigint,"
+        " i0 bigint, q0d2 bigint, i1 bigint, q1d2 bigint",
+    )
+    q_of = lambda intra, d2: F.round(  # noqa: E731
+        (F.lit(4) * F.col("m") * intra - d2).cast("double")
+        / (F.lit(4.0) * F.col("m") * F.col("m")),
+        6,
+    )
+    return parts.select(
+        F.col("m").alias("m_edges"),
+        "n_moved",
+        "n_comm_before",
+        "n_comm_after",
+        q_of(F.col("i0"), F.col("q0d2")).alias("modularity_before"),
+        q_of(F.col("i1"), F.col("q1d2")).alias("modularity_after"),
+    )
+
+
+def q_louvain_one_level_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-r15 distributed sweep — the documented unbounded-graph
+    path (Pregel-shaped joins); parity with the driver-side query is
+    pinned in test_r15_optimization."""
     e = top_trade_edges(spark, sf_dir).persist()
     # localCheckpoint, not persist: the gain/census/modularity stages
     # reference the label table 5+ times, and each reference embeds
     # the 4-round LPA lineage into the plan — truncating it here cut
     # the measured sf0.1 wall 7.9 s → 3.2 s (the data is ≤|nodes|
     # rows; the cost was plan compilation + AQE, not execution)
-    lab = _lpa_labels(spark, sf_dir).localCheckpoint(eager=True)
+    lab = _lpa_labels_distributed(spark, sf_dir).localCheckpoint(eager=True)
     sym = (
         e.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .unionAll(e.select(F.col("b").alias("u"), F.col("a").alias("v")))

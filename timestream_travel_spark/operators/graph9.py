@@ -75,34 +75,21 @@ def q_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """{KCORE_K}-core membership of every backbone node after
     {KCORE_ROUNDS} fixed peel rounds, beside its full-graph degree
     (so `degree ≥ {KCORE_K}` but `in_kcore = 0` rows expose nodes the
-    peel cascaded away — the statistic's whole point)."""
-    e = top_trade_edges(spark, sf_dir)
-    sym = (
-        e.select(F.col("a").alias("u"), F.col("b").alias("v"))
-        .unionAll(e.select(F.col("b").alias("u"), F.col("a").alias("v")))
-        .persist()
-    )
-    surv = sym.select(F.col("u").alias("node")).distinct()
+    peel cascaded away — the statistic's whole point).
+
+    r15: the fixed-round peel runs driver-side over the collected
+    backbone (bounded driver state, pure integer — the q_kcore_trade
+    pattern in THIS module's own sibling; was {KCORE_ROUNDS} Spark
+    rounds of semi-join+checkpoint ≈ 8 jobs)."""
+    from timestream_travel_spark.operators.graph_kit import collect_sym
+
+    nodes, adj, _ = collect_sym(spark, sf_dir)
+    surv = set(nodes)
     for _ in range(KCORE_ROUNDS):
-        surv = (
-            sym.join(surv.withColumnRenamed("node", "u"), "u", "left_semi")
-            .join(surv.withColumnRenamed("node", "v"), "v", "left_semi")
-            .groupBy("u")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .filter(F.col("c") >= KCORE_K)
-            .select(F.col("u").alias("node"))
-            # truncate the lineage per round (graph8's lesson): each
-            # round references surv TWICE, so the uncheckpointed plan
-            # doubles in width every round — 2^6 leaf scans by the end
-            .localCheckpoint(eager=True)
-        )
-    deg = sym.groupBy(F.col("u").alias("node")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("degree")
+        surv = {u for u in surv if len([v for v in adj[u] if v in surv]) >= KCORE_K}
+    from timestream_travel_spark.tables import bounded_df
+
+    rows = sorted(
+        (u, len(adj[u]), 1 if u in surv else 0) for u in nodes
     )
-    return deg.join(
-        surv.withColumn("k", F.lit(1)), "node", "left"
-    ).select(
-        "node",
-        "degree",
-        F.coalesce("k", F.lit(0)).alias("in_kcore"),
-    )
+    return bounded_df(spark, rows, "node int, degree bigint, in_kcore int")

@@ -396,7 +396,12 @@ def q_char_trigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     mash and boilerplate fall outside). Each c·log2 c term quantizes
     to DECIMAL before the exact sum (order-independent); one flat
     expression per language."""
-    d = load_table(spark, sf_dir, "documents")
+    from timestream_travel_spark.tables import spread
+
+    # r15: single-row-group scan serializes the ~per-char trigram
+    # explode onto one core — spread first (size-gated; results are a
+    # count aggregation, order-independent)
+    d = spread(load_table(spark, sf_dir, "documents"))
     t = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
     norm = d.select("lang", t.alias("t")).filter(F.length("t") >= 3)
     # substr with a per-element start position — SQL expr form (the

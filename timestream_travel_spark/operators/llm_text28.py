@@ -78,7 +78,12 @@ def q_compressibility_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
     repeat_frac ≤ {COMP_NUM}/{COMP_DEN} as integer cross-multiply.
     Docs whose normalized text is shorter than {COMP_K} chars are
     skipped on both engines (no gram denominator)."""
-    d = load_table(spark, sf_dir, "documents")
+    from timestream_travel_spark.tables import spread
+
+    # r15: spread the single-row-group scan before the per-doc
+    # 16-gram transform (size-gated; per-doc output rows — the row
+    # SET is unchanged by repartitioning)
+    d = spread(load_table(spark, sf_dir, "documents"))
     # the short-doc guard precedes the gram transform: with
     # length < K, F.sequence(1, length-(K-1)) sees start > stop and
     # defaults to step -1 (descending — invalid positions), while the

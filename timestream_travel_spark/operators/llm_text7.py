@@ -246,6 +246,84 @@ BPE_MERGES = 4
 def bpe_merge_table(
     docs: DataFrame, n_merges: int = BPE_MERGES, batch: int = 1
 ) -> list[tuple]:
+    """Train the first `n_merges` BPE merges over the corpus.
+
+    r15 optimization (guide §1.2 "the distributed algorithm" /
+    bounded-driver-state precedent of q_kcore_trade, HL, graph18):
+    the corpus-sized stage — explode words, count frequencies — stays
+    distributed (one map-side-combined aggregation), and the trainer
+    loop runs DRIVER-SIDE over the collected (word, freq) table. That
+    table is the tokenizer-training working set: vocab-bounded
+    (millions of rows at 100 TB, not trillions), which is exactly how
+    reference BPE trainers operate (Sennrich et al. 2016 learn_bpe
+    trains from an in-memory word-count dictionary). The per-round
+    pair-count aggregation, deterministic argmax, and greedy merge
+    fold are byte-identical to the distributed formulation below
+    (bpe_merge_table_distributed, the documented path when the vocab
+    itself exceeds driver memory) — a parity pytest pins
+    driver == distributed == pure-Python-replay. Perf: the
+    distributed loop paid 2 Spark jobs per merge round (7.5 s at
+    sf0.1 in BENCH_r14); this pays 1 aggregation job total.
+    """
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    rows = (
+        docs.repartition(par)
+        .select(F.explode(doc_words("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.length("w") >= 2)
+        .collect()
+    )
+    # driver-side trainer — the same batched algorithm, same
+    # deterministic ordering (cnt DESC, then lexicographic pair), same
+    # over-fetch + symbol-disjoint selection, same greedy fold
+    vocab = {r["w"]: int(r["freq"]) for r in rows}
+    state = {w: tuple(w) for w in vocab}
+    merges: list[tuple] = []
+    while len(merges) < n_merges and state:
+        pair_counts: dict[tuple[str, str], int] = {}
+        for w, syms in state.items():
+            f = vocab[w]
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + f
+        if not pair_counts:
+            break
+        ranked = sorted(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        want = min(batch, n_merges - len(merges))
+        selected: list[tuple[str, str, int]] = []
+        used: set[str] = set()
+        for (p1, p2), cnt in ranked[: want * 4]:
+            if len(selected) >= want:
+                break
+            if {p1, p2, p1 + p2} & used:
+                continue
+            selected.append((p1, p2, cnt))
+            used |= {p1, p2, p1 + p2}
+        if not selected:
+            break
+        for p1, p2, cnt in selected:
+            merges.append((len(merges) + 1, p1, p2, p1 + p2, int(cnt)))
+        fuse = {(p1, p2): p1 + p2 for p1, p2, _ in selected}
+        nxt: dict[str, tuple] = {}
+        for w, syms in state.items():
+            acc = [syms[0]]
+            for x in syms[1:]:
+                m = fuse.get((acc[-1], x))
+                if m is not None:
+                    acc[-1] = m
+                else:
+                    acc.append(x)
+            if len(acc) >= 2:
+                nxt[w] = tuple(acc)
+        state = nxt
+    return merges
+
+
+def bpe_merge_table_distributed(
+    docs: DataFrame, n_merges: int = BPE_MERGES, batch: int = 1
+) -> list[tuple]:
     """Train the first `n_merges` BPE merges over the corpus in the
     classical word-frequency formulation (Sennrich et al. 2016,
     public): the distributed state is the DISTINCT word table with
@@ -365,10 +443,12 @@ def q_bpe_merge_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same category as k-means); pytest replays the identical
     algorithm in pure Python over the collected corpus and asserts
     the merge tables match exactly."""
+    from timestream_travel_spark.tables import bounded_df
+
     d = load_table(spark, sf_dir, "documents")
     merges = bpe_merge_table(d)
-    return spark.createDataFrame(
-        merges, schema="merge_rank int, p1 string, p2 string, merged string, cnt bigint"
+    return bounded_df(
+        spark, merges, "merge_rank int, p1 string, p2 string, merged string, cnt bigint"
     ).orderBy("merge_rank")
 
 

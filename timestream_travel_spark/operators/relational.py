@@ -93,9 +93,25 @@ def q_partition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary: multi-key hash aggregate with
     exact decimal accumulation (partial+final agg, map-side combine)."""
+    from timestream_travel_spark.tables import spread
+
     li = load_table(spark, sf_dir, "lineitem")
+    # r15: 5 decimal casts+sums per row after a single-row-group scan
+    # ran on one core (2.4 s of the r14 bench); spread is size-gated
+    # (no-op at scale) and decimal/count aggregation is
+    # order-independent, so results are bit-identical.
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp"))
+        spread(
+            li.filter(
+                F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp")
+            ).select(
+                "l_returnflag",
+                "l_linestatus",
+                "l_quantity",
+                "l_extendedprice",
+                "l_discount",
+            )
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity", "sum_qty"),

@@ -208,11 +208,22 @@ def _stats_df(
     update_manifest makes."""
     schema = _manifest_schema(data_path, stat_cols)
     if not distributed:
+        import pandas as pd
+
         rows = [
             tuple(rec[f.name] for f in schema.fields)
             for rec in collect_file_stats(data_path, stat_cols)
         ]
-        return spark.createDataFrame(rows, schema)
+        # r15: the plain list-of-tuples createDataFrame pays a
+        # multi-second py4j/pickle conversion on EVERY downstream
+        # action (measured 5-7 s for 65 manifest rows at each
+        # manifest write; the Arrow/pandas path is ~0.3 s — the
+        # bounded_df lesson). dtype=object keeps missing stats as
+        # true None → SQL NULL (the NaN-ordering trap in
+        # _manifest_schema's docstring), verified by the multifile
+        # pruning tests.
+        pdf = pd.DataFrame(rows, columns=[f.name for f in schema.fields], dtype=object)
+        return spark.createDataFrame(pdf, schema)
 
     import pandas as pd
 

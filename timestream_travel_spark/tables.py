@@ -8,6 +8,8 @@ and Catalyst prunes columns/pushes filters into the scan.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -102,6 +104,44 @@ def load_tables(
             df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Scale-adaptive scan fan-out (r15; guide §2.2 'fewer, larger
+    map tasks' / §2.5 input skew). Parquet row groups are the
+    parallelism unit, and every fixture file holds exactly ONE — so a
+    scan followed by CPU-heavy per-row work (decimal casts, wide
+    expression trees) runs that work on a single core no matter how
+    many cores the session has. When the scan's input is too small to
+    fill the cores at the configured split size, round-robin
+    repartition to defaultParallelism: the narrow-row shuffle is
+    cheap at exactly the input sizes where the gate fires.
+
+    The gate derives from INPUT SIZE, not a local constant: inputs
+    ≥ cores × 8 MiB return the DataFrame unchanged, so at production
+    scale (multi-row-group files, TB-scale tables) this is a no-op
+    and the scan parallelizes naturally. Only associative/exact
+    downstream aggregations may sit above a spread (decimal sums,
+    counts, min/max) — row order changes."""
+    spark = df.sparkSession
+    par = partitions or spark.sparkContext.defaultParallelism
+    try:
+        from urllib.parse import urlparse
+
+        files = df.inputFiles()
+        if not files:  # non-file source (range, local relation): never spread
+            return df
+        total = 0
+        for f in files:
+            u = urlparse(f)
+            if u.scheme not in ("file", ""):
+                return df
+            total += os.path.getsize(u.path)
+    except Exception:  # noqa: BLE001 — non-file sources: never spread
+        return df
+    if total >= par * 8 * 1024 * 1024:
+        return df
+    return df.repartition(par)
 
 
 def bounded_df(spark: SparkSession, rows: list[tuple], schema: str) -> DataFrame:
