@@ -74,6 +74,62 @@ def test_louvain_driver_matches_distributed(spark, sf_dir):
     assert got == want
 
 
+def test_cc_contraction_and_endgame_match_round_loop(spark):
+    """connected_components_star's r15 partition-local contraction +
+    single-task endgame must return the exact labels of (a) a python
+    union-find ground truth and (b) the distributed round loop (forced
+    by dropping the endgame gate to 0), across shapes that stress the
+    contraction: a long chain split over many partitions, a random
+    graph with duplicate/self-loop edges, and string node ids."""
+    import random
+
+    from timestream_travel_spark.operators import dedup2
+    from timestream_travel_spark.operators.dedup2 import (
+        connected_components_star,
+    )
+
+    def truth(pairs):
+        parent = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return sorted((n, find(n)) for n in parent)
+
+    rng = random.Random(15)
+    chain = [(i, i + 1) for i in range(3000)]
+    randg = [(rng.randrange(400), rng.randrange(400)) for _ in range(600)]
+    strg = [(f"d{rng.randrange(300):04d}", f"d{rng.randrange(300):04d}") for _ in range(300)]
+    for pairs, typ in ((chain, "src long, dst long"),
+                       (randg, "src long, dst long"),
+                       (strg, "src string, dst string")):
+        edges = spark.createDataFrame(pairs, typ).repartition(16)
+        st_end: dict = {}
+        got = _rows(connected_components_star(edges, stats=st_end), "node", "cluster")
+        assert got == truth(pairs)
+        assert st_end["rounds"] == 0  # endgame finished without rounds
+        old = dedup2._ENDGAME_EDGES
+        dedup2._ENDGAME_EDGES = -1  # force the round loop
+        try:
+            st_loop: dict = {}
+            loop = _rows(
+                connected_components_star(edges, stats=st_loop), "node", "cluster"
+            )
+        finally:
+            dedup2._ENDGAME_EDGES = old
+        assert loop == got
+        assert st_loop["rounds"] >= 1
+
+
 def test_spread_preserves_rows_and_gates_on_size(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     sp = spread(li)

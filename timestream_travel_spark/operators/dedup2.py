@@ -159,6 +159,57 @@ def connected_components(
     return labels
 
 
+# one task comfortably union-finds this many (a, b) edges (two narrow
+# columns ≈ tens of MB); beyond it the star rounds shrink the graph
+# distributed until a later level fits
+_ENDGAME_EDGES = 5_000_000
+
+
+def _contract_local(e: DataFrame) -> DataFrame:
+    """Partition-local union-find contraction: replace each
+    partition's edge set by the spanning star of each LOCAL component,
+    rooted at the local min node id (so emitted edges keep a < b).
+    Connectivity across partitions is preserved — a node seen by k
+    partitions emits up to k star edges, which chain its local roots
+    together — so global components are unchanged. Per-task memory is
+    O(nodes in partition): partition-bounded, never graph-bounded."""
+
+    def contract(batches):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for pdf in batches:
+            for a, b in zip(pdf["a"].tolist(), pdf["b"].tolist()):
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra  # root stays the component min
+        out_a, out_b = [], []
+        for n in parent:
+            r = find(n)
+            if r != n:
+                out_a.append(r)
+                out_b.append(n)
+        if out_a:
+            yield pd.DataFrame({"a": out_a, "b": out_b})
+
+    return e.mapInPandas(contract, e.schema)
+
+
 def connected_components_star(
     edges: DataFrame,
     src: str = "src",
@@ -206,14 +257,54 @@ def connected_components_star(
     # is a self-loop (dropped from the iteration below) — same
     # contract as connected_components
     nodes = raw.select(F.explode(F.array("a", "b")).alias("node")).distinct()
+    # r15 (guide §1.2 step 1): partition-local contraction pre-pass.
+    # Each task union-finds ITS OWN partition's edges and emits the
+    # spanning star of every local component, rooted at the local
+    # min id — a connectivity-preserving rewrite on the same vertex
+    # set (Kiveris et al. §3 use exactly this reduction argument for
+    # their star operations; merging edges a task already holds needs
+    # no communication). The round loop below then starts from a
+    # near-star graph and converges in 1-2 rounds instead of
+    # O(log n) — each avoided round was a groupBy+join+distinct+
+    # checkpoint+signature job cascade at ANY scale. Per-task state
+    # is bounded by the partition's edge count (the 128 MB split),
+    # NOT the graph: this is the standard two-phase CC decomposition,
+    # not a driver collect. The label contract (component-min id) is
+    # algorithm-independent, so results are bit-identical — pinned by
+    # the engine-parity pytests on chains/random graphs/documents.
     e = (
-        raw.filter(F.col("a") != F.col("b"))
-        .select(
-            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        _contract_local(
+            raw.filter(F.col("a") != F.col("b")).select(
+                F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+            )
         )
-        .distinct()
         .localCheckpoint(eager=True)
     )
+    # Single-task endgame (the standard distributed-CC finish): once
+    # the contracted star-edge set is small enough for one task —
+    # ≤ _ENDGAME_EDGES edges, two narrow columns — a second
+    # contraction over coalesce(1) sees EVERY edge in one union-find
+    # and its output IS the exact global min-id star set: no rounds,
+    # no per-round signature jobs. Size-gated on the actual contracted
+    # edge count (data-derived, like tables.spread): graphs whose
+    # contraction still exceeds the gate take the round loop below
+    # unchanged. At 100 TB the first contraction is what shrinks a
+    # corpus-scale edge list toward this gate; until it passes, the
+    # loop's large/small-star rounds do the shrinking distributed.
+    if e.count() <= _ENDGAME_EDGES:
+        star_fix = _contract_local(e.coalesce(1)).localCheckpoint(eager=True)
+        if stats is not None:
+            stats["rounds"] = 0
+        star = (
+            star_fix.select(F.col("b").alias("node"), F.col("a").alias("cluster"))
+            .union(
+                star_fix.select(F.col("a").alias("node"), F.col("a").alias("cluster"))
+            )
+            .distinct()
+        )
+        return nodes.join(star, "node", "left").select(
+            "node", F.coalesce("cluster", "node").alias("cluster")
+        )
 
     def _signature(df: DataFrame) -> tuple:
         row = df.agg(
