@@ -74,6 +74,20 @@ def test_louvain_driver_matches_distributed(spark, sf_dir):
     assert got == want
 
 
+def test_nation_pagerank_driver_matches_distributed(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    from timestream_travel_spark.operators.graph import (
+        q_nation_pagerank_distributed,
+    )
+
+    got = _rows(
+        entrymod.queries()["q_nation_pagerank"](spark, sf_dir), "nation", "pagerank"
+    )
+    want = _rows(q_nation_pagerank_distributed(spark, sf_dir), "nation", "pagerank")
+    assert got == want
+
+
 def test_cc_contraction_and_endgame_match_round_loop(spark):
     """connected_components_star's r15 partition-local contraction +
     single-task endgame must return the exact labels of (a) a python

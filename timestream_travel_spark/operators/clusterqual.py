@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from timestream_travel_spark.functions.vectors import to_double_array
 from timestream_travel_spark.registry import query
-from timestream_travel_spark.tables import load_table
+from timestream_travel_spark.tables import load_table, spread
 
 # shared CTE block: per-(label, pos) DECIMAL sufficient statistics,
 # per-label scatter, and the centroid-separation matrix
@@ -81,7 +81,8 @@ def _cluster_stats(spark: SparkSession, sf_dir: str):
     upper-triangle centroid-separation matrix (la < lb, d) — the
     bounded sufficient statistics both queries derive from."""
     e = load_table(spark, sf_dir, "embeddings")
-    x = e.select(
+    # r15: spread before the explode (size-gated; see silhouette)
+    x = spread(e).select(
         "label",
         F.posexplode(to_double_array(F.col("embedding"))).alias("pos0", "v"),
     ).select("label", (F.col("pos0") + 1).cast("int").alias("pos"), "v")
@@ -282,7 +283,10 @@ def q_silhouette_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     k×dim centroid table — k·dim rows per point, reduced map-side to
     k distances per point; no all-pairs stage anywhere."""
     e = load_table(spark, sf_dir, "embeddings")
-    x = e.select(
+    # r15: the fixture parquet is one row group, so the explode +
+    # decimal reduce ran on one core; spread is size-gated (no-op at
+    # scale) and the decimal/count aggregates are order-independent
+    x = spread(e).select(
         "vec_id",
         "label",
         F.posexplode(to_double_array(F.col("embedding"))).alias("pos0", "v"),

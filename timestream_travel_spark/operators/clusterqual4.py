@@ -35,7 +35,7 @@ from timestream_travel_spark.operators.clusterqual3 import (
     eps_pairs_cached,
 )
 from timestream_travel_spark.registry import query
-from timestream_travel_spark.tables import load_table
+from timestream_travel_spark.tables import load_table, spread
 
 
 @query(
@@ -137,7 +137,8 @@ def q_embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall loss. Per-dim variances quantize to DECIMAL(20,12) before
     the cross-dimension mean (order independence)."""
     e = load_table(spark, sf_dir, "embeddings")
-    x = e.select(
+    # r15: spread before the explode (size-gated; see clusterqual)
+    x = spread(e).select(
         "label", F.posexplode(to_double_array("embedding")).alias("pos0", "v")
     ).select("label", (F.col("pos0") + 1).alias("pos"), "v")
     per = x.groupBy("label", "pos").agg(

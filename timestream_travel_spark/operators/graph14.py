@@ -21,7 +21,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from timestream_travel_spark.registry import query
 from timestream_travel_spark.tables import load_table
@@ -99,9 +98,11 @@ def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
-    w = Window.orderBy(F.desc("n_co"), F.asc("pa"), F.asc("pb"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= COPURCHASE_TOP_K)
-        .drop("rn")
-    )
+    # r15 (guide §2.5 single-task stragglers): row_number over a
+    # GLOBAL window forced every pair row through one WindowExec
+    # task; the rank key (n_co desc, pa, pb) is a total order and rn
+    # was dropped, so top-K under it is exactly orderBy().limit() —
+    # planned as TakeOrderedAndProject, a parallel bounded heap.
+    return scored.orderBy(
+        F.desc("n_co"), F.asc("pa"), F.asc("pb")
+    ).limit(COPURCHASE_TOP_K)

@@ -125,10 +125,22 @@ def bigram_counts(d: DataFrame) -> DataFrame:
     single parquet split must not serialize the tokenize pass."""
     d = d.repartition(d.sparkSession.sparkContext.defaultParallelism, "doc_id")
     tokens = F.split(normalized_text("text"), " ")
-    pairs = d.select(
-        F.posexplode(F.slice(tokens, 1, F.size(tokens) - 1)).alias("i", "w1"),
-        tokens.alias("toks"),
-    ).select("w1", F.expr("toks[i + 1]").alias("w2"))
+    # r15: arrays_zip of two shifted slices instead of posexplode
+    # carrying the whole token array per position (Generate copies its
+    # input per output row → quadratic bytes; see trigram_counts)
+    n1 = F.greatest(F.size(F.col("toks")) - 1, F.lit(0))
+    pairs = (
+        d.select(tokens.alias("toks"))
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("toks"), 1, n1),
+                    F.slice(F.col("toks"), 2, n1),
+                )
+            ).alias("t")
+        )
+        .select(F.col("t.0").alias("w1"), F.col("t.1").alias("w2"))
+    )
     return pairs.groupBy("w1", "w2").agg(F.count("*").alias("c"))
 
 

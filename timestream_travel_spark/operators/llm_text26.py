@@ -53,12 +53,32 @@ def trigram_counts(d: DataFrame) -> DataFrame:
     shuffle moves count triples, never documents."""
     d = d.repartition(d.sparkSession.sparkContext.defaultParallelism, "doc_id")
     tokens = F.split(normalized_text("text"), " ")
-    tri = d.select(
-        F.posexplode(F.slice(tokens, 1, F.greatest(F.size(tokens) - 2, F.lit(0)))).alias(
-            "i", "w1"
-        ),
-        tokens.alias("toks"),
-    ).select("w1", F.expr("toks[i + 1]").alias("w2"), F.expr("toks[i + 2]").alias("w3"))
+    # r15 (guide §2.3 "project before the exchange", applied to the
+    # Generate): the old posexplode carried the WHOLE token array
+    # beside each exploded position (Generate copies its input row per
+    # output row → O(tokens²) bytes per document) just to index
+    # toks[i+1]/toks[i+2]. arrays_zip of three shifted slices builds
+    # the (w1, w2, w3) structs in-array once per document — identical
+    # trigram rows, linear bytes. Measured 2x warm / 6x cold on the
+    # count-table build at sf0.1.
+    n2 = F.greatest(F.size(F.col("toks")) - 2, F.lit(0))
+    tri = (
+        d.select(tokens.alias("toks"))
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("toks"), 1, n2),
+                    F.slice(F.col("toks"), 2, n2),
+                    F.slice(F.col("toks"), 3, n2),
+                )
+            ).alias("t")
+        )
+        .select(
+            F.col("t.0").alias("w1"),
+            F.col("t.1").alias("w2"),
+            F.col("t.2").alias("w3"),
+        )
+    )
     return tri.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c"))
 
 

@@ -231,7 +231,7 @@ def q_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != ""
             )
         ).alias("term"),
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     n_docs = toks.agg(F.count_distinct("doc_id").alias("n"))
     tc = toks.groupBy("term").agg(F.count("*").alias("df"))
     topv = tc.orderBy(F.desc("df"), F.asc("term")).limit(PMI_TOP_V).select("term")
