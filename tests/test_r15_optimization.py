@@ -74,6 +74,19 @@ def test_louvain_driver_matches_distributed(spark, sf_dir):
     assert got == want
 
 
+def test_fertility_sweep_driver_matches_distributed(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    from timestream_travel_spark.operators.llm_text27 import (
+        fertility_sweep_distributed,
+    )
+
+    cols = ["n_merges", "lang", "n_words", "n_tokens", "fertility"]
+    got = _rows(entrymod.queries()["q_bpe_fertility_sweep"](spark, sf_dir), *cols)
+    want = _rows(fertility_sweep_distributed(spark, sf_dir), *cols)
+    assert got == want
+
+
 def test_nation_pagerank_driver_matches_distributed(spark, sf_dir):
     import __spark_entry__ as entrymod
 

@@ -49,7 +49,87 @@ def q_bpe_fertility_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     running symbol counts, so the whole sweep costs the same
     vocab-bounded symbolic work as tokenizing once at the largest
     budget. fertility = BPE tokens per word; at rank 0 it equals
-    chars per word by construction (the pytest pins both ends)."""
+    chars per word by construction (the pytest pins both ends).
+
+    r15: the checkpoint folds run DRIVER-SIDE over the collected
+    (lang, w, n_occ) table — the trainer's own vocab-bounded working
+    set (bpe_merge_table already collects the word-frequency table;
+    Sennrich et al. reference trainers tokenize checkpoints from the
+    same in-memory dictionary). Before, every checkpoint's Spark plan
+    re-ran the whole fold-chain prefix AND the corpus count table
+    (Σ ranks ≈ 2× the fold work, wc 8×). The corpus-sized stage —
+    explode + (lang, word) count — stays distributed; integer counts
+    are exact and the final fertility division/round stays a Spark
+    expression, unchanged. Exactness pinned by the full pure-Python
+    replay pytest (exact per-(rank, lang) equality); the per-
+    checkpoint Spark formulation is kept below as
+    fertility_sweep_distributed (the documented path when the vocab
+    exceeds driver memory)."""
+    d = load_table(spark, sf_dir, "documents")
+    merges = bpe_merge_table(d, n_merges=max(SWEEP_RANKS), batch=SWEEP_BATCH)
+    dw = d.repartition(spark.sparkContext.defaultParallelism, "doc_id").select(
+        "doc_id", "lang", F.explode(doc_words("text")).alias("w")
+    )
+    wc_rows = [
+        (r["lang"], r["w"], int(r["n_occ"]))
+        for r in dw.groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .collect()
+    ]
+    state: dict[str, list[str]] = {w: list(w) for _, w, _ in wc_rows}
+    out_rows: list[tuple] = []
+    applied = 0
+    emitted: set[int] = set()
+    for rank in SWEEP_RANKS:
+        while applied < rank and applied < len(merges):
+            _, p1, p2, _, _ = merges[applied]
+            for w, syms in state.items():
+                acc = [syms[0]]
+                for x in syms[1:]:
+                    if acc[-1] == p1 and x == p2:
+                        acc[-1] = p1 + p2
+                    else:
+                        acc.append(x)
+                state[w] = acc
+            applied += 1
+        # label each checkpoint with the merge count ACTUALLY applied:
+        # if the trainer exhausts mergeable pairs before max(SWEEP_RANKS),
+        # later checkpoints would otherwise report identical
+        # tokenizations under inflated budgets — and an exhausted
+        # checkpoint that adds nothing over the previous one is skipped
+        if applied in emitted:
+            continue
+        emitted.add(applied)
+        agg: dict[str, list[int]] = {}
+        for lang, w, n_occ in wc_rows:
+            a = agg.setdefault(lang, [0, 0])
+            a[0] += n_occ
+            a[1] += n_occ * len(state[w])
+        for lang in sorted(agg):
+            out_rows.append((applied, lang, agg[lang][0], agg[lang][1]))
+    from timestream_travel_spark.tables import bounded_df
+
+    res = bounded_df(
+        spark,
+        out_rows,
+        "n_merges int, lang string, n_words bigint, n_tokens bigint",
+    )
+    return res.select(
+        "n_merges",
+        "lang",
+        "n_words",
+        "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / F.col("n_words"), 4).alias(
+            "fertility"
+        ),
+    )
+
+
+def fertility_sweep_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-r15 per-checkpoint Spark formulation (fold chain over
+    the distinct-word DataFrame, counts joined back per checkpoint) —
+    the documented path when the vocabulary exceeds driver memory;
+    parity-pytested against the driver-side sweep."""
     d = load_table(spark, sf_dir, "documents")
     merges = bpe_merge_table(d, n_merges=max(SWEEP_RANKS), batch=SWEEP_BATCH)
     dw = d.repartition(spark.sparkContext.defaultParallelism, "doc_id").select(
@@ -69,11 +149,6 @@ def q_bpe_fertility_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             _, p1, p2, _, _ = merges[applied]
             wtab = wtab.select("w", _merge_fold(F.col("a"), p1, p2).alias("a"))
             applied += 1
-        # label each checkpoint with the merge count ACTUALLY applied:
-        # if the trainer exhausts mergeable pairs before max(SWEEP_RANKS),
-        # later checkpoints would otherwise report identical
-        # tokenizations under inflated budgets — and an exhausted
-        # checkpoint that adds nothing over the previous one is skipped
         if applied in emitted:
             continue
         emitted.add(applied)
