@@ -169,3 +169,88 @@ def test_spread_preserves_rows_and_gates_on_size(spark, sf_dir):
     # non-file sources are never spread
     rng = spark.range(10)
     assert spread(rng) is rng
+
+
+def test_pair_grid_cache_matches_inline_build(spark, sf_dir):
+    """The session-cached two-sample pair grid (analytics5._pair_grid)
+    is row-identical to the inline merged build it replaced at ten
+    call sites (exact integer columns, so equality is total)."""
+    from timestream_travel_spark.operators.analytics5 import (
+        _counts,
+        _pair_grid,
+        _pairs,
+    )
+
+    cnt = _counts(spark, sf_dir)
+    pairs = _pairs(cnt)
+    inline = (
+        cnt.join(
+            F.broadcast(pairs),
+            (F.col("t") == F.col("ta")) | (F.col("t") == F.col("tb")),
+        )
+        .groupBy("ta", "tb", "n_a", "n_b", "v")
+        .agg(
+            F.sum(F.when(F.col("t") == F.col("ta"), F.col("c")).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col("t") == F.col("tb"), F.col("c")).otherwise(0)).alias("cb"),
+        )
+    )
+    cols = ("ta", "tb", "n_a", "n_b", "v", "ca", "cb")
+    got = _rows(_pair_grid(spark, sf_dir), *cols)
+    want = _rows(inline, *cols)
+    assert got == want
+    # second call returns the same persisted handle (session cache)
+    assert _pair_grid(spark, sf_dir) is _pair_grid(spark, sf_dir)
+
+
+def test_retrieval_caches_match_uncached_builds(spark, sf_dir):
+    """bm25_scores_cached / ql_scores_cached / relevant_docs_cached
+    are row-identical to their uncached builders (the eval family
+    consumes the caches; q_bm25_topk / q_ql_dirichlet_topk keep the
+    from-scratch plans)."""
+    from timestream_travel_spark.operators.retrieval import (
+        bm25_scores,
+        bm25_scores_cached,
+    )
+    from timestream_travel_spark.operators.retrieval3 import (
+        ql_scores,
+        ql_scores_cached,
+    )
+    from timestream_travel_spark.operators.retrieval8 import (
+        _relevant_docs,
+        relevant_docs_cached,
+    )
+
+    assert _rows(bm25_scores_cached(spark, sf_dir), "doc_id", "score") == _rows(
+        bm25_scores(spark, sf_dir), "doc_id", "score"
+    )
+    assert _rows(ql_scores_cached(spark, sf_dir), "doc_id", "ql_score") == _rows(
+        ql_scores(spark, sf_dir), "doc_id", "ql_score"
+    )
+    assert _rows(relevant_docs_cached(spark, sf_dir), "doc_id") == _rows(
+        _relevant_docs(spark, sf_dir), "doc_id"
+    )
+
+
+def test_rollup_hwm_fast_path_matches_spark_read(spark, sf_dir, tmp_path):
+    """rollup_hwm's driver-side partition-directory scan returns the
+    same HWM as the Spark read it bypasses, and still reports None on
+    a never-built destination."""
+    from timestream_travel_spark.pipeline.rollup import (
+        F as _rF,  # noqa: N811 — reuse the module's functions import
+    )
+    from timestream_travel_spark.pipeline.rollup import (
+        build_rollup,
+        read_rollup,
+        rollup_hwm,
+    )
+    from timestream_travel_spark.tables import load_table
+
+    dest = str(tmp_path / "rollup_store")
+    assert rollup_hwm(spark, dest) is None
+    ev = load_table(spark, sf_dir, "events")
+    build_rollup(spark, ev, dest)
+    fast = rollup_hwm(spark, dest)
+    slow = (
+        read_rollup(spark, dest).agg(_rF.max("__hour").alias("h")).collect()[0]["h"]
+    )
+    assert fast == slow and fast is not None

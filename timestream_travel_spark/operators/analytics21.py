@@ -33,7 +33,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from timestream_travel_spark.operators.analytics5 import _CNT_SQL, _counts
+from timestream_travel_spark.operators.analytics5 import _CNT_SQL, _counts, _pair_grid
 from timestream_travel_spark.operators.analytics8 import EVENT_TYPES, _chain_add
 from timestream_travel_spark.registry import query
 
@@ -252,21 +252,7 @@ def q_cucconi_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = n.select(F.col("t").alias("ta"), F.col("n").alias("n_a"))
     b = n.select(F.col("t").alias("tb"), F.col("n").alias("n_b"))
     pairs = a.join(b, F.col("ta") < F.col("tb"))
-    merged = (
-        cnt.join(
-            F.broadcast(pairs),
-            (F.col("t") == F.col("ta")) | (F.col("t") == F.col("tb")),
-        )
-        .groupBy("ta", "tb", "n_a", "n_b", "v")
-        .agg(
-            F.sum(F.when(F.col("t") == F.col("ta"), F.col("c")).otherwise(0)).alias(
-                "ca"
-            ),
-            F.sum(F.when(F.col("t") == F.col("tb"), F.col("c")).otherwise(0)).alias(
-                "cb"
-            ),
-        )
-    )
+    merged = _pair_grid(spark, sf_dir)
     w = (
         Window.partitionBy("ta", "tb")
         .orderBy("v")

@@ -59,6 +59,7 @@ from timestream_travel_spark.operators.analytics5 import (
     _PAIRS_SQL,
     _counts,
     _pairs,
+    _pair_grid,
 )
 from timestream_travel_spark.registry import query
 from timestream_travel_spark.tables import load_table
@@ -117,21 +118,7 @@ def q_fligner_policello(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically-shaped double composition (module docstring)."""
     cnt = _counts(spark, sf_dir)
     pairs = _pairs(cnt)
-    merged = (
-        cnt.join(
-            F.broadcast(pairs),
-            (F.col("t") == F.col("ta")) | (F.col("t") == F.col("tb")),
-        )
-        .groupBy("ta", "tb", "n_a", "n_b", "v")
-        .agg(
-            F.sum(F.when(F.col("t") == F.col("ta"), F.col("c")).otherwise(0)).alias(
-                "ca"
-            ),
-            F.sum(F.when(F.col("t") == F.col("tb"), F.col("c")).otherwise(0)).alias(
-                "cb"
-            ),
-        )
-    )
+    merged = _pair_grid(spark, sf_dir)
     w = (
         Window.partitionBy("ta", "tb")
         .orderBy("v")

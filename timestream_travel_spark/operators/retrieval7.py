@@ -33,7 +33,7 @@ from timestream_travel_spark.operators.llm_text6 import (
 from timestream_travel_spark.operators.retrieval import (
     _BM25_CTES,
     TOP_K,
-    bm25_scores,
+    bm25_scores_cached,
 )
 from timestream_travel_spark.registry import query
 from timestream_travel_spark.tables import load_table
@@ -93,7 +93,7 @@ def q_ndcg_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering break on doc_id."""
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     ranked = (
-        bm25_scores(spark, sf_dir)
+        bm25_scores_cached(spark, sf_dir)
         .orderBy(F.desc("score"), "doc_id")
         .limit(TOP_K)
         .withColumn("rnk", F.row_number().over(w))

@@ -41,13 +41,13 @@ from pyspark.sql.window import Window
 from timestream_travel_spark.operators.retrieval import (
     _BM25_CTES,
     TOP_K,
-    bm25_scores,
+    bm25_scores_cached,
 )
 from timestream_travel_spark.operators.retrieval3 import (
     _QL_CF_SQL,
     _QL_SCORE_SQL,
     _QL_TF_SQL,
-    ql_scores,
+    ql_scores_cached,
 )
 from timestream_travel_spark.operators.retrieval8 import _EVAL_CTES, _hits
 from timestream_travel_spark.registry import query
@@ -119,7 +119,7 @@ def q_rbo_rankers(spark: SparkSession, sf_dir: str) -> DataFrame:
     query — exact integer weights at max(rank_a, rank_b), one flat
     division (module docstring)."""
     kw = (
-        bm25_scores(spark, sf_dir)
+        bm25_scores_cached(spark, sf_dir)
         .orderBy(F.desc("score"), "doc_id")
         .limit(RBO_D)
         .select(
@@ -130,7 +130,7 @@ def q_rbo_rankers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     qr = (
-        ql_scores(spark, sf_dir)
+        ql_scores_cached(spark, sf_dir)
         .orderBy(F.desc("ql_score"), "doc_id")
         .limit(RBO_D)
         .select(

@@ -28,6 +28,7 @@ parquet scan).
 from __future__ import annotations
 
 import logging
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -109,7 +110,36 @@ def rollup_hwm(spark: SparkSession, dest: str) -> str | None:
     canonical 'yyyy-MM-dd HH:mm:ss' string directly. Returns None
     when the destination has never been built (missing path or empty
     rollup), so refresh can fall back to a full build instead of
-    failing."""
+    failing.
+
+    Fast path (r15): the HWM is a pure partition-DIRECTORY fact —
+    `max(__hour)` needs no data page — but the Spark read still lists
+    and footer-opens every hour partition (measured 1.75 s at 720
+    hours, the dominant cost of every scheduled refresh). For local
+    filesystem stores the directory names themselves are scanned
+    driver-side (one os.scandir; partition values URL-decode from the
+    `__hour=...` dir names, and the canonical zero-padded timestamp
+    string makes lexicographic max == chronological max). Non-local
+    URIs and stores without `__hour=` dirs fall back to the Spark
+    read unchanged."""
+    path = dest[7:] if dest.startswith("file://") else dest
+    if "://" not in path:
+        try:
+            from urllib.parse import unquote
+
+            hours = [
+                unquote(e.name[len("__hour=") :])
+                for e in os.scandir(path)
+                if e.is_dir() and e.name.startswith("__hour=") and os.listdir(e.path)
+            ]
+            if hours:
+                return max(hours)
+            # fall through: built-but-empty vs never-built is the
+            # Spark read's call (schema errors → None)
+        except FileNotFoundError:
+            return None
+        except OSError:
+            pass  # unreadable store: let the Spark read decide
     try:
         row = read_rollup(spark, dest).agg(F.max("__hour").alias("h")).collect()[0]
     except AnalysisException:

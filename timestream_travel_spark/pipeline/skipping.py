@@ -289,7 +289,15 @@ def _swap_in(df: DataFrame, mpath: str) -> None:
     tmp, old = mpath + ".tmp", mpath + ".old"
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(old, ignore_errors=True)
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    # repartition(1), NOT coalesce(1): coalesce folds the whole plan
+    # into ONE task, so the distributed footer-read stage upstream
+    # (repartition(par) + mapInPandas) runs its 32 partitions
+    # sequentially in that single task, each paying its own Python-
+    # runner round-trip — measured 4.6 s vs 0.65 s at 64 files. The
+    # repartition shuffles only the finished manifest ROWS (one per
+    # file, stats-width) to the single writer while the footer reads
+    # stay parallel in the map stage.
+    df.repartition(1).write.mode("overwrite").parquet(tmp)
     if os.path.isdir(mpath):
         os.replace(mpath, old)
     os.replace(tmp, mpath)
