@@ -254,3 +254,33 @@ def test_rollup_hwm_fast_path_matches_spark_read(spark, sf_dir, tmp_path):
         read_rollup(spark, dest).agg(_rF.max("__hour").alias("h")).collect()[0]["h"]
     )
     assert fast == slow and fast is not None
+
+
+def test_daily_and_ohlc_caches_match_uncached_builds(spark, sf_dir):
+    """analytics8._daily and timeseries15._daily_ohlc session caches
+    are row-identical to fresh inline builds of the same aggregates
+    (exact DECIMAL columns, so equality is total)."""
+    from timestream_travel_spark.operators.analytics8 import _daily
+    from timestream_travel_spark.operators.timeseries15 import _daily_ohlc
+
+    ev = load_table(spark, sf_dir, "events")
+    daily_inline = ev.groupBy(
+        F.col("event_type").alias("t"), F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(20,4)")).alias("v"))
+    assert _rows(_daily(spark, sf_dir), "t", "day", "v") == _rows(
+        daily_inline, "t", "day", "v"
+    )
+    hourly = ev.groupBy(
+        F.col("event_type").alias("t"),
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("hour", "ts").alias("hr"),
+    ).agg(F.sum(F.col("value").cast("decimal(20,4)")).alias("hv"))
+    ohlc_inline = hourly.groupBy("t", "day").agg(
+        F.max("hv").alias("hi"),
+        F.min("hv").alias("lo"),
+        F.max(F.struct(F.col("hr").alias("h"), F.col("hv").alias("v")))["v"].alias("cl"),
+        F.min(F.struct(F.col("hr").alias("h"), F.col("hv").alias("v")))["v"].alias("op"),
+    )
+    cols = ("t", "day", "hi", "lo", "cl", "op")
+    assert _rows(_daily_ohlc(spark, sf_dir), *cols) == _rows(ohlc_inline, *cols)
+    assert _daily_ohlc(spark, sf_dir) is _daily_ohlc(spark, sf_dir)
