@@ -627,8 +627,14 @@ def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("m"),
         F.count("*").cast("bigint").alias("n"),
     )
-    centered = series.join(F.broadcast(mu), "event_type").select(
-        "event_type", "rn", (F.col("x") - F.col("m")).alias("xc")
+    # r15: `centered` (|types|×|days| rows) feeds three aggregation
+    # branches (den, both lag-join sides) plus the final joins re-use
+    # mu — an eager checkpoint of the bounded table stops the
+    # series+mu lineage re-executing per branch.
+    centered = (
+        series.join(F.broadcast(mu), "event_type")
+        .select("event_type", "rn", (F.col("x") - F.col("m")).alias("xc"))
+        .localCheckpoint(eager=True)
     )
     den = centered.groupBy("event_type").agg(
         F.sum((F.col("xc") * F.col("xc")).cast("decimal(30,10)"))

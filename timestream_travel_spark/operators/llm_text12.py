@@ -79,23 +79,29 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = words.select(
         "doc_id", "lang", md5_bucket(F.col("word"), DSIR_BUCKETS).alias("b")
     )
-    tgt = toks.filter(F.col("lang") == "en").groupBy("b").agg(
-        F.count(F.lit(1)).alias("ct")
+    # r15 (guide §1.2 step 1): tgt / raw / tot were three separate
+    # plan branches over the corpus-sized token explode (plus the
+    # final join — four md5 passes per run). ONE bucket census now
+    # carries both counts (cr = all tokens, ct = target-slice tokens;
+    # a bucket absent from the old tgt side surfaces as ct = 0, which
+    # the +1 smoothing maps to the same value the old NULL-coalesce
+    # did), and the 1-row totals derive from the BOUNDED census
+    # instead of rescanning tokens. Exact integers throughout → the
+    # smoothed ratios and quantized log weights are bit-identical.
+    census = toks.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct"),
     )
-    raw = toks.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
-    tot = toks.agg(
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
-        .cast("double")
-        .alias("nt"),
-        F.count(F.lit(1)).cast("double").alias("nr"),
+    tot = census.agg(
+        F.sum("ct").cast("double").alias("nt"),
+        F.sum("cr").cast("double").alias("nr"),
     )
     p_t = (F.coalesce(F.col("ct"), F.lit(0)) + 1.0) / (
         F.col("nt") + F.lit(float(DSIR_BUCKETS))
     )
     p_r = (F.col("cr") + 1.0) / (F.col("nr") + F.lit(float(DSIR_BUCKETS)))
     w = (
-        raw.join(tgt, "b", "left")
-        .join(F.broadcast(tot))
+        census.join(F.broadcast(tot))
         .select("b", F.log2(p_t / p_r).cast("decimal(20,8)").alias("lw"))
     )
     return (
