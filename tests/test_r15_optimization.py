@@ -284,3 +284,24 @@ def test_daily_and_ohlc_caches_match_uncached_builds(spark, sf_dir):
     cols = ("t", "day", "hi", "lo", "cl", "op")
     assert _rows(_daily_ohlc(spark, sf_dir), *cols) == _rows(ohlc_inline, *cols)
     assert _daily_ohlc(spark, sf_dir) is _daily_ohlc(spark, sf_dir)
+
+
+def test_per_dim_stats_cache_matches_inline_build(spark, sf_dir):
+    """clusterqual._per_dim_stats (the shared DB/Dunn sufficient-
+    statistic table) is row-identical to a fresh inline build."""
+    from timestream_travel_spark.operators.clusterqual import _per_dim_stats
+    from timestream_travel_spark.functions.vectors import to_double_array
+
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select(
+        "label",
+        F.posexplode(to_double_array(F.col("embedding"))).alias("pos0", "v"),
+    ).select("label", (F.col("pos0") + 1).cast("int").alias("pos"), "v")
+    inline = x.groupBy("label", "pos").agg(
+        F.sum(F.col("v").cast("decimal(14,9)")).alias("s"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(20,12)")).alias("q2"),
+        F.count("*").alias("n"),
+    )
+    cols = ("label", "pos", "s", "q2", "n")
+    assert _rows(_per_dim_stats(spark, sf_dir), *cols) == _rows(inline, *cols)
+    assert _per_dim_stats(spark, sf_dir) is _per_dim_stats(spark, sf_dir)
