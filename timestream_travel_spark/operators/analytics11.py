@@ -120,37 +120,43 @@ def q_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     into EVENT_TYPES literal columns and the k-term sum
     left-associates identically in both engines; d_j² is a double
     product of an exact ≤2⁵³ integer."""
-    cnt = _counts(spark, sf_dir)
-    med = _grand_median(cnt)
-    per = (
-        cnt.join(F.broadcast(med))
-        .groupBy("t")
-        .agg(
-            F.sum("c").cast("bigint").alias("ng"),
-            F.sum(F.when(F.col("v") > F.col("m"), F.col("c")).otherwise(0))
-            .cast("bigint")
-            .alias("ag"),
-        )
+    # r16: grand-median selection + integer above-median census run
+    # driver-side over the collected counts spine (rank_kit); the χ²
+    # composition below is unchanged Spark expressions.
+    from timestream_travel_spark.operators.rank_kit import (
+        counts_by_type,
+        pooled_grid,
     )
-    tot = per.agg(
-        F.sum("ng").cast("bigint").alias("n"), F.sum("ag").cast("bigint").alias("a")
-    )
-    dd = per.join(F.broadcast(tot)).select(
-        "t", "ng", (F.col("ag") * F.col("n") - F.col("ng") * F.col("a")).alias("d"),
-        "n", "a",
-    )
-    piv = dd.agg(
-        *[
-            c
-            for t in EVENT_TYPES
-            for c in (
-                F.max(F.when(F.col("t") == t, F.col("d"))).alias(f"d_{t}"),
-                F.max(F.when(F.col("t") == t, F.col("ng"))).alias(f"n_{t}"),
-            )
-        ],
-        F.max("n").alias("n"),
-        F.max("a").alias("a"),
-    )
+    from timestream_travel_spark.tables import bounded_df
+
+    kit = counts_by_type(spark, sf_dir)
+    vs, cs = pooled_grid(kit)
+    n_tot = int(cs.sum())
+    cum = 0
+    m = None
+    for x, k in zip(vs.tolist(), cs.tolist()):
+        cum += k
+        if 2 * cum >= n_tot:
+            m = x
+            break
+    per = {}
+    a_tot = 0
+    for t in sorted(kit):
+        v, c = kit[t]
+        ng = int(c.sum())
+        ag = sum(k for x, k in zip(v.tolist(), c.tolist()) if x > m)
+        per[t] = (ng, ag)
+        a_tot += ag
+    vals = []
+    schema = []
+    for t in EVENT_TYPES:
+        ng, ag = per[t]
+        vals.extend([ag * n_tot - ng * a_tot, ng])
+        schema.extend([f"d_{t} bigint", f"n_{t} bigint"])
+    vals.extend([n_tot, a_tot, m])
+    schema.extend(["n bigint", "a bigint", "m double"])
+    piv = bounded_df(spark, [tuple(vals)], ", ".join(schema))
+    med = piv.select(F.col("m").alias("m"))
     ssum = _chain_add(
         [
             F.col(f"d_{t}").cast("double") * F.col(f"d_{t}") / F.col(f"n_{t}")

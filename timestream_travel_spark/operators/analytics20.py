@@ -91,24 +91,32 @@ def q_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dunn's post-hoc z for every event-type pair on the POOLED
     k-sample midranks (the Kruskal–Wallis follow-up): z =
     (R̄a − R̄b) / sqrt((N(N+1)/12 − Σ(t³−t)/(12(N−1)))·(1/na+1/nb)).
-    Rank sums and the tie census are exact integers; one flat double
-    expression per pair."""
-    cnt = _counts(spark, sf_dir)
-    ranked = _pooled_ranks(cnt)
-    g = (
-        cnt.join(F.broadcast(ranked), "v")
-        .groupBy("t")
-        .agg(
-            F.sum("c").cast("bigint").alias("n"),
-            F.sum((F.col("c") * F.col("r2")).cast("decimal(38,0)")).alias("u"),
-        )
+    Rank sums and the tie census are exact integers — computed
+    driver-side over the collected domain-bounded counts spine
+    (rank_kit, r16); one flat double expression per pair stays in
+    Spark, unchanged."""
+    from decimal import Decimal
+
+    from timestream_travel_spark.operators.rank_kit import (
+        counts_by_type,
+        doubled_midranks,
+        pooled_grid,
     )
-    tot = ranked.agg(
-        F.sum("ct").cast("bigint").alias("nn"),
-        F.sum(F.col("ct") * F.col("ct") * F.col("ct") - F.col("ct"))
-        .cast("bigint")
-        .alias("ties"),
-    )
+    from timestream_travel_spark.tables import bounded_df
+
+    kit = counts_by_type(spark, sf_dir)
+    vs, cs = pooled_grid(kit)
+    r2map = dict(zip(vs.tolist(), doubled_midranks(cs).tolist()))
+    g_rows = []
+    for t in sorted(kit):
+        v, c = kit[t]
+        n = int(c.sum())
+        u = sum(k * r2map[x] for x, k in zip(v.tolist(), c.tolist()))
+        g_rows.append((t, n, Decimal(u)))
+    nn = int(cs.sum())
+    ties = sum(k * k * k - k for k in cs.tolist())
+    g = bounded_df(spark, g_rows, "t string, n bigint, u decimal(38,0)")
+    tot = bounded_df(spark, [(nn, ties)], "nn bigint, ties bigint")
     a = g.select(
         F.col("t").alias("type_a"),
         F.col("n").alias("n_a"),
@@ -198,41 +206,39 @@ def q_mood_scale_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ·N/... ) evaluated as one flat expression over five exact
     aggregates. The quartic Σs2⁴ stays exact in DECIMAL(38,0) /
     HUGEINT."""
-    cnt = _counts(spark, sf_dir)
-    n = cnt.groupBy("t").agg(F.sum("c").cast("bigint").alias("n"))
-    a = n.select(F.col("t").alias("ta"), F.col("n").alias("n_a"))
-    b = n.select(F.col("t").alias("tb"), F.col("n").alias("n_b"))
-    pairs = a.join(b, F.col("ta") < F.col("tb"))
-    merged = _pair_grid(spark, sf_dir)
-    w = (
-        Window.partitionBy("ta", "tb")
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # r16: the merged-midrank census runs driver-side over the
+    # collected domain-bounded counts spine (rank_kit; Python ints
+    # reproduce the DECIMAL(38,0)/HUGEINT widenings exactly); the
+    # final z composition below is unchanged Spark expressions.
+    from decimal import Decimal
+
+    from timestream_travel_spark.operators.rank_kit import (
+        counts_by_type,
+        doubled_midranks,
+        merged_pair,
+        type_pairs,
     )
-    ranks = merged.select(
-        "ta",
-        "tb",
-        "n_a",
-        "n_b",
-        "ca",
-        "cb",
-        (
-            F.lit(2) * F.sum(F.col("ca") + F.col("cb")).over(w)
-            - (F.col("ca") + F.col("cb"))
-            + 1
-            - (F.col("n_a") + F.col("n_b") + 1)
-        ).alias("s2"),
-    )
-    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    # s2² stays a BIGINT product (safe to ~1.5e9 rows/pair) but the
-    # CUBIC terms cross into decimal BEFORE multiplying — the oracle
-    # casts to HUGEINT first, and a BIGINT ca·s2² wraps int64 above
-    # ~1.3e6 rows per type-pair (ADVICE r12).
-    s2sq = (F.col("s2") * F.col("s2")).cast("decimal(19,0)")
-    agg = ranks.groupBy("ta", "tb", "n_a", "n_b").agg(
-        F.sum(d38(F.col("ca")) * s2sq).alias("t1"),
-        F.sum(d38(F.col("ca") + F.col("cb")) * s2sq).alias("sa"),
-        F.sum(d38(F.col("ca") + F.col("cb")) * s2sq * s2sq).alias("sa2"),
+    from timestream_travel_spark.tables import bounded_df
+
+    kit = counts_by_type(spark, sf_dir)
+    rows = []
+    for ta, tb in type_pairs(kit):
+        _, ca, cb = merged_pair(kit, ta, tb)
+        n_a, n_b = int(ca.sum()), int(cb.sum())
+        r2 = doubled_midranks(ca + cb)
+        t1 = sa = sa2 = 0
+        for a_, c_, r_ in zip(ca.tolist(), (ca + cb).tolist(), r2.tolist()):
+            s2 = r_ - (n_a + n_b + 1)
+            s2sq = s2 * s2
+            t1 += a_ * s2sq
+            sa += c_ * s2sq
+            sa2 += c_ * s2sq * s2sq
+        rows.append((ta, tb, n_a, n_b, Decimal(t1), Decimal(sa), Decimal(sa2)))
+    agg = bounded_df(
+        spark,
+        rows,
+        "ta string, tb string, n_a bigint, n_b bigint,"
+        " t1 decimal(38,0), sa decimal(38,0), sa2 decimal(38,0)",
     )
     dbl = lambda name: F.col(name).cast("double")  # noqa: E731
     nn = F.col("n_a") + F.col("n_b")
@@ -310,47 +316,57 @@ def q_mad_robust_z(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-multiplied integer comparison 2·6745·|2x − med2| >
     35000·mad4 — the whole census is exact decimal arithmetic; only
     the two emitted level columns divide once."""
-    cnt0 = _counts(spark, sf_dir)
-    nn = cnt0.groupBy("t").agg(F.sum("c").cast("bigint").alias("n"))
-    cnt = cnt0.join(F.broadcast(nn), "t").select(
-        "t", F.col("v").cast("decimal(20,4)").alias("v"), "c", "n"
-    )
+    # r16: the median / deviation-median selections and the integer
+    # outlier census run driver-side over the collected counts spine
+    # (rank_kit) in scale-4 integer arithmetic — the exact twin of the
+    # DECIMAL(20,4) formulation (Decimal(repr(x)) reproduces Spark's
+    # double→DECIMAL HALF_UP cast); only the two emitted level
+    # divisions stay Spark float expressions, unchanged.
+    from decimal import ROUND_HALF_UP, Decimal
 
-    def med2_of(df: DataFrame) -> DataFrame:
-        w = Window.partitionBy("t").orderBy("v").rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
-        cum = df.select("t", "v", "n", F.sum("c").over(w).alias("cm"))
-        lo = F.floor((F.col("n") + 1) / 2)
-        hi = F.floor((F.col("n") + 2) / 2)
-        return cum.groupBy("t").agg(
-            (
-                F.min(F.when(F.col("cm") >= lo, F.col("v")))
-                + F.min(F.when(F.col("cm") >= hi, F.col("v")))
-            ).alias("med2")
-        )
+    from timestream_travel_spark.operators.rank_kit import (
+        counts_by_type,
+        med2_doubled,
+    )
+    from timestream_travel_spark.tables import bounded_df
 
-    med = med2_of(cnt)
-    dev = (
-        cnt.join(F.broadcast(med), "t")
-        .groupBy("t", F.abs(F.lit(2) * F.col("v") - F.col("med2")).alias("v"))
-        .agg(F.sum("c").alias("c"), F.any_value("n").alias("n"))
-    )
-    mad = med2_of(dev).withColumnRenamed("med2", "mad4")
-    flag = (
-        F.lit(2 * 6745) * F.abs(F.lit(2) * F.col("v") - F.col("med2"))
-        > F.lit(35000) * F.col("mad4")
-    )
-    return (
-        cnt.join(F.broadcast(med), "t")
-        .join(F.broadcast(mad), "t")
-        .groupBy(F.col("t").alias("event_type"))
-        .agg(
-            F.any_value("n").alias("n"),
-            (F.any_value("med2").cast("double") / F.lit(2.0)).alias("median"),
-            (F.any_value("mad4").cast("double") / F.lit(4.0)).alias("mad"),
-            F.sum(F.when(flag, F.col("c")).otherwise(0))
-            .cast("bigint")
-            .alias("n_outliers"),
+    kit = counts_by_type(spark, sf_dir)
+    q4 = Decimal("1e-4")
+    rows = []
+    for t in sorted(kit):
+        v, c = kit[t]
+        grid: dict[int, int] = {}
+        for x, k in zip(v.tolist(), c.tolist()):
+            v4 = int(Decimal(repr(x)).quantize(q4, ROUND_HALF_UP).scaleb(4))
+            grid[v4] = grid.get(v4, 0) + k
+        vs = sorted(grid)
+        cs = [grid[x] for x in vs]
+        n = sum(cs)
+        med2 = med2_doubled(vs, cs, n)
+        dev: dict[int, int] = {}
+        for x, k in zip(vs, cs):
+            dv = abs(2 * x - med2)
+            dev[dv] = dev.get(dv, 0) + k
+        dvs = sorted(dev)
+        mad4 = med2_doubled(dvs, [dev[x] for x in dvs], n)
+        n_out = sum(
+            k
+            for x, k in zip(vs, cs)
+            if 2 * 6745 * abs(2 * x - med2) > 35000 * mad4
         )
+        rows.append(
+            (t, n, Decimal(med2).scaleb(-4), Decimal(mad4).scaleb(-4), n_out)
+        )
+    stats = bounded_df(
+        spark,
+        rows,
+        "event_type string, n bigint, med2 decimal(24,4),"
+        " mad4 decimal(24,4), n_outliers bigint",
+    )
+    return stats.select(
+        "event_type",
+        "n",
+        (F.col("med2").cast("double") / F.lit(2.0)).alias("median"),
+        (F.col("mad4").cast("double") / F.lit(4.0)).alias("mad"),
+        "n_outliers",
     )

@@ -100,68 +100,58 @@ def q_conover_squared_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     permutation moments. Doubled midranks; the statistic is one flat
     double expression over five VARCHAR-bridged exact aggregates
     (z invariant to the common ×2 rank scale)."""
-    cnt = _counts(spark, sf_dir)
-    st = cnt.groupBy("t").agg(
-        F.sum("c").cast("bigint").alias("n"),
-        F.sum(F.col("c") * F.col("v").cast("decimal(20,4)")).alias("s"),
+    # r16: the deviation-rank census runs driver-side over the
+    # collected counts spine (rank_kit) — dv = |n·v4 − S|·n_other is
+    # an exact scale-4 integer, the quartic moments are Python ints
+    # (the HUGEINT/DECIMAL(38,0) widenings by construction); the z
+    # composition below is unchanged Spark expressions.
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from timestream_travel_spark.operators.rank_kit import (
+        counts_by_type,
+        doubled_midranks,
+        type_pairs,
     )
-    a = st.select(
-        F.col("t").alias("ta"), F.col("n").alias("n_a"), F.col("s").alias("s_a")
-    )
-    b = st.select(
-        F.col("t").alias("tb"), F.col("n").alias("n_b"), F.col("s").alias("s_b")
-    )
-    pairs = a.join(b, F.col("ta") < F.col("tb"))
-    vdec = F.col("v").cast("decimal(20,4)")
-    dv = F.when(
-        F.col("t") == F.col("ta"),
-        F.abs(F.col("n_a") * vdec - F.col("s_a")) * F.col("n_b"),
-    ).otherwise(F.abs(F.col("n_b") * vdec - F.col("s_b")) * F.col("n_a"))
-    dev = (
-        cnt.join(
-            F.broadcast(pairs),
-            (F.col("t") == F.col("ta")) | (F.col("t") == F.col("tb")),
-        )
-        .groupBy("ta", "tb", "n_a", "n_b", dv.alias("dv"))
-        .agg(
-            F.sum(F.when(F.col("t") == F.col("ta"), F.col("c")).otherwise(0)).alias(
-                "ca"
-            ),
-            F.sum(F.when(F.col("t") == F.col("tb"), F.col("c")).otherwise(0)).alias(
-                "cb"
-            ),
-        )
-    )
-    merged = dev.groupBy("ta", "tb", "n_a", "n_b", "dv").agg(
-        F.sum("ca").alias("ca"), F.sum("cb").alias("cb")
-    )
-    w = (
-        Window.partitionBy("ta", "tb")
-        .orderBy("dv")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    ranks = merged.select(
-        "ta",
-        "tb",
-        "n_a",
-        "n_b",
-        "ca",
-        "cb",
-        (
-            F.lit(2) * F.sum(F.col("ca") + F.col("cb")).over(w)
-            - (F.col("ca") + F.col("cb"))
-            + 1
-        ).alias("r2"),
-    )
-    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    # cubic terms cross into decimal BEFORE the second multiply —
-    # BIGINT ca·r2² wraps int64 above ~1.3e6 rows per type-pair; the
-    # oracle multiplies in HUGEINT (ADVICE r12)
-    r2sq = (F.col("r2") * F.col("r2")).cast("decimal(19,0)")
-    agg = ranks.groupBy("ta", "tb", "n_a", "n_b").agg(
-        F.sum(d38(F.col("ca")) * r2sq).alias("t1"),
-        F.sum(d38(F.col("ca") + F.col("cb")) * r2sq).alias("sa"),
-        F.sum(d38(F.col("ca") + F.col("cb")) * r2sq * r2sq).alias("sa2"),
+    from timestream_travel_spark.tables import bounded_df
+
+    kit = counts_by_type(spark, sf_dir)
+    q4 = Decimal("1e-4")
+
+    def v4_of(x: float) -> int:
+        return int(Decimal(repr(x)).quantize(q4, ROUND_HALF_UP).scaleb(4))
+
+    rows = []
+    import numpy as np
+
+    for ta, tb in type_pairs(kit):
+        va, ca = kit[ta]
+        vb, cb = kit[tb]
+        n_a, n_b = int(ca.sum()), int(cb.sum())
+        s_a = sum(k * v4_of(x) for x, k in zip(va.tolist(), ca.tolist()))
+        s_b = sum(k * v4_of(x) for x, k in zip(vb.tolist(), cb.tolist()))
+        grid: dict[int, list[int]] = {}
+        for x, k in zip(va.tolist(), ca.tolist()):
+            dv = abs(n_a * v4_of(x) - s_a) * n_b
+            grid.setdefault(dv, [0, 0])[0] += k
+        for x, k in zip(vb.tolist(), cb.tolist()):
+            dv = abs(n_b * v4_of(x) - s_b) * n_a
+            grid.setdefault(dv, [0, 0])[1] += k
+        dvs = sorted(grid)
+        ga = np.array([grid[d][0] for d in dvs], dtype=np.int64)
+        gb = np.array([grid[d][1] for d in dvs], dtype=np.int64)
+        r2 = doubled_midranks(ga + gb)
+        t1 = sa = sa2 = 0
+        for a_, c_, r_ in zip(ga.tolist(), (ga + gb).tolist(), r2.tolist()):
+            r2sq = r_ * r_
+            t1 += a_ * r2sq
+            sa += c_ * r2sq
+            sa2 += c_ * r2sq * r2sq
+        rows.append((ta, tb, n_a, n_b, Decimal(t1), Decimal(sa), Decimal(sa2)))
+    agg = bounded_df(
+        spark,
+        rows,
+        "ta string, tb string, n_a bigint, n_b bigint,"
+        " t1 decimal(38,0), sa decimal(38,0), sa2 decimal(38,0)",
     )
     dbl = lambda name: F.col(name).cast("double")  # noqa: E731
     nn = F.col("n_a") + F.col("n_b")
@@ -247,39 +237,36 @@ def q_cucconi_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     squared-rank sums exact integers (÷4 folded into the flat
     expressions); ties use midranks (the standard large-sample
     convention)."""
-    cnt = _counts(spark, sf_dir)
-    n = cnt.groupBy("t").agg(F.sum("c").cast("bigint").alias("n"))
-    a = n.select(F.col("t").alias("ta"), F.col("n").alias("n_a"))
-    b = n.select(F.col("t").alias("tb"), F.col("n").alias("n_b"))
-    pairs = a.join(b, F.col("ta") < F.col("tb"))
-    merged = _pair_grid(spark, sf_dir)
-    w = (
-        Window.partitionBy("ta", "tb")
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # r16: squared-rank and contrary-rank sums driver-side over the
+    # collected counts spine (rank_kit; exact Python-int census); the
+    # U/V/C composition below is unchanged Spark expressions.
+    from decimal import Decimal
+
+    from timestream_travel_spark.operators.rank_kit import (
+        counts_by_type,
+        doubled_midranks,
+        merged_pair,
+        type_pairs,
     )
-    ranks = merged.select(
-        "ta",
-        "tb",
-        "n_a",
-        "n_b",
-        "cb",
-        (
-            F.lit(2) * F.sum(F.col("ca") + F.col("cb")).over(w)
-            - (F.col("ca") + F.col("cb"))
-            + 1
-        ).alias("r2"),
-    )
-    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    contra = F.lit(2) * (F.col("n_a") + F.col("n_b") + 1) - F.col("r2")
-    # same decimal-before-cubic rule as above (ADVICE r12)
-    agg = ranks.groupBy("ta", "tb", "n_a", "n_b").agg(
-        F.sum(
-            d38(F.col("cb")) * (F.col("r2") * F.col("r2")).cast("decimal(19,0)")
-        ).alias("sr2"),
-        F.sum(d38(F.col("cb")) * (contra * contra).cast("decimal(19,0)")).alias(
-            "sc2"
-        ),
+    from timestream_travel_spark.tables import bounded_df
+
+    kit = counts_by_type(spark, sf_dir)
+    rows = []
+    for ta, tb in type_pairs(kit):
+        _, ca, cb = merged_pair(kit, ta, tb)
+        n_a, n_b = int(ca.sum()), int(cb.sum())
+        r2 = doubled_midranks(ca + cb)
+        sr2 = sc2 = 0
+        for b_, r_ in zip(cb.tolist(), r2.tolist()):
+            con = 2 * (n_a + n_b + 1) - r_
+            sr2 += b_ * r_ * r_
+            sc2 += b_ * con * con
+        rows.append((ta, tb, n_a, n_b, Decimal(sr2), Decimal(sc2)))
+    agg = bounded_df(
+        spark,
+        rows,
+        "ta string, tb string, n_a bigint, n_b bigint,"
+        " sr2 decimal(38,0), sc2 decimal(38,0)",
     )
     nn = (F.col("n_a") + F.col("n_b")).cast("double")
     denom = F.sqrt(
@@ -381,27 +368,32 @@ def q_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     EVENT_TYPES literal columns and left-associates every float sum
     (the analytics8 _chain_add idiom) so both engines add in the
     same order."""
-    cnt = _counts(spark, sf_dir)
-    st = cnt.groupBy("t").agg(
-        F.sum("c").cast("bigint").alias("n"),
-        F.sum(F.col("c") * F.col("v").cast("decimal(20,4)")).alias("sx"),
-        F.sum(
-            F.col("c")
-            * F.col("v").cast("decimal(12,4)")
-            * F.col("v").cast("decimal(12,4)")
-        ).alias("qx"),
-    )
-    piv = st.groupBy().agg(
-        *[
-            x
-            for t in EVENT_TYPES
-            for x in (
-                F.max(F.when(F.col("t") == t, F.col("n"))).alias(f"n_{t}"),
-                F.max(F.when(F.col("t") == t, F.col("sx"))).alias(f"s_{t}"),
-                F.max(F.when(F.col("t") == t, F.col("qx"))).alias(f"q_{t}"),
-            )
-        ]
-    )
+    # r16: the exact (n, Σx, Σx²) sufficient statistics run
+    # driver-side over the collected counts spine (rank_kit; scale-4
+    # integer arithmetic, the DECIMAL twin); the pivoted float
+    # composition below is unchanged Spark expressions.
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from timestream_travel_spark.operators.rank_kit import counts_by_type
+    from timestream_travel_spark.tables import bounded_df
+
+    kit = counts_by_type(spark, sf_dir)
+    q4 = Decimal("1e-4")
+    vals = []
+    schema = []
+    for t in EVENT_TYPES:
+        v, c = kit[t]
+        n = int(c.sum())
+        sx = qx = 0
+        for x, k in zip(v.tolist(), c.tolist()):
+            v4 = int(Decimal(repr(x)).quantize(q4, ROUND_HALF_UP).scaleb(4))
+            sx += k * v4
+            qx += k * v4 * v4
+        vals.extend([n, Decimal(sx).scaleb(-4), Decimal(qx).scaleb(-8)])
+        schema.extend(
+            [f"n_{t} bigint", f"s_{t} decimal(38,4)", f"q_{t} decimal(38,8)"]
+        )
+    piv = bounded_df(spark, [tuple(vals)], ", ".join(schema))
 
     def m(t: str) -> Column:
         return F.col(f"s_{t}").cast("double") / F.col(f"n_{t}")

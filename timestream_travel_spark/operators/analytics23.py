@@ -87,32 +87,41 @@ def q_runs_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wald–Wolfowitz two-sample runs test per event-type pair over
     the merged (v, t)-ordered block sequence (module docstring):
     exact integer run count, flat-composition z."""
-    cnt = _counts(spark, sf_dir)
-    pairs = _pairs(cnt)
-    seq = cnt.join(
-        F.broadcast(pairs),
-        (F.col("t") == F.col("ta")) | (F.col("t") == F.col("tb")),
-    ).select(
-        "ta",
-        "tb",
-        "n_a",
-        "n_b",
-        "t",
-        F.lag("t")
-        .over(Window.partitionBy("ta", "tb").orderBy("v", "t"))
-        .alias("pt"),
+    # r16: the integer run count runs driver-side over the collected
+    # counts spine (rank_kit) — one pass over each pair's merged
+    # (v, t)-ordered block sequence; the z composition below is
+    # unchanged Spark expressions.
+    from timestream_travel_spark.operators.rank_kit import (
+        counts_by_type,
+        merged_pair,
+        type_pairs,
     )
-    is_start = F.when(
-        F.col("pt").isNull() | (F.col("t") != F.col("pt")), 1
-    ).otherwise(0)
+    from timestream_travel_spark.tables import bounded_df
+
+    kit = counts_by_type(spark, sf_dir)
+    rows = []
+    for ta, tb in type_pairs(kit):
+        _, ca, cb = merged_pair(kit, ta, tb)
+        n_runs = 0
+        prev = None
+        for a_, b_ in zip(ca.tolist(), cb.tolist()):
+            for t in ((ta,) if a_ else ()) + ((tb,) if b_ else ()):
+                if t != prev:
+                    n_runs += 1
+                    prev = t
+        rows.append((ta, tb, int(ca.sum()), int(cb.sum()), n_runs))
+    seq = bounded_df(
+        spark,
+        rows,
+        "type_a string, type_b string, n_a bigint, n_b bigint, runs bigint",
+    )
     na, nb = F.col("n_a"), F.col("n_b")
-    runs = F.sum(is_start)
-    return seq.groupBy(
-        F.col("ta").alias("type_a"),
-        F.col("tb").alias("type_b"),
+    runs = F.col("runs")
+    return seq.select(
+        "type_a",
+        "type_b",
         "n_a",
         "n_b",
-    ).agg(
         runs.cast("bigint").alias("n_runs"),
         F.round(
             (runs - (F.lit(2.0) * na * nb / (na + nb) + 1))

@@ -131,60 +131,55 @@ def q_siegel_tukey(spark: SparkSession, sf_dir: str) -> DataFrame:
     docstring): T = Σ_a midrank_ST, standardized by the exact
     tie-corrected permutation moments — closed-form block score sums,
     two fixed-point term classes, one z composition."""
-    cnt = _counts(spark, sf_dir)
-    pairs = _pairs(cnt)
-    merged = _pair_grid(spark, sf_dir)
-    w = (
-        Window.partitionBy("ta", "tb")
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # r16: the zigzag block-score census runs driver-side over the
+    # collected counts spine (rank_kit) — the same closed-form block
+    # sums in exact Python-int arithmetic (// on the non-negative
+    # operands equals the oracle's HUGEINT floor division; no LONG
+    # wrap possible); the z composition below is unchanged Spark
+    # expressions.
+    from decimal import Decimal
+
+    from timestream_travel_spark.operators.rank_kit import (
+        counts_by_type,
+        merged_pair,
+        type_pairs,
     )
-    pos = merged.select(
-        "ta",
-        "tb",
-        "n_a",
-        "n_b",
-        "ca",
-        (F.col("ca") + F.col("cb")).alias("c"),
-        (F.col("n_a") + F.col("n_b")).alias("nn"),
-        (F.sum(F.col("ca") + F.col("cb")).over(w) - (F.col("ca") + F.col("cb")) + 1)
-        .alias("pl"),
-        F.sum(F.col("ca") + F.col("cb")).over(w).alias("pr"),
-    )
-    s_sql = _ST_S_SQL.replace("//", "div")
-    blocks = pos.select(
-        "ta",
-        "tb",
-        "n_a",
-        "n_b",
-        "nn",
-        "ca",
-        "c",
-        F.expr(f"CAST({s_sql} AS BIGINT)").alias("s"),
-    )
-    agg = blocks.groupBy("ta", "tb", "n_a", "n_b").agg(
-        F.first("nn").alias("nn"),
-        # Spark's `div` silently WRAPS decimal operands through LONG
-        # (measured: s²·SCALE ≈ 6.5e19 came back negative), so the
-        # exact floor division is (x − x % c) / c — decimal mod is
-        # exact, the subtraction makes the quotient exactly
-        # representable, and the sums accumulate in DECIMAL(38,0)
-        # like the DuckDB HUGEINT side (they exceed int64 from
-        # sf0.01 on)
-        F.sum(
-            F.expr(
-                f"CAST(((CAST(ca AS DECIMAL(38,0)) * s * {ST_SCALE})"
-                f" - ((CAST(ca AS DECIMAL(38,0)) * s * {ST_SCALE}) % c)) / c"
-                " AS DECIMAL(38,0))"
-            )
-        ).alias("t_fp"),
-        F.sum(
-            F.expr(
-                f"CAST(((CAST(s AS DECIMAL(38,0)) * s * {ST_SCALE})"
-                f" - ((CAST(s AS DECIMAL(38,0)) * s * {ST_SCALE}) % c)) / c"
-                " AS DECIMAL(38,0))"
-            )
-        ).alias("s2_fp"),
+    from timestream_travel_spark.tables import bounded_df
+
+    def st_block_score(pl: int, pr: int, nn: int) -> int:
+        s = 0
+        lim = min(pr, nn // 2)
+        if pl <= lim:
+            s += (lim * (lim + 1) - (pl - 1) * pl) - ((lim + 1) // 2 - pl // 2)
+        if nn % 2 == 1 and pl <= (nn + 1) // 2 <= pr:
+            s += nn
+        g = max(pl, nn // 2 + 1 + nn % 2)
+        if g <= pr:
+            s += (
+                (nn + 1 - g) * (nn + 2 - g) - (nn - pr) * (nn + 1 - pr)
+            ) - ((nn + 1 - g) // 2 - (nn - pr) // 2)
+        return s
+
+    kit = counts_by_type(spark, sf_dir)
+    rows = []
+    for ta, tb in type_pairs(kit):
+        _, ca, cb = merged_pair(kit, ta, tb)
+        n_a, n_b = int(ca.sum()), int(cb.sum())
+        nn_i = n_a + n_b
+        t_fp = s2_fp = 0
+        pr = 0
+        for a_, c_ in zip(ca.tolist(), (ca + cb).tolist()):
+            pl = pr + 1
+            pr += c_
+            s = st_block_score(pl, pr, nn_i)
+            t_fp += (a_ * s * ST_SCALE) // c_
+            s2_fp += (s * s * ST_SCALE) // c_
+        rows.append((ta, tb, n_a, n_b, nn_i, Decimal(t_fp), Decimal(s2_fp)))
+    agg = bounded_df(
+        spark,
+        rows,
+        "ta string, tb string, n_a bigint, n_b bigint, nn bigint,"
+        " t_fp decimal(38,0), s2_fp decimal(38,0)",
     )
     scale = F.lit(float(ST_SCALE))
     t_d = F.col("t_fp").cast("double") / scale

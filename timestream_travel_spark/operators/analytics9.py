@@ -174,41 +174,33 @@ def q_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
     (E = (N²−Σn_i²)/4, Var = (N²(2N+3)−Σn_i²(2n_i+3))/72 — Lehmann,
     *Nonparametrics*; the tie-corrected variance is a refinement, the
     approximation is stated)."""
-    cnt = _counts(spark, sf_dir)
-    n = cnt.groupBy("t").agg(F.sum("c").alias("n"))
-    a = n.select(F.col("t").alias("ta"))
-    b = n.select(F.col("t").alias("tb"))
-    pairs = a.join(b, F.col("ta") < F.col("tb"))
-    merged = (
-        cnt.join(
-            F.broadcast(pairs),
-            (F.col("t") == F.col("ta")) | (F.col("t") == F.col("tb")),
-        )
-        .groupBy("ta", "tb", "v")
-        .agg(
-            F.sum(F.when(F.col("t") == F.col("ta"), F.col("c")).otherwise(0)).alias("ca"),
-            F.sum(F.when(F.col("t") == F.col("tb"), F.col("c")).otherwise(0)).alias("cb"),
-        )
+    # r16: the doubled pair census runs driver-side over the
+    # collected counts spine (rank_kit; exact integer sums); the z
+    # composition below is unchanged Spark expressions.
+    from timestream_travel_spark.operators.rank_kit import (
+        counts_by_type,
+        merged_pair,
+        type_pairs,
     )
-    w = (
-        Window.partitionBy("ta", "tb")
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    cum = merged.select(
-        "ca", "cb", F.coalesce(F.sum("ca").over(w), F.lit(0)).alias("cumless_a")
-    )
-    agg = cum.agg(
-        F.sum(2 * F.col("cb") * F.col("cumless_a") + F.col("ca") * F.col("cb"))
-        .cast("bigint")
-        .alias("jt2")
-    )
-    sizes = n.agg(
-        F.sum("n").cast("bigint").alias("big_n"),
-        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("sn2"),
-        F.sum(F.col("n") * F.col("n") * (2 * F.col("n") + 3))
-        .cast("bigint")
-        .alias("sn23"),
+    from timestream_travel_spark.tables import bounded_df
+
+    kit = counts_by_type(spark, sf_dir)
+    jt2 = 0
+    for ta, tb in type_pairs(kit):
+        _, ca, cb = merged_pair(kit, ta, tb)
+        cumless = 0
+        for a_, b_ in zip(ca.tolist(), cb.tolist()):
+            jt2 += 2 * b_ * cumless + a_ * b_
+            cumless += a_
+    big_n = sn2 = sn23 = 0
+    for t in kit:
+        n_t = int(kit[t][1].sum())
+        big_n += n_t
+        sn2 += n_t * n_t
+        sn23 += n_t * n_t * (2 * n_t + 3)
+    agg = bounded_df(spark, [(jt2,)], "jt2 bigint")
+    sizes = bounded_df(
+        spark, [(big_n, sn2, sn23)], "big_n bigint, sn2 bigint, sn23 bigint"
     )
     bn = F.col("big_n")
     jt = F.col("jt2").cast("double") / 2
