@@ -79,32 +79,37 @@ def q_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum_b·n_a)² with ONE final division by n_a·n_b·N² — the
     integrated companion to q_ks_two_sample's max gap (same census,
     same windows, sum instead of max)."""
-    cnt = _counts(spark, sf_dir)
-    pairs = _pairs(cnt)
-    merged = _pair_grid(spark, sf_dir)
-    w = (
-        Window.partitionBy("ta", "tb")
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # r16: the exact integer Σ cp·g² census runs driver-side over the
+    # collected counts spine (rank_kit; Python ints reproduce the
+    # DECIMAL widenings); the single division below is unchanged
+    # Spark expressions.
+    from decimal import Decimal
+
+    from timestream_travel_spark.operators.rank_kit import (
+        counts_by_type,
+        merged_pair,
+        type_pairs,
     )
-    cum = merged.select(
-        "ta",
-        "tb",
-        "n_a",
-        "n_b",
-        (F.col("ca") + F.col("cb")).alias("cp"),
-        F.sum("ca").over(w).alias("cuma"),
-        F.sum("cb").over(w).alias("cumb"),
+    from timestream_travel_spark.tables import bounded_df
+
+    kit = counts_by_type(spark, sf_dir)
+    rows = []
+    for ta, tb in type_pairs(kit):
+        _, ca, cb = merged_pair(kit, ta, tb)
+        n_a, n_b = int(ca.sum()), int(cb.sum())
+        s = cuma = cumb = 0
+        for a_, b_ in zip(ca.tolist(), cb.tolist()):
+            cuma += a_
+            cumb += b_
+            g = cuma * n_b - cumb * n_a
+            s += (a_ + b_) * g * g
+        rows.append((ta, tb, n_a, n_b, Decimal(s)))
+    agg = bounded_df(
+        spark,
+        rows,
+        "type_a string, type_b string, n_a bigint, n_b bigint, "
+        "s decimal(38,0)",
     )
-    # g fits comfortably: |g| ≤ n_a·n_b; cp·g² ≤ n·(n_a·n_b)² — keep
-    # the accumulation in DECIMAL(38,0) (exact integers) as the
-    # HUGEINT mirror of the oracle
-    g = (F.col("cuma") * F.col("n_b") - F.col("cumb") * F.col("n_a")).cast(
-        "decimal(19,0)"
-    )
-    agg = cum.groupBy(
-        F.col("ta").alias("type_a"), F.col("tb").alias("type_b"), "n_a", "n_b"
-    ).agg(F.sum(F.col("cp").cast("decimal(19,0)") * g * g).alias("s"))
     return agg.select(
         "type_a",
         "type_b",
@@ -163,29 +168,55 @@ def q_trimmed_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     the middle sum and the k·(lo+hi) replacement mass stay exact
     DECIMAL(18,4) (the Tukey-fences discipline); one flat division
     each."""
-    vals = load_table(spark, sf_dir, "events").select(
-        F.col("event_type").alias("t"),
-        F.col("value").cast("decimal(18,4)").alias("v"),
-    )
-    wr = Window.partitionBy("t").orderBy("v")
-    wn = Window.partitionBy("t")
-    ranked = vals.select(
-        "t",
-        "v",
-        F.row_number().over(wr).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
-    )
-    k = F.floor((F.lit(TRIM_ALPHA_NUM) * F.col("n")) / TRIM_ALPHA_DEN)
-    zero = F.lit(0).cast("decimal(18,4)")
-    mid = ranked.groupBy("t").agg(
-        F.max("n").alias("n"),
-        F.max(k).alias("k"),
-        F.sum(
-            F.when((F.col("rn") > k) & (F.col("rn") <= F.col("n") - k), F.col("v"))
-            .otherwise(zero)
-        ).alias("mid_sum"),
-        F.max(F.when(F.col("rn") == k + 1, F.col("v"))).alias("lo_v"),
-        F.max(F.when(F.col("rn") == F.col("n") - k, F.col("v"))).alias("hi_v"),
+    # r16: the k-th/(n−k)-th order statistics and the clipped middle
+    # sum run driver-side over the collected counts spine (rank_kit;
+    # the decimal(18,4) cast is the dec4 bridge, rank ranges are
+    # integer block overlaps — no per-event sort); the two divisions
+    # below are unchanged Spark expressions.
+    from decimal import Decimal
+
+    from timestream_travel_spark.operators.rank_kit import counts_by_type, dec4
+    from timestream_travel_spark.tables import bounded_df
+
+    kit = counts_by_type(spark, sf_dir)
+    rows = []
+    for t in sorted(kit):
+        v, c = kit[t]
+        blocks: dict[int, int] = {}
+        for x, k_ in zip(v.tolist(), c.tolist()):
+            v4 = dec4(x)
+            blocks[v4] = blocks.get(v4, 0) + k_
+        n = sum(blocks.values())
+        k = (TRIM_ALPHA_NUM * n) // TRIM_ALPHA_DEN
+        lo_rank, hi_rank = k + 1, n - k
+        mid_sum = 0
+        lo_v = hi_v = None
+        cm = 0
+        for v4 in sorted(blocks):
+            c_ = blocks[v4]
+            lo, hi = cm, cm + c_  # ranks (lo, hi]
+            cm = hi
+            mid_sum += v4 * max(0, min(hi, n - k) - max(lo, k))
+            if lo < lo_rank <= hi:
+                lo_v = v4
+            if lo < hi_rank <= hi:
+                hi_v = v4
+        q4 = Decimal(1).scaleb(-4)
+        rows.append(
+            (
+                t,
+                n,
+                k,
+                Decimal(mid_sum).scaleb(-4),
+                None if lo_v is None else Decimal(lo_v).scaleb(-4).quantize(q4),
+                None if hi_v is None else Decimal(hi_v).scaleb(-4).quantize(q4),
+            )
+        )
+    mid = bounded_df(
+        spark,
+        rows,
+        "t string, n bigint, k bigint, mid_sum decimal(38,4), "
+        "lo_v decimal(18,4), hi_v decimal(18,4)",
     )
     return mid.select(
         F.col("t").alias("event_type"),

@@ -138,24 +138,40 @@ def q_hoover_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     out (|n·x − S| with exact DECIMAL n·x and S), so the numerator
     is DECIMAL end-to-end and the index is one flat division of two
     VARCHAR-bridged exact decimals."""
-    cnt = _counts(spark, sf_dir)
-    tot = _totals(cnt)
-    dev = F.col("c") * F.abs(
-        F.col("n") * F.col("v").cast("decimal(20,4)") - F.col("s")
-    )
-    return (
-        cnt.join(F.broadcast(tot), "t")
-        .groupBy(F.col("t").alias("event_type"))
-        .agg(
-            F.any_value("n").alias("n"),
-            F.round(
-                F.sum(dev).cast("double")
-                / (F.lit(2) * F.any_value("n") * F.any_value("s")).cast(
-                    "double"
-                ),
-                6,
-            ).alias("hoover"),
+    # r16: the exact scale-4 deviation census runs driver-side over
+    # the collected counts spine (rank_kit; both aggregates verified
+    # decimal(38,4) — no precision-loss rounding to replay); the
+    # final division below is unchanged Spark expressions.
+    from decimal import Decimal
+
+    from timestream_travel_spark.operators.rank_kit import counts_by_type, dec4
+    from timestream_travel_spark.tables import bounded_df
+
+    kit = counts_by_type(spark, sf_dir)
+    rows = []
+    for t in sorted(kit):
+        v, c = kit[t]
+        v4 = [dec4(x) for x in v.tolist()]
+        cs = c.tolist()
+        n = sum(cs)
+        s = sum(k * x for k, x in zip(cs, v4))
+        sdev = sum(k * abs(n * x - s) for k, x in zip(cs, v4))
+        rows.append(
+            (t, n, Decimal(sdev).scaleb(-4), Decimal(s).scaleb(-4))
         )
+    base = bounded_df(
+        spark,
+        rows,
+        "event_type string, n bigint, sdev decimal(38,4), s decimal(38,4)",
+    )
+    return base.select(
+        "event_type",
+        "n",
+        F.round(
+            F.col("sdev").cast("double")
+            / (F.lit(2) * F.col("n") * F.col("s")).cast("double"),
+            6,
+        ).alias("hoover"),
     )
 
 
@@ -195,28 +211,38 @@ def q_palma_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     the clipped overlap with each bucket — so both sums are exact
     decimals and the ratio is one flat division. Ties share one
     value, so the overlap split is deterministic."""
-    cnt = _counts(spark, sf_dir)
-    tot = cnt.groupBy("t").agg(F.sum("c").cast("bigint").alias("n"))
-    w = (
-        Window.partitionBy("t")
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = cnt.join(F.broadcast(tot), "t").select(
-        "t", "v", "c", "n", F.sum("c").over(w).alias("cm")
-    )
-    vdec = F.col("v").cast("decimal(20,4)")
-    k40 = (F.lit(4) * F.col("n")).cast("bigint") / F.lit(10)
-    bottom = vdec * F.greatest(
-        F.lit(0),
-        F.least(F.col("cm"), F.floor(k40)) - (F.col("cm") - F.col("c")),
-    )
-    top_lo = F.greatest(
-        F.col("cm") - F.col("c"), F.col("n") - F.floor(F.col("n") / F.lit(10))
-    )
-    top = vdec * F.greatest(F.lit(0), F.col("cm") - top_lo)
-    shares = cum.groupBy("t", "n").agg(
-        F.sum(bottom).alias("bottom40"), F.sum(top).alias("top10")
+    # r16: the clipped-overlap bucket census runs driver-side over
+    # the collected counts spine (rank_kit; integer rank arithmetic,
+    # scale-4 decimal value sums — verified decimal(38,4), no
+    # precision loss); the ratio below is unchanged Spark expressions.
+    from decimal import Decimal
+
+    from timestream_travel_spark.operators.rank_kit import counts_by_type, dec4
+    from timestream_travel_spark.tables import bounded_df
+
+    kit = counts_by_type(spark, sf_dir)
+    rows = []
+    for t in sorted(kit):
+        v, c = kit[t]
+        cs = c.tolist()
+        n = sum(cs)
+        k40 = (4 * n) // 10
+        top_cut = n - n // 10
+        bottom = top = 0
+        cm = 0
+        for x, k in zip(v.tolist(), cs):
+            lo = cm
+            cm += k
+            x4 = dec4(x)
+            bottom += x4 * max(0, min(cm, k40) - lo)
+            top += x4 * max(0, cm - max(lo, top_cut))
+        rows.append(
+            (t, n, Decimal(bottom).scaleb(-4), Decimal(top).scaleb(-4))
+        )
+    shares = bounded_df(
+        spark,
+        rows,
+        "t string, n bigint, bottom40 decimal(38,4), top10 decimal(38,4)",
     )
     return shares.select(
         F.col("t").alias("event_type"),
@@ -261,25 +287,34 @@ def q_quantile_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     count reaches the integer cutoff — fully deterministic, no
     interpolation, so both engines pick the identical source double
     and each ratio is one flat division."""
-    cnt = _counts(spark, sf_dir)
-    tot = cnt.groupBy("t").agg(F.sum("c").cast("bigint").alias("n"))
-    w = (
-        Window.partitionBy("t")
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = cnt.join(F.broadcast(tot), "t").select(
-        "t", "v", "n", F.sum("c").over(w).alias("cm")
-    )
+    # r16: the type-1 quantile selection runs driver-side over the
+    # collected counts spine (rank_kit; integer rank cutoffs pick raw
+    # source doubles); the ratios below are unchanged Spark
+    # expressions.
+    from timestream_travel_spark.operators.rank_kit import counts_by_type
+    from timestream_travel_spark.tables import bounded_df
 
-    def _cut(num: int, den: int):  # ceil(num·n/den) via integer floor
-        return F.floor((F.lit(num) * F.col("n") + F.lit(den - 1)) / F.lit(den))
+    kit = counts_by_type(spark, sf_dir)
+    rows = []
+    for t in sorted(kit):
+        v, c = kit[t]
+        vs, cs = v.tolist(), c.tolist()
+        n = sum(cs)
 
-    q = cum.groupBy("t", "n").agg(
-        F.min(F.when(F.col("cm") >= _cut(9, 10), F.col("v"))).alias("p90"),
-        F.min(F.when(F.col("cm") >= _cut(1, 10), F.col("v"))).alias("p10"),
-        F.min(F.when(F.col("cm") >= _cut(3, 4), F.col("v"))).alias("p75"),
-        F.min(F.when(F.col("cm") >= _cut(1, 4), F.col("v"))).alias("p25"),
+        def _sel(num: int, den: int):
+            cut = (num * n + den - 1) // den
+            cm = 0
+            for x, k in zip(vs, cs):
+                cm += k
+                if cm >= cut:
+                    return x
+            return None
+
+        rows.append((t, n, _sel(9, 10), _sel(1, 10), _sel(3, 4), _sel(1, 4)))
+    q = bounded_df(
+        spark,
+        rows,
+        "t string, n bigint, p90 double, p10 double, p75 double, p25 double",
     )
     return q.select(
         F.col("t").alias("event_type"),
@@ -362,53 +397,49 @@ def q_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exact integers via doubled midranks on the merged distinct-
     value table; the statistic is one flat double expression over
     the six VARCHAR-bridged aggregates. p_hat = P(X<Y) + ½P(X=Y)."""
-    cnt = _counts(spark, sf_dir)
-    n = cnt.groupBy("t").agg(F.sum("c").cast("bigint").alias("n"))
-    a = n.select(F.col("t").alias("ta"), F.col("n").alias("n_a"))
-    b = n.select(F.col("t").alias("tb"), F.col("n").alias("n_b"))
-    pairs = a.join(b, F.col("ta") < F.col("tb"))
-    merged = _pair_grid(spark, sf_dir)
-    w = (
-        Window.partitionBy("ta", "tb")
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # r16: the doubled-midrank census runs driver-side over the
+    # collected counts spine (rank_kit; Python ints reproduce the
+    # DECIMAL(38,0) widenings exactly); the W/p_hat float
+    # composition below is unchanged Spark expressions.
+    from decimal import Decimal
+
+    from timestream_travel_spark.operators.rank_kit import (
+        counts_by_type,
+        merged_pair,
+        type_pairs,
     )
-    ranks = merged.select(
-        "ta",
-        "tb",
-        "n_a",
-        "n_b",
-        "ca",
-        "cb",
-        (
-            F.lit(2) * (F.sum("ca").over(w) + F.sum("cb").over(w))
-            - (F.col("ca") + F.col("cb"))
-            + 1
-        ).alias("rc2"),
-        (F.lit(2) * F.sum("ca").over(w) - F.col("ca") + 1).alias("ra2"),
-        (F.lit(2) * F.sum("cb").over(w) - F.col("cb") + 1).alias("rb2"),
-    )
-    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    agg = ranks.groupBy("ta", "tb", "n_a", "n_b").agg(
-        F.sum(d38(F.col("ca") * F.col("rc2"))).alias("ua"),
-        F.sum(d38(F.col("cb") * F.col("rc2"))).alias("ub"),
-        F.sum(d38(F.col("ca") * (F.col("rc2") - F.col("ra2")))).alias("t1a"),
-        F.sum(d38(F.col("cb") * (F.col("rc2") - F.col("rb2")))).alias("t1b"),
-        # cubic terms cross into decimal BEFORE the second multiply —
-        # BIGINT ca·(rc2−ra2)² wraps int64 above ~1.3e6 rows per
-        # type-pair; the oracle multiplies in HUGEINT (ADVICE r12)
-        F.sum(
-            d38(F.col("ca"))
-            * (
-                (F.col("rc2") - F.col("ra2")) * (F.col("rc2") - F.col("ra2"))
-            ).cast("decimal(19,0)")
-        ).alias("t2a"),
-        F.sum(
-            d38(F.col("cb"))
-            * (
-                (F.col("rc2") - F.col("rb2")) * (F.col("rc2") - F.col("rb2"))
-            ).cast("decimal(19,0)")
-        ).alias("t2b"),
+    from timestream_travel_spark.tables import bounded_df
+
+    kit = counts_by_type(spark, sf_dir)
+    rows = []
+    for ta, tb in type_pairs(kit):
+        _, ca, cb = merged_pair(kit, ta, tb)
+        n_a, n_b = int(ca.sum()), int(cb.sum())
+        ua = ub = t1a = t1b = t2a = t2b = 0
+        cuma = cumb = 0
+        for a_, b_ in zip(ca.tolist(), cb.tolist()):
+            cuma += a_
+            cumb += b_
+            rc2 = 2 * (cuma + cumb) - (a_ + b_) + 1
+            ra2 = 2 * cuma - a_ + 1
+            rb2 = 2 * cumb - b_ + 1
+            ua += a_ * rc2
+            ub += b_ * rc2
+            da, db = rc2 - ra2, rc2 - rb2
+            t1a += a_ * da
+            t1b += b_ * db
+            t2a += a_ * da * da
+            t2b += b_ * db * db
+        rows.append(
+            (ta, tb, n_a, n_b)
+            + tuple(Decimal(x) for x in (ua, ub, t1a, t1b, t2a, t2b))
+        )
+    agg = bounded_df(
+        spark,
+        rows,
+        "ta string, tb string, n_a bigint, n_b bigint, "
+        "ua decimal(38,0), ub decimal(38,0), t1a decimal(38,0), "
+        "t1b decimal(38,0), t2a decimal(38,0), t2b decimal(38,0)",
     )
     dbl = lambda name: F.col(name).cast("double")  # noqa: E731
     rbar_a = dbl("ua") / (F.lit(2.0) * F.col("n_a"))

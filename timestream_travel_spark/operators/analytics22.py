@@ -100,46 +100,49 @@ _Z_W = """
 
 
 def _rank_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark mirror of _AB_BASE_SQL's `agg` table."""
-    cnt = _counts(spark, sf_dir)
-    n = cnt.groupBy("t").agg(F.sum("c").cast("bigint").alias("n"))
-    a = n.select(F.col("t").alias("ta"), F.col("n").alias("n_a"))
-    b = n.select(F.col("t").alias("tb"), F.col("n").alias("n_b"))
-    pairs = a.join(b, F.col("ta") < F.col("tb"))
-    merged = _pair_grid(spark, sf_dir)
-    w = (
-        Window.partitionBy("ta", "tb")
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    """Exact twin of _AB_BASE_SQL's `agg` table.
+
+    r16: the doubled-midrank/Ansari-score census runs driver-side
+    over the collected counts spine (rank_kit; Python ints reproduce
+    the DECIMAL(38,0) widenings); the z compositions in the two
+    consumers are unchanged Spark expressions."""
+    from decimal import Decimal
+
+    from timestream_travel_spark.operators.rank_kit import (
+        counts_by_type,
+        merged_pair,
+        type_pairs,
     )
-    r2 = (
-        F.lit(2) * F.sum(F.col("ca") + F.col("cb")).over(w)
-        - (F.col("ca") + F.col("cb"))
-        + 1
-    )
-    ranks = merged.select(
-        "ta",
-        "tb",
-        "n_a",
-        "n_b",
-        "ca",
-        "cb",
-        r2.alias("r2"),
-        F.least(
-            r2, F.lit(2) * (F.col("n_a") + F.col("n_b") + 1) - r2
-        ).alias("a2"),
-    )
-    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    return ranks.groupBy("ta", "tb", "n_a", "n_b").agg(
-        F.sum(d38(F.col("ca") * F.col("a2"))).alias("t_ab"),
-        F.sum(d38((F.col("ca") + F.col("cb")) * F.col("a2"))).alias("s_ab"),
-        F.sum(d38((F.col("ca") + F.col("cb")) * F.col("a2")) * F.col("a2")).alias(
-            "s_ab2"
-        ),
-        F.sum(d38(F.col("ca") * F.col("r2"))).alias("t_w"),
-        F.sum(d38((F.col("ca") + F.col("cb")) * F.col("r2")) * F.col("r2")).alias(
-            "s_w2"
-        ),
+    from timestream_travel_spark.tables import bounded_df
+
+    kit = counts_by_type(spark, sf_dir)
+    rows = []
+    for ta, tb in type_pairs(kit):
+        _, ca, cb = merged_pair(kit, ta, tb)
+        n_a, n_b = int(ca.sum()), int(cb.sum())
+        nn2 = 2 * (n_a + n_b + 1)
+        t_ab = s_ab = s_ab2 = t_w = s_w2 = 0
+        cum = 0
+        for a_, b_ in zip(ca.tolist(), cb.tolist()):
+            cp = a_ + b_
+            cum += cp
+            r2 = 2 * cum - cp + 1
+            a2 = min(r2, nn2 - r2)
+            t_ab += a_ * a2
+            s_ab += cp * a2
+            s_ab2 += cp * a2 * a2
+            t_w += a_ * r2
+            s_w2 += cp * r2 * r2
+        rows.append(
+            (ta, tb, n_a, n_b)
+            + tuple(Decimal(x) for x in (t_ab, s_ab, s_ab2, t_w, s_w2))
+        )
+    return bounded_df(
+        spark,
+        rows,
+        "ta string, tb string, n_a bigint, n_b bigint, "
+        "t_ab decimal(38,0), s_ab decimal(38,0), s_ab2 decimal(38,0), "
+        "t_w decimal(38,0), s_w2 decimal(38,0)",
     )
 
 
@@ -328,18 +331,16 @@ def q_hodges_lehmann_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents halved once."""
     import numpy as np
 
-    rows = (
-        _counts(spark, sf_dir)
-        .select(
-            "t",
-            F.round(F.col("v") * 100, 0).cast("bigint").alias("vc"),
-            "c",
-        )
-        .collect()
-    )
-    by_t: dict[str, list[tuple[int, int]]] = {}
-    for r in rows:
-        by_t.setdefault(r.t, []).append((r.vc, r.c))
+    # r16: reuse the session-cached collected spine (rank_kit) and
+    # quantize to cents driver-side — Spark's round(v*100) is
+    # BigDecimal(Double.toString) HALF_UP, which Decimal(repr)
+    # reproduces exactly (the trimean/welch bridge).
+    from timestream_travel_spark.operators.rank_kit import cents_by_type
+
+    by_t: dict[str, list[tuple[int, int]]] = {
+        t: list(acc.items())
+        for t, acc in cents_by_type(spark, sf_dir).items()
+    }
     vcs: dict[str, "np.ndarray"] = {}
     cum: dict[str, "np.ndarray"] = {}
     info: dict[str, tuple[int, int, int]] = {}  # t -> (n, mn, mx)

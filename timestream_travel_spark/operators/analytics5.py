@@ -141,35 +141,42 @@ def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair: D = max|ECDF_a − ECDF_b|, evaluated as the INTEGER max of
     |cum_a·n_b − cum_b·n_a| over the merged distinct-value table and
     divided once at the end."""
-    cnt = _counts(spark, sf_dir)
-    pairs = _pairs(cnt)
-    merged = _pair_grid(spark, sf_dir)
-    w = (
-        Window.partitionBy("ta", "tb")
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # r16: the integer ECDF-gap maximum runs driver-side over the
+    # collected counts spine (rank_kit); the single division below is
+    # unchanged Spark expressions.
+    from timestream_travel_spark.operators.rank_kit import (
+        counts_by_type,
+        merged_pair,
+        type_pairs,
     )
-    cum = merged.select(
-        "ta",
-        "tb",
+    from timestream_travel_spark.tables import bounded_df
+
+    kit = counts_by_type(spark, sf_dir)
+    rows = []
+    for ta, tb in type_pairs(kit):
+        _, ca, cb = merged_pair(kit, ta, tb)
+        n_a, n_b = int(ca.sum()), int(cb.sum())
+        mx = cuma = cumb = 0
+        for a_, b_ in zip(ca.tolist(), cb.tolist()):
+            cuma += a_
+            cumb += b_
+            d = abs(cuma * n_b - cumb * n_a)
+            if d > mx:
+                mx = d
+        rows.append((ta, tb, n_a, n_b, mx))
+    cum = bounded_df(
+        spark,
+        rows,
+        "type_a string, type_b string, n_a bigint, n_b bigint, maxd bigint",
+    )
+    return cum.select(
+        "type_a",
+        "type_b",
         "n_a",
         "n_b",
-        F.sum("ca").over(w).alias("cuma"),
-        F.sum("cb").over(w).alias("cumb"),
-    )
-    return cum.groupBy(
-        F.col("ta").alias("type_a"),
-        F.col("tb").alias("type_b"),
-        "n_a",
-        "n_b",
-    ).agg(
         F.round(
-            F.max(
-                F.abs(F.col("cuma") * F.col("n_b") - F.col("cumb") * F.col("n_a"))
-            ).cast("double")
-            / (F.col("n_a") * F.col("n_b")),
-            6,
-        ).alias("ks_stat")
+            F.col("maxd").cast("double") / (F.col("n_a") * F.col("n_b")), 6
+        ).alias("ks_stat"),
     )
 
 
@@ -218,30 +225,33 @@ def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie group of size t); Σ(t³−t) is the standard tie correction.
     One double expression per output, written identically in both
     engines so every intermediate double matches."""
-    cnt = _counts(spark, sf_dir)
-    pairs = _pairs(cnt)
-    merged = _pair_grid(spark, sf_dir)
-    w = (
-        Window.partitionBy("ta", "tb")
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    # r16: the doubled-rank-sum and tie censuses run driver-side over
+    # the collected counts spine (rank_kit; exact integers); the
+    # U/z float composition below is unchanged Spark expressions.
+    from timestream_travel_spark.operators.rank_kit import (
+        counts_by_type,
+        merged_pair,
+        type_pairs,
     )
-    ranked = merged.select(
-        "ta",
-        "tb",
-        "n_a",
-        "n_b",
-        "ca",
-        (F.col("ca") + F.col("cb")).alias("cp"),
-        F.coalesce(F.sum(F.col("ca") + F.col("cb")).over(w), F.lit(0)).alias("before"),
-    )
-    agg = ranked.groupBy("ta", "tb", "n_a", "n_b").agg(
-        F.sum(F.col("ca") * (2 * F.col("before") + F.col("cp") + 1))
-        .cast("bigint")
-        .alias("r2a"),
-        F.sum(F.col("cp") * F.col("cp") * F.col("cp") - F.col("cp"))
-        .cast("bigint")
-        .alias("tie3"),
+    from timestream_travel_spark.tables import bounded_df
+
+    kit = counts_by_type(spark, sf_dir)
+    rows = []
+    for ta, tb in type_pairs(kit):
+        _, ca, cb = merged_pair(kit, ta, tb)
+        n_a, n_b = int(ca.sum()), int(cb.sum())
+        r2a = tie3 = before = 0
+        for a_, b_ in zip(ca.tolist(), cb.tolist()):
+            cp = a_ + b_
+            r2a += a_ * (2 * before + cp + 1)
+            tie3 += cp * cp * cp - cp
+            before += cp
+        rows.append((ta, tb, n_a, n_b, r2a, tie3))
+    agg = bounded_df(
+        spark,
+        rows,
+        "ta string, tb string, n_a bigint, n_b bigint, "
+        "r2a bigint, tie3 bigint",
     )
     u_a = (F.col("r2a") - F.col("n_a") * (F.col("n_a") + 1)).cast("double") / 2
     mu = F.col("n_a").cast("double") * F.col("n_b") / 2

@@ -93,27 +93,35 @@ def q_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     no-tie normal approximation; midrank ties only lower the true
     variance, stated per Page 1963). Complete days only, like
     q_friedman."""
-    daily = _daily(spark, sf_dir)
-    full_days = (
-        daily.groupBy("day").count().filter(F.col("count") == len(EVENT_TYPES))
-    ).select("day")
-    wr = Window.partitionBy("day").orderBy("v")
-    wt = Window.partitionBy("day", "v")
-    ranked = daily.join(full_days, "day").select(
-        "t",
-        (2 * F.rank().over(wr) + F.count("*").over(wt).cast("bigint") - 1).alias(
-            "dr"
-        ),
+    # r16: the within-day doubled-midrank census runs driver-side
+    # over the collected |types|×|days| daily spine (exact Decimal
+    # comparisons; integer ranks); the z composition below is
+    # unchanged Spark expressions.
+    from timestream_travel_spark.tables import bounded_df
+
+    by_day: dict = {}
+    for r in _daily(spark, sf_dir).collect():
+        by_day.setdefault(r.day, []).append((r.t, r.v))
+    r2j: dict[str, int] = {}
+    nblocks = 0
+    for day, rows_ in by_day.items():
+        if len(rows_) != len(EVENT_TYPES):
+            continue
+        nblocks += 1
+        vals = sorted(v for _, v in rows_)
+        for t, v in rows_:
+            lo = next(i for i, x in enumerate(vals) if x == v) + 1
+            ties = sum(1 for x in vals if x == v)
+            r2j[t] = r2j.get(t, 0) + 2 * lo + ties - 1
+    jidx = {t: i + 1 for i, t in enumerate(EVENT_TYPES)}
+    # zero complete days: the original empty-input agg yields
+    # (NULL, 0, NULL)
+    row = (
+        (sum(jidx[t] * s for t, s in r2j.items()), len(r2j), nblocks)
+        if r2j
+        else (None, 0, None)
     )
-    rsum = ranked.groupBy("t").agg(
-        F.sum("dr").cast("bigint").alias("r2j"),
-        F.count("*").cast("bigint").alias("n"),
-    )
-    agg = rsum.agg(
-        F.sum(_j_col() * F.col("r2j")).cast("bigint").alias("l2"),
-        F.count("*").cast("bigint").alias("k"),
-        F.max("n").alias("n"),
-    )
+    agg = bounded_df(spark, [row], "l2 bigint, k bigint, n bigint")
     n, k, l2 = F.col("n"), F.col("k"), F.col("l2")
     page_l = l2.cast("double") / 2
     z = (page_l - n.cast("double") * k * (k + 1) * (k + 1) / 4) / F.sqrt(

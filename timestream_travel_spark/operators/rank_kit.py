@@ -36,10 +36,22 @@ fixed grid (the HL argument, analytics22).
 
 from __future__ import annotations
 
+from decimal import ROUND_HALF_UP, Decimal
+
 import numpy as np
 from pyspark.sql import SparkSession
 
 _KIT_CACHE: dict = {}
+
+_Q4 = Decimal("1e-4")
+
+
+def dec4(x: float) -> int:
+    """The scale-4 integer of CAST(v AS DECIMAL(20,4)): Spark/Java
+    casts a double through BigDecimal(Double.toString(d)) with
+    HALF_UP, which Decimal(repr(x)) reproduces exactly (the
+    _pagerank_iterate bridge, r15)."""
+    return int(Decimal(repr(x)).quantize(_Q4, ROUND_HALF_UP).scaleb(4))
 
 
 def counts_by_type(spark: SparkSession, sf_dir: str) -> dict:
@@ -64,6 +76,30 @@ def counts_by_type(spark: SparkSession, sf_dir: str) -> dict:
             )
         _KIT_CACHE[key] = kit
     return kit
+
+
+_CENTS_CACHE: dict = {}
+
+
+def cents_by_type(spark: SparkSession, sf_dir: str) -> dict:
+    """{t: {cents: count}} — the integer-cents census (Spark's
+    round(v*100): BigDecimal(Double.toString) HALF_UP, reproduced by
+    Decimal(repr)) derived from the collected spine, cached per
+    (session, fixture); shared by the cents-quantile family
+    (trimean, HL, Wilson, GMD, Bowley–Moors)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cents = _CENTS_CACHE.get(key)
+    if cents is None:
+        one = Decimal(1)
+        cents = {}
+        for t, (v, c) in counts_by_type(spark, sf_dir).items():
+            acc: dict[int, int] = {}
+            for x, k in zip(v.tolist(), c.tolist()):
+                vc = int(Decimal(repr(x * 100.0)).quantize(one, ROUND_HALF_UP))
+                acc[vc] = acc.get(vc, 0) + k
+            cents[t] = acc
+        _CENTS_CACHE[key] = cents
+    return cents
 
 
 def pooled_grid(kit: dict):
