@@ -114,27 +114,22 @@ def q_kendalls_w(spark: SparkSession, sf_dir: str) -> DataFrame:
     W = χ²_F / (n·(k−1)) ∈ [0, 1] off the exact Friedman
     doubled-midrank machinery (analytics8) — 0 = no agreement, 1 =
     every day ranks the types identically."""
-    daily = _daily(spark, sf_dir)
-    full_days = (
-        daily.groupBy("day").count().filter(F.col("count") == len(EVENT_TYPES))
-    ).select("day")
-    wr = Window.partitionBy("day").orderBy("v")
-    wt = Window.partitionBy("day", "v")
-    ranked = daily.join(full_days, "day").select(
-        "t",
-        (2 * F.rank().over(wr) + F.count("*").over(wt).cast("bigint") - 1).alias(
-            "dr"
-        ),
+    # r16: the shared Friedman census runs driver-side
+    # (rank_kit.friedman_r2 over the collected daily spine); the W
+    # composition below is unchanged Spark expressions.
+    from timestream_travel_spark.operators.rank_kit import (
+        daily_rows,
+        friedman_r2,
     )
-    rsum = ranked.groupBy("t").agg(
-        F.sum("dr").cast("bigint").alias("r2j"),
-        F.count("*").cast("bigint").alias("n"),
+    from timestream_travel_spark.tables import bounded_df
+
+    r2j, nblocks = friedman_r2(daily_rows(spark, sf_dir), len(EVENT_TYPES))
+    row = (
+        (sum(s * s for s in r2j.values()), len(r2j), nblocks)
+        if r2j
+        else (None, 0, None)
     )
-    agg = rsum.agg(
-        F.sum(F.col("r2j") * F.col("r2j")).cast("bigint").alias("ssq"),
-        F.count("*").cast("bigint").alias("k"),
-        F.max("n").alias("n"),
-    )
+    agg = bounded_df(spark, [row], "ssq bigint, k bigint, n bigint")
     n, k, ssq = F.col("n"), F.col("k"), F.col("ssq")
     chi2 = 3.0 * ssq / (n.cast("double") * k * (k + 1)) - 3.0 * n * (k + 1)
     return agg.select(

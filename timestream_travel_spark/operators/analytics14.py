@@ -135,44 +135,47 @@ def q_quade_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     one flat division. ΣT2² can reach ~(2bk²·2b)² ≈ 10¹³ per term
     squared — Spark sums in BIGINT-safe range at fixture spans and
     the oracle widens to HUGEINT to be explicit."""
+    # r16: both doubled-midrank layers (within-day treatment ranks,
+    # cross-day range ranks) run driver-side over the collected daily
+    # spine (rank_kit; exact Decimal comparisons, integer S2 sums);
+    # the F composition below is unchanged Spark expressions.
+    from timestream_travel_spark.operators.rank_kit import daily_rows
+    from timestream_travel_spark.tables import bounded_df
+
     k = len(EVENT_TYPES)
-    daily = _daily(spark, sf_dir)
-    full_days = (
-        daily.groupBy("day").count().filter(F.col("count") == k).select("day")
+    complete = {
+        day: rows_
+        for day, rows_ in daily_rows(spark, sf_dir).items()
+        if len(rows_) == k
+    }
+    rgs = sorted(max(v for _, v in r_) - min(v for _, v in r_)
+                 for r_ in complete.values())
+    t2j: dict[str, int] = {}
+    nblocks = len(complete)
+    asum = 0
+    for day, rows_ in complete.items():
+        rg = max(v for _, v in rows_) - min(v for _, v in rows_)
+        q2 = 2 * (rgs.index(rg) + 1) + rgs.count(rg) - 1
+        vals = sorted(v for _, v in rows_)
+        for t, v in rows_:
+            dr = 2 * (vals.index(v) + 1) + vals.count(v) - 1
+            s2 = q2 * (dr - (k + 1))
+            t2j[t] = t2j.get(t, 0) + s2
+            asum += s2 * s2
+    row = (
+        (
+            sum(s * s for s in t2j.values()),
+            nblocks,
+            len(t2j),
+            asum,
+        )
+        if t2j
+        else (None, None, 0, None)
     )
-    wr = Window.partitionBy("day").orderBy("v")
-    wt = Window.partitionBy("day", "v")
-    ranked = daily.join(full_days, "day").select(
-        "t",
-        "day",
-        "v",
-        (2 * F.rank().over(wr) + F.count("*").over(wt).cast("bigint") - 1).alias(
-            "dr"
-        ),
+    agg = bounded_df(
+        spark, [row], "bsum bigint, b bigint, k bigint, asum bigint"
     )
-    ranges = ranked.groupBy("day").agg((F.max("v") - F.min("v")).alias("rg"))
-    wq = Window.orderBy("rg")
-    wqt = Window.partitionBy("rg")
-    qrank = ranges.select(
-        "day",
-        (2 * F.rank().over(wq) + F.count("*").over(wqt).cast("bigint") - 1).alias(
-            "q2"
-        ),
-    )
-    s = ranked.join(qrank, "day").select(
-        "t", (F.col("q2") * (F.col("dr") - (k + 1))).alias("s2")
-    )
-    t2 = s.groupBy("t").agg(
-        F.sum("s2").cast("bigint").alias("t2j"),
-        F.count("*").cast("bigint").alias("b"),
-    )
-    agg = t2.agg(
-        F.sum(F.col("t2j") * F.col("t2j")).cast("bigint").alias("bsum"),
-        F.max("b").alias("b"),
-        F.count("*").cast("bigint").alias("k"),
-    )
-    a2 = s.agg(F.sum(F.col("s2") * F.col("s2")).cast("bigint").alias("asum"))
-    return agg.crossJoin(F.broadcast(a2)).select(
+    return agg.select(
         F.col("b").alias("n_blocks"),
         "k",
         F.round(

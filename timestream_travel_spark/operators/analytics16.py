@@ -91,60 +91,57 @@ def q_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tukey boxplot fences per event type with exact scaled-integer
     decimal quartiles (see module docstring) and the integer outlier
     census outside [Q1 − 1.5·IQR, Q3 + 1.5·IQR]."""
-    vals = load_table(spark, sf_dir, "events").select(
-        F.col("event_type").alias("t"),
-        F.col("value").cast("decimal(18,4)").alias("v"),
-    )
-    wr = Window.partitionBy("t").orderBy("v")
-    wn = Window.partitionBy("t")
-    ranked = vals.select(
-        "t",
-        "v",
-        F.row_number().over(wr).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
-    )
+    # r16: the interpolated-quartile selection and the integer
+    # outlier census run driver-side over the collected dec4 census
+    # (rank_kit; exact scaled-integer arithmetic); the /4 and /8
+    # bridges below are unchanged Spark expressions.
+    from decimal import Decimal
 
-    def quart4(num: int, alias: str) -> DataFrame:
-        kfloor = F.floor((F.lit(num) * (F.col("n") - 1)) / 4)
-        rem = (F.lit(num) * (F.col("n") - 1)) % 4
-        lo = F.max(F.when(F.col("rn") == kfloor + 1, F.col("v")))
-        hi = F.max(F.when(F.col("rn") == kfloor + 2, F.col("v")))
-        zero = F.lit(0).cast("decimal(18,4)")
-        return (
-            ranked.filter(F.col("rn") <= kfloor + 2)
-            .groupBy("t")
-            .agg(
-                (
-                    F.lit(4) * lo
-                    + F.coalesce((hi - lo) * F.max(rem), zero)
-                ).alias(alias)
+    from timestream_travel_spark.operators.rank_kit import dec4_by_type
+    from timestream_travel_spark.tables import bounded_df
+
+    out = []
+    for t, blocks in sorted(dec4_by_type(spark, sf_dir).items()):
+        vs = sorted(blocks)
+        n = sum(blocks.values())
+
+        def _rank(r: int):
+            cm = 0
+            for x in vs:
+                cm += blocks[x]
+                if cm >= r:
+                    return x
+            return None
+
+        def quart4(num: int) -> int:
+            kf, rem = divmod(num * (n - 1), 4)
+            lo = _rank(kf + 1)
+            hi = _rank(kf + 2)
+            return 4 * lo + ((hi - lo) * rem if hi is not None else 0)
+
+        q1_4, q3_4 = quart4(1), quart4(3)
+        lo8, hi8 = 5 * q1_4 - 3 * q3_4, 5 * q3_4 - 3 * q1_4
+        n_below = sum(c for x, c in blocks.items() if 8 * x < lo8)
+        n_above = sum(c for x, c in blocks.items() if 8 * x > hi8)
+        out.append(
+            (
+                t,
+                Decimal(q1_4).scaleb(-4),
+                Decimal(q3_4).scaleb(-4),
+                Decimal(lo8).scaleb(-4),
+                Decimal(hi8).scaleb(-4),
+                n,
+                n_below,
+                n_above,
             )
         )
-
-    f = (
-        quart4(1, "q1_4")
-        .join(quart4(3, "q3_4"), "t")
-        .select(
-            "t",
-            "q1_4",
-            "q3_4",
-            (F.lit(5) * F.col("q1_4") - F.lit(3) * F.col("q3_4")).alias("lo8"),
-            (F.lit(5) * F.col("q3_4") - F.lit(3) * F.col("q1_4")).alias("hi8"),
-        )
-    )
     return (
-        vals.join(F.broadcast(f), "t")
-        .groupBy(
-            F.col("t").alias("event_type"), "q1_4", "q3_4", "lo8", "hi8"
-        )
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.sum(F.when(F.lit(8) * F.col("v") < F.col("lo8"), 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_below"),
-            F.sum(F.when(F.lit(8) * F.col("v") > F.col("hi8"), 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_above"),
+        bounded_df(
+            spark,
+            out,
+            "event_type string, q1_4 decimal(38,4), q3_4 decimal(38,4), "
+            "lo8 decimal(38,4), hi8 decimal(38,4), n bigint, "
+            "n_below bigint, n_above bigint",
         )
         .select(
             "event_type",

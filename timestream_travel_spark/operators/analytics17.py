@@ -175,17 +175,11 @@ def q_trimmed_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     # below are unchanged Spark expressions.
     from decimal import Decimal
 
-    from timestream_travel_spark.operators.rank_kit import counts_by_type, dec4
+    from timestream_travel_spark.operators.rank_kit import dec4_by_type
     from timestream_travel_spark.tables import bounded_df
 
-    kit = counts_by_type(spark, sf_dir)
     rows = []
-    for t in sorted(kit):
-        v, c = kit[t]
-        blocks: dict[int, int] = {}
-        for x, k_ in zip(v.tolist(), c.tolist()):
-            v4 = dec4(x)
-            blocks[v4] = blocks.get(v4, 0) + k_
+    for t, blocks in sorted(dec4_by_type(spark, sf_dir).items()):
         n = sum(blocks.values())
         k = (TRIM_ALPHA_NUM * n) // TRIM_ALPHA_DEN
         lo_rank, hi_rank = k + 1, n - k

@@ -72,64 +72,63 @@ def q_qq_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     differences location-by-location, where KS/CvM give one number).
     Decupled exact decimals (×10), bridged and divided by 10.0 only
     at the output."""
-    ev = load_table(spark, sf_dir, "events")
-    wr = Window.partitionBy("t").orderBy("v")
-    vals = ev.select(
-        F.col("event_type").alias("t"),
-        F.col("value").cast("decimal(18,4)").alias("v"),
-    )
-    ranked = vals.select("t", "v", F.row_number().over(wr).alias("rn"))
-    # The 9 decile targets need only ranks k+1 / k+2 per (type, d) —
-    # ≤18 ranks per type, all derivable from the bounded (t, n)
-    # table. Broadcast-joining those target ranks back onto the
-    # ranked rows touches each event row ONCE; the old form
-    # crossJoined every row ×9 before aggregating (r11 verdict
-    # "What's wrong #2").
-    nt = vals.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
-    ds = spark.range(1, 10).select(F.col("id").alias("d"))
-    k = F.floor((F.col("d") * (F.col("n") - 1)) / 10)
-    rem = (F.col("d") * (F.col("n") - 1)) % 10
-    tg = nt.crossJoin(F.broadcast(ds)).select(
-        "t",
-        "d",
-        (k + 1).alias("r_lo"),
-        (k + 2).alias("r_hi"),
-        rem.alias("rem"),
-    )
-    targets = tg.select(
-        "t", "d", "rem", F.col("r_lo").alias("rn"), F.lit("lo").alias("which")
-    ).unionByName(
-        tg.select(
-            "t", "d", "rem", F.col("r_hi").alias("rn"), F.lit("hi").alias("which")
-        )
-    )
-    j = ranked.join(F.broadcast(targets), ["t", "rn"])
-    zero = F.lit(0).cast("decimal(18,4)")
-    lo = F.max(F.when(F.col("which") == "lo", F.col("v")))
-    hi = F.max(F.when(F.col("which") == "hi", F.col("v")))
-    dec = j.groupBy("t", "d").agg(
+    # r16: the interpolated-decile selection and the pair fan-out run
+    # driver-side over the collected dec4 census (rank_kit; exact
+    # scaled-integer arithmetic); the /10 bridges below are unchanged
+    # Spark expressions.
+    from decimal import Decimal
+
+    from timestream_travel_spark.operators.rank_kit import dec4_by_type
+    from timestream_travel_spark.tables import bounded_df
+
+    blocks_t = dec4_by_type(spark, sf_dir)
+    q10: dict[str, list[int]] = {}
+    for t, blocks in blocks_t.items():
+        vs = sorted(blocks)
+        n = sum(blocks.values())
+
+        def _rank(r: int):
+            cm = 0
+            for x in vs:
+                cm += blocks[x]
+                if cm >= r:
+                    return x
+            return None
+
+        decs = []
+        for d in range(1, 10):
+            kf, rem = divmod(d * (n - 1), 10)
+            lo = _rank(kf + 1)
+            hi = _rank(kf + 2)
+            decs.append(10 * lo + ((hi - lo) * rem if hi is not None else 0))
+        q10[t] = decs
+    ts = sorted(q10)
+    rows = [
         (
-            F.lit(10) * lo + F.coalesce((hi - lo) * F.max("rem"), zero)
-        ).alias("q10")
-    )
-    a = dec.select(
-        F.col("t").alias("type_a"), "d", F.col("q10").alias("qa10")
-    )
-    b = dec.select(
-        F.col("t").alias("type_b"), F.col("d").alias("db"), F.col("q10").alias("qb10")
-    )
-    return (
-        a.join(b, (a.d == b.db) & (F.col("type_a") < F.col("type_b")))
-        .select(
-            "type_a",
-            "type_b",
-            F.col("d").cast("int").alias("decile"),
-            (F.col("qa10").cast("double") / F.lit(10.0)).alias("q_a"),
-            (F.col("qb10").cast("double") / F.lit(10.0)).alias("q_b"),
-            (
-                (F.col("qb10") - F.col("qa10")).cast("double") / F.lit(10.0)
-            ).alias("q_gap"),
+            ta,
+            tb,
+            d + 1,
+            Decimal(q10[ta][d]).scaleb(-4),
+            Decimal(q10[tb][d]).scaleb(-4),
         )
+        for i, ta in enumerate(ts)
+        for tb in ts[i + 1 :]
+        for d in range(9)
+    ]
+    return bounded_df(
+        spark,
+        rows,
+        "type_a string, type_b string, decile int, "
+        "qa10 decimal(38,4), qb10 decimal(38,4)",
+    ).select(
+        "type_a",
+        "type_b",
+        "decile",
+        (F.col("qa10").cast("double") / F.lit(10.0)).alias("q_a"),
+        (F.col("qb10").cast("double") / F.lit(10.0)).alias("q_b"),
+        (
+            (F.col("qb10") - F.col("qa10")).cast("double") / F.lit(10.0)
+        ).alias("q_gap"),
     )
 
 
@@ -158,41 +157,50 @@ def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     table under q_gini_concentration's single number (decile 10 is
     1.0 by construction; a flat distribution reads d/10 everywhere).
     One flat division per row off exact cumulative sums."""
-    ev = load_table(spark, sf_dir, "events")
-    wr = Window.partitionBy("t").orderBy("v")
-    wn = Window.partitionBy("t")
-    wc = (
-        Window.partitionBy("t")
-        .orderBy("rn")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    vals = ev.select(
-        F.col("event_type").alias("t"),
-        F.col("value").cast("decimal(18,4)").alias("v"),
-    )
-    ranked = vals.select("t", "v", F.row_number().over(wr).alias("rn"))
-    cum = ranked.select(
-        "t",
-        "rn",
-        F.sum("v").over(wc).alias("cv"),
-        F.sum("v").over(wn).alias("tot"),
-    )
-    # The 10 decile cutoffs ⌊d·n/10⌋ per type come from the bounded
-    # (t, n) table; broadcast-joining them onto the cumulative rows
-    # touches each row once instead of fanning every row ×10 (r11
-    # verdict "What's wrong #2").
-    nt = vals.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
-    ds = spark.range(1, 11).select(F.col("id").alias("d"))
-    cut = F.floor((F.col("d") * F.col("n")) / 10)
-    tg = (
-        nt.crossJoin(F.broadcast(ds))
-        .select("t", "d", cut.alias("rn"))
-        .filter(F.col("rn") >= 1)
-    )
-    return cum.join(F.broadcast(tg), ["t", "rn"]).select(
-        F.col("t").alias("event_type"),
-        F.col("d").cast("int").alias("decile"),
-        F.col("rn").cast("bigint").alias("n_members"),
+    # r16: the cumulative-share-at-cutoff selection runs driver-side
+    # over the collected dec4 census (rank_kit; exact scaled-integer
+    # block sums); the one division below is unchanged Spark
+    # expressions.
+    from decimal import Decimal
+
+    from timestream_travel_spark.operators.rank_kit import dec4_by_type
+    from timestream_travel_spark.tables import bounded_df
+
+    rows = []
+    for t, blocks in sorted(dec4_by_type(spark, sf_dir).items()):
+        vs = sorted(blocks)
+        n = sum(blocks.values())
+        tot = sum(x * c for x, c in blocks.items())
+        for d in range(1, 11):
+            cut = (d * n) // 10
+            if cut < 1:
+                continue
+            cv = cm = 0
+            for x in vs:
+                c = blocks[x]
+                take = min(c, cut - cm)
+                cv += x * take
+                cm += take
+                if cm >= cut:
+                    break
+            rows.append(
+                (
+                    t,
+                    d,
+                    cut,
+                    Decimal(cv).scaleb(-4),
+                    Decimal(tot).scaleb(-4),
+                )
+            )
+    return bounded_df(
+        spark,
+        rows,
+        "event_type string, decile int, n_members bigint, "
+        "cv decimal(38,4), tot decimal(38,4)",
+    ).select(
+        "event_type",
+        "decile",
+        "n_members",
         F.round(
             F.col("cv").cast("double") / F.col("tot").cast("double"), 6
         ).alias("cum_share"),

@@ -141,42 +141,41 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-group sum is a flat expression, never an engine-ordered float
     SUM. One corpus pass builds (type, value) counts; everything
     after runs on the value-domain table."""
-    ev = load_table(spark, sf_dir, "events")
-    cnt = ev.groupBy(
-        F.col("event_type").alias("t"), F.col("value").alias("v")
-    ).agg(F.count("*").cast("bigint").alias("c"))
-    vals = cnt.groupBy("v").agg(F.sum("c").cast("bigint").alias("cv"))
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    ranked = vals.select(
-        "v",
-        "cv",
-        F.coalesce(F.sum("cv").over(w).cast("bigint"), F.lit(0)).alias("before"),
+    # r16: the pooled doubled-midrank and Σ(t³−t) tie censuses run
+    # driver-side over the collected counts spine (rank_kit); the
+    # flat H/C composition below is unchanged Spark expressions.
+    from timestream_travel_spark.operators.rank_kit import (
+        counts_by_type,
+        pooled_grid,
     )
-    ties = ranked.agg(
-        F.sum(F.col("cv") * F.col("cv") * F.col("cv") - F.col("cv"))
-        .cast("bigint")
-        .alias("tie3")
-    )
-    grp = (
-        cnt.join(ranked, "v")
-        .groupBy("t")
-        .agg(
-            F.sum(F.col("c") * (2 * F.col("before") + F.col("cv") + 1))
-            .cast("bigint")
-            .alias("r2"),
-            F.sum("c").cast("bigint").alias("ng"),
-        )
-    )
-    piv = grp.agg(
-        *[
-            c
-            for t in EVENT_TYPES
-            for c in (
-                F.max(F.when(F.col("t") == t, F.col("r2"))).alias(f"r2_{t}"),
-                F.max(F.when(F.col("t") == t, F.col("ng"))).alias(f"n_{t}"),
+    from timestream_travel_spark.tables import bounded_df
+
+    kit = counts_by_type(spark, sf_dir)
+    vs, cs = pooled_grid(kit)
+    before: dict[float, int] = {}
+    cv: dict[float, int] = {}
+    cum = 0
+    for x, k in zip(vs.tolist(), cs.tolist()):
+        before[x] = cum
+        cv[x] = k
+        cum += k
+    vals_ = []
+    schema = []
+    for t in EVENT_TYPES:
+        if t in kit:
+            v, c = kit[t]
+            r2 = sum(
+                k * (2 * before[x] + cv[x] + 1)
+                for x, k in zip(v.tolist(), c.tolist())
             )
-        ]
-    )
+            ng = int(c.sum())
+            vals_.extend([r2, ng])
+        else:
+            vals_.extend([None, None])
+        schema.extend([f"r2_{t} bigint", f"n_{t} bigint"])
+    vals_.append(sum(k * k * k - k for k in cs.tolist()))
+    schema.append("tie3 bigint")
+    piv = bounded_df(spark, [tuple(vals_)], ", ".join(schema))
     n_tot = _chain_add([F.col(f"n_{t}") for t in EVENT_TYPES])
     terms = _chain_add(
         [
@@ -188,7 +187,7 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     corr = 1.0 - F.col("tie3").cast("double") / (
         n_tot.cast("double") * n_tot * n_tot - n_tot
     )
-    return piv.crossJoin(F.broadcast(ties)).select(
+    return piv.select(
         n_tot.cast("bigint").alias("n_total"),
         F.round(h / corr, 6).alias("h_stat"),
     )
@@ -231,27 +230,23 @@ def q_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
     χ²_F = 12/(nk(k+1)) Σ R_j² − 3n(k+1) collapses to one flat double
     expression (12/4 = 3). Ranks sort k-row day slices, never a
     corpus-sized partition."""
-    daily = _daily(spark, sf_dir)
-    full_days = (
-        daily.groupBy("day").count().filter(F.col("count") == len(EVENT_TYPES))
-    ).select("day")
-    wr = Window.partitionBy("day").orderBy("v")
-    wt = Window.partitionBy("day", "v")
-    ranked = daily.join(full_days, "day").select(
-        "t",
-        (2 * F.rank().over(wr) + F.count("*").over(wt).cast("bigint") - 1).alias(
-            "dr"
-        ),
+    # r16: the within-day doubled-midrank census runs driver-side
+    # over the collected daily spine (rank_kit.friedman_r2; exact
+    # Decimal comparisons, integer ranks); the χ²_F composition
+    # below is unchanged Spark expressions.
+    from timestream_travel_spark.operators.rank_kit import (
+        daily_rows,
+        friedman_r2,
     )
-    rsum = ranked.groupBy("t").agg(
-        F.sum("dr").cast("bigint").alias("r2j"),
-        F.count("*").cast("bigint").alias("n"),
+    from timestream_travel_spark.tables import bounded_df
+
+    r2j, nblocks = friedman_r2(daily_rows(spark, sf_dir), len(EVENT_TYPES))
+    row = (
+        (sum(s * s for s in r2j.values()), len(r2j), nblocks)
+        if r2j
+        else (None, 0, None)
     )
-    agg = rsum.agg(
-        F.sum(F.col("r2j") * F.col("r2j")).cast("bigint").alias("ssq"),
-        F.count("*").cast("bigint").alias("k"),
-        F.max("n").alias("n"),
-    )
+    agg = bounded_df(spark, [row], "ssq bigint, k bigint, n bigint")
     n, k, ssq = F.col("n"), F.col("k"), F.col("ssq")
     chi2 = 3.0 * ssq / (n.cast("double") * k * (k + 1)) - 3.0 * n * (k + 1)
     return agg.select(

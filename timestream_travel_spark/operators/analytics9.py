@@ -97,22 +97,15 @@ def q_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     # over the collected |types|×|days| daily spine (exact Decimal
     # comparisons; integer ranks); the z composition below is
     # unchanged Spark expressions.
+    from timestream_travel_spark.operators.rank_kit import (
+        daily_rows,
+        friedman_r2,
+    )
     from timestream_travel_spark.tables import bounded_df
 
-    by_day: dict = {}
-    for r in _daily(spark, sf_dir).collect():
-        by_day.setdefault(r.day, []).append((r.t, r.v))
-    r2j: dict[str, int] = {}
-    nblocks = 0
-    for day, rows_ in by_day.items():
-        if len(rows_) != len(EVENT_TYPES):
-            continue
-        nblocks += 1
-        vals = sorted(v for _, v in rows_)
-        for t, v in rows_:
-            lo = next(i for i, x in enumerate(vals) if x == v) + 1
-            ties = sum(1 for x in vals if x == v)
-            r2j[t] = r2j.get(t, 0) + 2 * lo + ties - 1
+    r2j, nblocks = friedman_r2(
+        daily_rows(spark, sf_dir), len(EVENT_TYPES)
+    )
     jidx = {t: i + 1 for i, t in enumerate(EVENT_TYPES)}
     # zero complete days: the original empty-input agg yields
     # (NULL, 0, NULL)

@@ -102,6 +102,66 @@ def cents_by_type(spark: SparkSession, sf_dir: str) -> dict:
     return cents
 
 
+_DEC4_CACHE: dict = {}
+
+
+def dec4_by_type(spark: SparkSession, sf_dir: str) -> dict:
+    """{t: {scale4_int: count}} — the CAST(v AS DECIMAL(18,4)) census
+    (dec4 bridge) derived from the collected spine, cached per
+    (session, fixture); shared by the decimal-quantile family
+    (Tukey fences, trimmed/winsorized, Q-Q and Lorenz deciles)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    blocks = _DEC4_CACHE.get(key)
+    if blocks is None:
+        blocks = {}
+        for t, (v, c) in counts_by_type(spark, sf_dir).items():
+            acc: dict[int, int] = {}
+            for x, k in zip(v.tolist(), c.tolist()):
+                v4 = dec4(x)
+                acc[v4] = acc.get(v4, 0) + k
+            blocks[t] = acc
+        _DEC4_CACHE[key] = blocks
+    return blocks
+
+
+_DAILY_ROWS_CACHE: dict = {}
+
+
+def daily_rows(spark: SparkSession, sf_dir: str) -> dict:
+    """{day: [(t, v Decimal)]} — the collected |types|×|days| daily
+    spine (analytics8._daily, exact DECIMAL(38,4) sums), cached per
+    (session, fixture); the within-day doubled-midrank family
+    (Friedman, Kendall's W, Quade, Page) iterates it driver-side."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    by_day = _DAILY_ROWS_CACHE.get(key)
+    if by_day is None:
+        from timestream_travel_spark.operators.analytics8 import _daily
+
+        by_day = {}
+        for r in _daily(spark, sf_dir).collect():
+            by_day.setdefault(r.day, []).append((r.t, r.v))
+        _DAILY_ROWS_CACHE[key] = by_day
+    return by_day
+
+
+def friedman_r2(by_day: dict, k: int) -> tuple:
+    """(r2j per type, n_complete_blocks) — within-day doubled
+    midranks summed per treatment over COMPLETE days (the shared
+    Friedman/Kendall-W/Page census)."""
+    r2j: dict[str, int] = {}
+    nblocks = 0
+    for day, rows_ in by_day.items():
+        if len(rows_) != k:
+            continue
+        nblocks += 1
+        vals = sorted(v for _, v in rows_)
+        for t, v in rows_:
+            lo = vals.index(v) + 1
+            ties = sum(1 for x in vals if x == v)
+            r2j[t] = r2j.get(t, 0) + 2 * lo + ties - 1
+    return r2j, nblocks
+
+
 def pooled_grid(kit: dict):
     """(v ascending, ct) pooled over all types — the k-sample grid."""
     acc: dict[float, int] = {}
