@@ -92,12 +92,6 @@ def q_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     FP arithmetic stay bit-identical. Dangling-node mass is dropped
     (teleport-only), the common simplification; TPC-H's trade graph
     has no dangling nations."""
-    li = load_table(spark, sf_dir, "lineitem")
-    od = load_table(spark, sf_dir, "orders")
-    su = load_table(spark, sf_dir, "supplier")
-    cu = load_table(spark, sf_dir, "customer")
-    na = load_table(spark, sf_dir, "nation")
-
     en, na = _pagerank_edges(spark, sf_dir)
     # r15 (the graph_kit pattern): the normalized edge table is
     # bounded by the CONSTANT nation dimension (≤ 25×25 rows), so the
@@ -124,22 +118,14 @@ def q_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pagerank_edges(spark: SparkSession, sf_dir: str):
     """(en, nation): the distributed fact-scale extraction — the only
     corpus-sized work — producing the ≤ N_NATIONS²-row normalized
-    edge table (src, dst, frac)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    od = load_table(spark, sf_dir, "orders")
-    su = load_table(spark, sf_dir, "supplier")
-    cu = load_table(spark, sf_dir, "customer")
-    na = load_table(spark, sf_dir, "nation")
+    edge table (src, dst, frac). r16: the (src, dst, Σrev) census is
+    the shared graph3.trade_pair_census (identical groupBy + DECIMAL
+    sum; the cast to double is unchanged)."""
+    from timestream_travel_spark.operators.graph3 import trade_pair_census
 
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
-    e = (
-        li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(su, li.l_suppkey == su.s_suppkey)
-        .join(cu, od.o_custkey == cu.c_custkey)
-        .groupBy(
-            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
-        )
-        .agg(F.sum(rev).cast("double").alias("w"))
+    na = load_table(spark, sf_dir, "nation")
+    e = trade_pair_census(spark, sf_dir).select(
+        "src", "dst", F.col("w").cast("double").alias("w")
     )
     outw = e.groupBy("src").agg(
         F.sum(F.col("w").cast("decimal(24,4)")).cast("double").alias("tw")

@@ -70,20 +70,19 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle exactly once) → explode corners → per-node count →
     broadcast nation-name join.
     """
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
 
+    # r16: the distinct undirected edge set derives from the shared
+    # graph3.trade_pair_census key set (one fact-scale pass per
+    # session instead of one per consumer).
+    from timestream_travel_spark.operators.graph3 import trade_pair_census
+
     edges = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        trade_pair_census(spark, sf_dir)
+        .filter(F.col("src") != F.col("dst"))
         .select(
-            F.least("s_nationkey", "c_nationkey").alias("a"),
-            F.greatest("s_nationkey", "c_nationkey").alias("b"),
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
         )
         .distinct()
     )

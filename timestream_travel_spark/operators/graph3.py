@@ -59,6 +59,63 @@ _TOP_EDGES_SQL = f"""
 # intermediate any engine would use for a repeated subplan.
 _EDGE_CACHE: dict = {}
 
+# r16: the DIRECTED (src, dst, w) nation-pair revenue census is the
+# shared prefix of EVERY nation-graph extraction — top_trade_edges
+# (undirected top-K), q_nation_pagerank (directed weighted), HITS
+# (directed distinct), transitivity/assortativity (undirected
+# distinct). One fact-scale 4-table join + groupBy runs per session
+# (~1-1.2 s at sf0.1) instead of one per consumer; every derivation
+# below is an exact decimal/integer re-aggregation of the ≤ N²-row
+# census. Same cache mechanism/key as _EDGE_CACHE.
+_CENSUS_CACHE: dict = {}
+
+
+def trade_pair_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst, w): exact DECIMAL(28,4) revenue per DIRECTED
+    supplier→customer nation pair, all pairs incl. src = dst (the
+    pagerank convention — consumers filter). Materialized once per
+    (session, fixture)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _CENSUS_CACHE.get(key)
+    if df is None:
+        from timestream_travel_spark.tables import spread
+
+        # r15: the per-row decimal revenue work downstream of the
+        # scan dominates, and single-row-group fixture files
+        # serialize it onto one core — spread the projected fact side
+        # (size-gated: no-op at production scale). Decimal sums are
+        # order-independent.
+        li = spread(
+            load_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+            )
+        )
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey"
+        )
+        supp = load_table(spark, sf_dir, "supplier").select(
+            "s_suppkey", "s_nationkey"
+        )
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_nationkey"
+        )
+        rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+            "decimal(18,4)"
+        )
+        df = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .groupBy(
+                F.col("s_nationkey").alias("src"),
+                F.col("c_nationkey").alias("dst"),
+            )
+            .agg(F.sum(rev).alias("w"))
+            .localCheckpoint(eager=True)
+        )
+        _CENSUS_CACHE[key] = df
+    return df
+
 
 def top_trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{TOP_EDGES} undirected (a < b) nation pairs by exact
@@ -74,32 +131,17 @@ def top_trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _top_trade_edges_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The uncached extraction plan (one fact-scale pass)."""
-    from timestream_travel_spark.tables import spread
-
-    # r15: the per-row decimal revenue work downstream of the scan is
-    # the dominant cost, and single-row-group fixture files serialize
-    # it onto one core — spread the projected fact side (size-gated:
-    # no-op at production scale). Decimal sum is order-independent.
-    li = spread(
-        load_table(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
-        )
-    )
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    """The extraction plan — r16: an exact decimal re-aggregation of
+    the shared directed census (sums of the per-direction DECIMAL
+    sums equal the raw-row sums by associativity)."""
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        trade_pair_census(spark, sf_dir)
+        .filter(F.col("src") != F.col("dst"))
         .groupBy(
-            F.least("s_nationkey", "c_nationkey").alias("a"),
-            F.greatest("s_nationkey", "c_nationkey").alias("b"),
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
         )
-        .agg(F.sum(rev).alias("w"))
+        .agg(F.sum("w").alias("w"))
         .orderBy(F.desc("w"), "a", "b")
         .limit(TOP_EDGES)
         .select("a", "b")

@@ -309,19 +309,15 @@ def q_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the integer iteration runs there (the Louvain/HL
     bounded-backbone pattern — only node-count-sized state leaves
     the cluster). The pytest replays the integer walk exactly."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    # r16: the distinct directed pair set is exactly the key set of
+    # the shared graph3.trade_pair_census (one fact-scale pass per
+    # session instead of one per consumer).
+    from timestream_travel_spark.operators.graph3 import trade_pair_census
+
     edges = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
-        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
-        .select(
-            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
-        )
-        .distinct()
+        trade_pair_census(spark, sf_dir)
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
         .collect()
     )
     nodes = sorted({r.src for r in edges} | {r.dst for r in edges})
