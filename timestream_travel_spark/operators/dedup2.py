@@ -420,10 +420,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     components). Oracle: all-pairs edges + recursive CTE
     reachability. The outputs match because the verified pair set is
     itself oracle-equal (q_lsh_verified_jaccard)."""
-    from timestream_travel_spark.operators.dedup import lsh_verified_pairs
+    from timestream_travel_spark.operators.dedup import lsh_verified_pairs_cached
 
-    d = load_table(spark, sf_dir, "documents")
-    edges = lsh_verified_pairs(d, threshold=0.5).select(
+    edges = lsh_verified_pairs_cached(spark, sf_dir).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     return connected_components_star(edges)
@@ -485,10 +484,10 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_dedup_clusters)."""
     from pyspark.sql.window import Window
 
-    from timestream_travel_spark.operators.dedup import lsh_verified_pairs
+    from timestream_travel_spark.operators.dedup import lsh_verified_pairs_cached
 
     d = load_table(spark, sf_dir, "documents")
-    edges = lsh_verified_pairs(d, threshold=0.5).select(
+    edges = lsh_verified_pairs_cached(spark, sf_dir).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     labels = connected_components_star(edges)

@@ -198,11 +198,11 @@ def q_cluster_canonical_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     j ≈ 0.97 where 8-band/3-row recall is 1 − (1 − 0.97³)⁸ ≈
     1 − 3·10⁻⁹, and no fixture pair lands in the (0.067, 0.9) band
     where recall could flake (measured at sf0.001/0.01/0.1)."""
-    from timestream_travel_spark.operators.dedup import lsh_verified_pairs
+    from timestream_travel_spark.operators.dedup import lsh_verified_pairs_cached
     from timestream_travel_spark.operators.dedup2 import connected_components_star
 
     d = load_table(spark, sf_dir, "documents")
-    edges = lsh_verified_pairs(d, threshold=0.5).select(
+    edges = lsh_verified_pairs_cached(spark, sf_dir).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     cc = connected_components_star(edges)

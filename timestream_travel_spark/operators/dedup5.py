@@ -88,15 +88,13 @@ def q_cluster_medoid(spark: SparkSession, sf_dir: str) -> DataFrame:
     (logarithmic rounds) → one edge-list aggregation + one window
     argmax partitioned by cluster. Every post-verify stage runs on
     edge/cluster-sized data."""
-    from timestream_travel_spark.operators.dedup import lsh_verified_pairs
+    from timestream_travel_spark.operators.dedup import lsh_verified_pairs_cached
     from timestream_travel_spark.operators.dedup2 import connected_components_star
 
     d = load_table(spark, sf_dir, "documents")
-    # r15: materialize the verified pair list ONCE — it feeds both the
-    # CC engine and the weight sums below, and without the checkpoint
-    # the whole LSH-candidates → exact-verify pipeline executed twice
-    # (the `sym` branch re-derived it from scratch; ~2 s at sf0.1)
-    edges = lsh_verified_pairs(d, threshold=0.5).localCheckpoint(eager=True)
+    # r15 materialized the pair list once per call; r16 shares the
+    # session-cached canonical build across the cluster family
+    edges = lsh_verified_pairs_cached(spark, sf_dir)
     cc = connected_components_star(
         edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     )

@@ -287,10 +287,10 @@ def q_edit_distance_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded candidate set only, never the corpus). Pair set is the
     oracle-stable LSH-verified output; the oracle recomputes it
     all-pairs."""
-    from timestream_travel_spark.operators.dedup import lsh_verified_pairs
+    from timestream_travel_spark.operators.dedup import lsh_verified_pairs_cached
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = lsh_verified_pairs(d, threshold=0.5).select("doc_a", "doc_b")
+    pairs = lsh_verified_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
     ta = d.select(F.col("doc_id").alias("doc_a"), F.substring("text", 1, 120).alias("pa"))
     tb = d.select(F.col("doc_id").alias("doc_b"), F.substring("text", 1, 120).alias("pb"))
     return (
