@@ -309,26 +309,49 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily level series (matched on day): Pearson on DOUBLED midranks
     — integral, and scale-invariant so the doubling cancels. All
     sums are BIGINT-exact; one sqrt + one division per pair."""
-    ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        F.col("event_type").alias("t"), F.date_trunc("day", "ts").alias("day")
-    ).agg(F.sum(F.col("value").cast("decimal(20,4)")).alias("v"))
-    dr = (
-        2 * F.rank().over(Window.partitionBy("t").orderBy("v"))
-        + F.count("*").over(Window.partitionBy("t", "v"))
-        - 1
-    ).cast("bigint")
-    r = daily.select("t", "day", dr.alias("dr"))
-    a = r.select(F.col("t").alias("ta"), "day", F.col("dr").alias("da"))
-    b = r.select(F.col("t").alias("tb"), F.col("day").alias("dayb"), F.col("dr").alias("db"))
-    j = a.join(b, (F.col("day") == F.col("dayb")) & (F.col("ta") < F.col("tb")))
-    s = j.groupBy("ta", "tb").agg(
-        F.count("*").alias("n"),
-        F.sum("da").cast("bigint").alias("sx"),
-        F.sum("db").cast("bigint").alias("sy"),
-        F.sum(F.col("da") * F.col("db")).cast("bigint").alias("sxy"),
-        F.sum(F.col("da") * F.col("da")).cast("bigint").alias("sxx"),
-        F.sum(F.col("db") * F.col("db")).cast("bigint").alias("syy"),
+    # r16: the doubled-midrank Pearson census runs driver-side over
+    # the collected daily spine (rank_kit.daily_rows; exact Decimal
+    # comparisons, integer rank sums); the ρ composition below is
+    # unchanged Spark expressions. NB: this query's daily spine has
+    # no .cast("date") — same (t, day, v) values as analytics8._daily.
+    from timestream_travel_spark.operators.rank_kit import daily_rows
+    from timestream_travel_spark.tables import bounded_df
+
+    by_day = daily_rows(spark, sf_dir)
+    # per-type doubled midranks over the type's daily values
+    by_t: dict[str, list[tuple]] = {}
+    for day, rows_ in by_day.items():
+        for t, v in rows_:
+            by_t.setdefault(t, []).append((day, v))
+    dr: dict[tuple, int] = {}
+    for t, pairs_ in by_t.items():
+        vals = sorted(v for _, v in pairs_)
+        for day, v in pairs_:
+            lo = vals.index(v) + 1
+            ties = sum(1 for x in vals if x == v)
+            dr[(t, day)] = 2 * lo + ties - 1
+    ts = sorted(by_t)
+    rows = []
+    for i, ta in enumerate(ts):
+        for tb in ts[i + 1 :]:
+            days = sorted(
+                {d for d, _ in by_t[ta]} & {d for d, _ in by_t[tb]}
+            )
+            n = len(days)
+            sx = sy = sxy = sxx = syy = 0
+            for d in days:
+                da, db = dr[(ta, d)], dr[(tb, d)]
+                sx += da
+                sy += db
+                sxy += da * db
+                sxx += da * da
+                syy += db * db
+            rows.append((ta, tb, n, sx, sy, sxy, sxx, syy))
+    s = bounded_df(
+        spark,
+        rows,
+        "ta string, tb string, n bigint, sx bigint, sy bigint, "
+        "sxy bigint, sxx bigint, syy bigint",
     )
     vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
@@ -383,64 +406,43 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     corrections in the denominator. The self-join is over the
     calendar-bounded joined daily table (≤ days² rows per type
     pair), all counts BIGINT; one sqrt + division at the end."""
-    ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        F.col("event_type").alias("t"), F.date_trunc("day", "ts").alias("day")
-    ).agg(F.sum(F.col("value").cast("decimal(20,4)")).alias("v"))
-    a = daily.select(F.col("t").alias("ta"), "day", F.col("v").alias("va"))
-    b = daily.select(
-        F.col("t").alias("tb"), F.col("day").alias("dayb"), F.col("v").alias("vb")
-    )
-    j = a.join(b, (F.col("day") == F.col("dayb")) & (F.col("ta") < F.col("tb"))).select(
-        "ta", "tb", "day", "va", "vb"
-    )
-    i = j.select("ta", "tb", "day", "va", "vb")
-    k = j.select(
-        "ta",
-        "tb",
-        F.col("day").alias("dayk"),
-        F.col("va").alias("vak"),
-        F.col("vb").alias("vbk"),
-    )
-    pp = (
-        i.join(k, ["ta", "tb"])
-        .filter(F.col("day") < F.col("dayk"))
-        .groupBy("ta", "tb")
-        .agg(
-            F.sum(
-                F.when(
-                    ((F.col("va") > F.col("vak")) & (F.col("vb") > F.col("vbk")))
-                    | ((F.col("va") < F.col("vak")) & (F.col("vb") < F.col("vbk"))),
-                    1,
-                ).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("conc"),
-            F.sum(
-                F.when(
-                    ((F.col("va") > F.col("vak")) & (F.col("vb") < F.col("vbk")))
-                    | ((F.col("va") < F.col("vak")) & (F.col("vb") > F.col("vbk"))),
-                    1,
-                ).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("disc"),
-            F.sum(
-                F.when(
-                    (F.col("va") == F.col("vak")) & (F.col("vb") != F.col("vbk")), 1
-                ).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("tx"),
-            F.sum(
-                F.when(
-                    (F.col("vb") == F.col("vbk")) & (F.col("va") != F.col("vak")), 1
-                ).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("ty"),
-            F.count("*").cast("bigint").alias("npairs"),
-        )
+    # r16: the O(days²) concordance census runs driver-side over the
+    # collected daily spine (rank_kit.daily_rows; exact Decimal
+    # comparisons, calendar-bounded day pairs); the τ-b composition
+    # below is unchanged Spark expressions.
+    from timestream_travel_spark.operators.rank_kit import daily_rows
+    from timestream_travel_spark.tables import bounded_df
+
+    by_t: dict[str, dict] = {}
+    for day, rows_ in daily_rows(spark, sf_dir).items():
+        for t, v in rows_:
+            by_t.setdefault(t, {})[day] = v
+    ts = sorted(by_t)
+    rows = []
+    for idx, ta in enumerate(ts):
+        for tb in ts[idx + 1 :]:
+            shared = sorted(set(by_t[ta]) & set(by_t[tb]))
+            series = [(by_t[ta][d], by_t[tb][d]) for d in shared]
+            conc = disc = tx = ty = 0
+            m = len(series)
+            for i_ in range(m):
+                va, vb = series[i_]
+                for k_ in range(i_ + 1, m):
+                    vak, vbk = series[k_]
+                    if (va > vak and vb > vbk) or (va < vak and vb < vbk):
+                        conc += 1
+                    elif (va > vak and vb < vbk) or (va < vak and vb > vbk):
+                        disc += 1
+                    elif va == vak and vb != vbk:
+                        tx += 1
+                    elif vb == vbk and va != vak:
+                        ty += 1
+            rows.append((ta, tb, conc, disc, tx, ty, m * (m - 1) // 2))
+    pp = bounded_df(
+        spark,
+        rows,
+        "ta string, tb string, conc bigint, disc bigint, tx bigint, "
+        "ty bigint, npairs bigint",
     )
     return pp.filter(
         ((F.col("npairs") - F.col("tx")) > 0) & ((F.col("npairs") - F.col("ty")) > 0)
